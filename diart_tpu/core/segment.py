@@ -38,6 +38,18 @@ import numpy as np
 
 __all__ = ["Segment", "SlidingWindow", "SlidingWindowFeature"]
 
+
+def _r(x: float) -> float:
+    """Round to 10 decimals before flooring/ceiling frame indices.
+
+    Frame boundaries regularly land on exact integers (e.g. the aggregation
+    focus of a 5 s / 293-frame chunk at 1 s latency); raw float arithmetic
+    would make the selected index depend on accumulated timestamp noise. The
+    guard keeps crop indices t-invariant so the host-exact path and the
+    static-index device path select identical frames.
+    """
+    return round(x, 10)
+
 @dataclass(frozen=True, order=True)
 class Segment:
     """A time interval ``[start, end)`` in seconds."""
@@ -121,11 +133,11 @@ class SlidingWindow:
     def samples(self, from_duration: float, mode: str = "strict") -> int:
         """Number of frames in a span of ``from_duration`` seconds."""
         if mode == "strict":
-            return int(math.floor((from_duration - self.duration) / self.step)) + 1
+            return int(math.floor(_r((from_duration - self.duration) / self.step))) + 1
         if mode == "loose":
-            return int(math.floor((from_duration + self.duration) / self.step))
+            return int(math.floor(_r((from_duration + self.duration) / self.step)))
         if mode == "center":
-            return int(np.rint(from_duration / self.step))
+            return int(np.rint(_r(from_duration / self.step)))
         raise ValueError(f"unknown mode {mode!r}")
 
     def crop_range(
@@ -140,29 +152,29 @@ class SlidingWindow:
         the feature's job to pad (see :meth:`SlidingWindowFeature.crop`).
         """
         if mode == "loose":
-            i = int(math.ceil((focus.start - self.duration - self.start) / self.step))
+            i = int(math.ceil(_r((focus.start - self.duration - self.start) / self.step)))
             if fixed is None:
-                j = int(math.floor((focus.end - self.start) / self.step))
+                j = int(math.floor(_r((focus.end - self.start) / self.step)))
                 return i, j + 1
             return i, i + self.samples(fixed, mode="loose")
         if mode == "strict":
-            i = int(math.ceil((focus.start - self.start) / self.step))
+            i = int(math.ceil(_r((focus.start - self.start) / self.step)))
             if fixed is None:
                 j = int(
-                    math.floor((focus.end - self.duration - self.start) / self.step)
+                    math.floor(_r((focus.end - self.duration - self.start) / self.step))
                 )
                 return i, j + 1
             return i, i + self.samples(fixed, mode="strict")
         if mode == "center":
             i = int(
                 math.ceil(
-                    (focus.start - self.start - 0.5 * self.duration) / self.step
+                    _r((focus.start - self.start - 0.5 * self.duration) / self.step)
                 )
             )
             if fixed is None:
                 j = int(
                     math.floor(
-                        (focus.end - self.start - 0.5 * self.duration) / self.step
+                        _r((focus.end - self.start - 0.5 * self.duration) / self.step)
                     )
                 )
                 return i, j + 1

@@ -1,0 +1,23 @@
+from .base import EmbeddingModel, LazyModel, SegmentationModel
+from .segmentation import PyanNet
+from .embedding import XVectorSincNet, weighted_stats_pool, resample_weights
+from .sincnet import SincNet, SincConv, num_sincnet_frames
+from .lstm import BiLSTM
+from .powerset import num_powerset_classes, powerset_mapping, to_multilabel
+
+__all__ = [
+    "LazyModel",
+    "SegmentationModel",
+    "EmbeddingModel",
+    "PyanNet",
+    "XVectorSincNet",
+    "SincNet",
+    "SincConv",
+    "BiLSTM",
+    "weighted_stats_pool",
+    "resample_weights",
+    "num_sincnet_frames",
+    "num_powerset_classes",
+    "powerset_mapping",
+    "to_multilabel",
+]

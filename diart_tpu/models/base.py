@@ -1,0 +1,338 @@
+"""Model wrappers: lazy loading, registry, pretrained entry points.
+
+API-parity layer over the JAX models, mirroring the reference's
+``SegmentationModel`` / ``EmbeddingModel`` lazy wrappers
+(``/root/reference/src/diart/models.py:112-265``) while staying
+backend-native:
+
+* ``from_pretrained`` resolves, in order: native serialized params
+  (``.msgpack``/``.npz`` + config json), PyTorch checkpoints (converted on
+  the fly via :mod:`diart_tpu.models.convert`, requires ``torch``), ONNX
+  files (requires ``onnxruntime``), pyannote/HF model names (requires
+  ``pyannote.audio``), and the built-in ``tpu/...`` registry of natively
+  initialized architectures (used for tests, benchmarks and training from
+  scratch).
+* loading is lazy: models declared on the CLI don't touch the device until a
+  block instantiates them (reference ``models.py:122-129``).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .embedding import XVectorSincNet
+from .powerset import num_powerset_classes, powerset_mapping, to_multilabel
+from .segmentation import PyanNet
+from .sincnet import num_sincnet_frames
+
+__all__ = ["LazyModel", "SegmentationModel", "EmbeddingModel"]
+
+
+def _seed_from_name(name: str) -> int:
+    return abs(hash(name)) % (2**31)
+
+
+class LazyModel:
+    """Defers building module+params until first use."""
+
+    def __init__(self, loader: Callable[[], Tuple[Any, Any, Dict]]):
+        self._loader = loader
+        self.module = None
+        self.params = None
+        self.meta: Dict[str, Any] = {}
+
+    def is_in_memory(self) -> bool:
+        return self.module is not None
+
+    def load(self) -> "LazyModel":
+        if not self.is_in_memory():
+            self.module, self.params, self.meta = self._loader()
+        return self
+
+    # The reference exposes .to(device)/.eval(); JAX arrays are placed by the
+    # surrounding jit/sharding, so these are no-ops kept for API parity.
+    def to(self, device=None) -> "LazyModel":
+        return self.load()
+
+    def eval(self) -> "LazyModel":
+        return self.load()
+
+
+def _save_native(path: Path, params, config: Dict[str, Any]) -> None:
+    from flax import serialization
+
+    path = Path(path)
+    path.write_bytes(serialization.to_bytes(params))
+    path.with_suffix(path.suffix + ".json").write_text(json.dumps(config))
+
+
+def _load_native(path: Path, module_cls):
+    from flax import serialization
+
+    path = Path(path)
+    config = json.loads(path.with_suffix(path.suffix + ".json").read_text())
+    module = module_cls(**config.get("module", {}))
+    dummy = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1, config.get("init_samples", 16000)))
+    )
+    params = serialization.from_bytes(dummy, path.read_bytes())
+    return module, params, config
+
+
+class SegmentationModel(LazyModel):
+    """Waveform (batch, channels, samples) -> activations (batch, frames, K).
+
+    Matches the reference's calling convention (``models.py:188-198``).
+    """
+
+    def __init__(self, loader, powerset: Optional[Tuple[int, int]] = None):
+        super().__init__(loader)
+        self._powerset = powerset  # (num_speakers, max_simultaneous)
+        self._apply = None
+
+    # ------------------------------------------------------------------ #
+    # Constructors
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def from_pretrained(model: Union[str, Path], use_hf_token=True, **kwargs) -> "SegmentationModel":
+        name = str(model)
+        if name.endswith(".onnx"):
+            return SegmentationModel.from_onnx(model)
+        if name.endswith((".msgpack", ".npz")):
+            return SegmentationModel(lambda: _load_native(Path(model), PyanNet))
+        if name.endswith((".bin", ".pt", ".ckpt", ".safetensors")):
+            return SegmentationModel.from_torch(model)
+        if name.startswith("tpu/"):
+            return SegmentationModel.from_registry(name, **kwargs)
+        return SegmentationModel.from_pyannote(model, use_hf_token)
+
+    @staticmethod
+    def from_registry(name: str, **kwargs) -> "SegmentationModel":
+        """Natively initialized architectures, e.g. ``tpu/pyannet`` or
+        ``tpu/pyannet-powerset`` (random weights — for tests, benchmarks and
+        training from scratch)."""
+
+        def loader():
+            if name == "tpu/pyannet-powerset":
+                num_speakers = kwargs.get("num_speakers", 3)
+                max_simul = kwargs.get("max_simultaneous", 2)
+                classes = num_powerset_classes(num_speakers, max_simul)
+                module = PyanNet(num_speakers=num_speakers, powerset_classes=classes)
+            else:
+                module = PyanNet(num_speakers=kwargs.get("num_speakers", 4))
+            samples = kwargs.get("init_samples", 80000)
+            params = module.init(
+                jax.random.PRNGKey(kwargs.get("seed", _seed_from_name(name))),
+                jnp.zeros((1, 1, samples)),
+            )
+            meta = {"sample_rate": 16000, "name": name}
+            return module, params, meta
+
+        powerset = None
+        if name == "tpu/pyannet-powerset":
+            powerset = (kwargs.get("num_speakers", 3), kwargs.get("max_simultaneous", 2))
+        return SegmentationModel(loader, powerset=powerset)
+
+    @staticmethod
+    def from_torch(path: Union[str, Path]) -> "SegmentationModel":
+        def loader():
+            from .convert import load_pyannet_checkpoint
+
+            return load_pyannet_checkpoint(path)
+
+        return SegmentationModel(loader)
+
+    @staticmethod
+    def from_pyannote(model, use_hf_token=True) -> "SegmentationModel":
+        def loader():
+            from .convert import load_pyannote_segmentation
+
+            return load_pyannote_segmentation(model, use_hf_token)
+
+        return SegmentationModel(loader)
+
+    @staticmethod
+    def from_onnx(
+        model_path: Union[str, Path],
+        input_name: str = "waveform",
+        output_name: str = "segmentation",
+    ) -> "SegmentationModel":
+        def loader():
+            from .onnx import ONNXModel
+
+            return ONNXModel(model_path, [input_name], output_name), None, {}
+
+        return SegmentationModel(loader)
+
+    # ------------------------------------------------------------------ #
+    @property
+    def num_speakers(self) -> int:
+        self.load()
+        if self._powerset is not None:
+            return self._powerset[0]
+        return getattr(self.module, "num_speakers", 4)
+
+    @property
+    def sample_rate(self) -> int:
+        self.load()
+        return self.meta.get("sample_rate", 16000)
+
+    def apply_fn(self) -> Callable:
+        """Pure function (params, waveform (B, 1, samples)) -> (B, frames, K)
+        for use inside jitted pipelines."""
+        self.load()
+        if self.params is None:  # ONNX host fallback
+            raise RuntimeError("ONNX models cannot run inside jitted pipelines")
+        module = self.module
+        if self._powerset is not None:
+            mapping = powerset_mapping(*self._powerset)
+
+            def fn(params, waveform):
+                scores = module.apply(params, waveform)
+                return to_multilabel(scores, mapping)
+
+            return fn
+        return lambda params, waveform: module.apply(params, waveform)
+
+    def __call__(self, waveform) -> jnp.ndarray:
+        """Eager single-call path (blocks API). waveform: (B, C, samples)."""
+        self.load()
+        if self.params is None:  # ONNX
+            return self.module(waveform)
+        if self._apply is None:
+            self._apply = jax.jit(self.apply_fn())
+        return self._apply(self.params, jnp.asarray(waveform))
+
+    def save(self, path: Union[str, Path]) -> None:
+        self.load()
+        config = {"module": {"num_speakers": self.module.num_speakers}}
+        _save_native(Path(path), self.params, config)
+
+
+class EmbeddingModel(LazyModel):
+    """Waveform + weights -> speaker embeddings, with a trunk/head split.
+
+    Reference interface: ``model(waveform (B, C, samples), weights (B, T))``
+    -> ``(B, dim)`` (``models.py:248-265``). The native fast path exposes
+    ``trunk_fn``/``head_fn`` so multi-speaker embeddings share one trunk pass
+    (see :mod:`diart_tpu.models.embedding`).
+    """
+
+    def __init__(self, loader):
+        super().__init__(loader)
+        self._apply = None
+
+    @staticmethod
+    def from_pretrained(model: Union[str, Path], use_hf_token=True, **kwargs) -> "EmbeddingModel":
+        name = str(model)
+        if name.endswith(".onnx"):
+            return EmbeddingModel.from_onnx(model)
+        if name.endswith((".msgpack", ".npz")):
+            return EmbeddingModel(lambda: _load_native(Path(model), XVectorSincNet))
+        if name.endswith((".bin", ".pt", ".ckpt", ".safetensors")):
+            return EmbeddingModel.from_torch(model)
+        if name.startswith("tpu/"):
+            return EmbeddingModel.from_registry(name, **kwargs)
+        return EmbeddingModel.from_pyannote(model, use_hf_token)
+
+    @staticmethod
+    def from_registry(name: str, **kwargs) -> "EmbeddingModel":
+        def loader():
+            module = XVectorSincNet(embedding_dim=kwargs.get("embedding_dim", 512))
+            samples = kwargs.get("init_samples", 80000)
+            params = module.init(
+                jax.random.PRNGKey(kwargs.get("seed", _seed_from_name(name))),
+                jnp.zeros((1, 1, samples)),
+            )
+            return module, params, {"sample_rate": 16000, "name": name}
+
+        return EmbeddingModel(loader)
+
+    @staticmethod
+    def from_torch(path: Union[str, Path]) -> "EmbeddingModel":
+        def loader():
+            from .convert import load_xvector_checkpoint
+
+            return load_xvector_checkpoint(path)
+
+        return EmbeddingModel(loader)
+
+    @staticmethod
+    def from_pyannote(model, use_hf_token=True) -> "EmbeddingModel":
+        def loader():
+            from .convert import load_pyannote_embedding
+
+            return load_pyannote_embedding(model, use_hf_token)
+
+        return EmbeddingModel(loader)
+
+    @staticmethod
+    def from_onnx(
+        model_path: Union[str, Path],
+        input_names=None,
+        output_name: str = "embedding",
+    ) -> "EmbeddingModel":
+        def loader():
+            from .onnx import ONNXModel
+
+            return (
+                ONNXModel(model_path, input_names or ["waveform", "weights"], output_name),
+                None,
+                {},
+            )
+
+        return EmbeddingModel(loader)
+
+    # ------------------------------------------------------------------ #
+    @property
+    def embedding_dim(self) -> int:
+        self.load()
+        return getattr(self.module, "embedding_dim", 512)
+
+    @property
+    def sample_rate(self) -> int:
+        self.load()
+        return self.meta.get("sample_rate", 16000)
+
+    def trunk_fn(self) -> Callable:
+        """(params, waveform (B, 1, samples)) -> (B, frames, channels)."""
+        self.load()
+        module = self.module
+        return lambda params, waveform: module.apply(params, waveform, method="trunk")
+
+    def head_fn(self) -> Callable:
+        """(params, frames, weights (B, S, T)) -> (B, S, dim)."""
+        self.load()
+        module = self.module
+        return lambda params, frames, weights: module.apply(
+            params, frames, weights, method="head"
+        )
+
+    def __call__(self, waveform, weights=None) -> jnp.ndarray:
+        """Reference-compatible call: waveform (B, C, samples), weights
+        (B, frames) -> (B, dim)."""
+        self.load()
+        if self.params is None:  # ONNX
+            return self.module(waveform, weights)
+        if self._apply is None:
+            module = self.module
+
+            def fn(params, waveform, weights):
+                if weights is not None:
+                    weights = weights[:, None, :]  # (B, 1, T)
+                out = module.apply(params, waveform, weights)
+                return out[:, 0] if weights is not None else out
+
+            self._apply = jax.jit(fn, static_argnames=())
+        return self._apply(self.params, jnp.asarray(waveform), weights)
+
+    def save(self, path: Union[str, Path]) -> None:
+        self.load()
+        config = {"module": {"embedding_dim": self.module.embedding_dim}}
+        _save_native(Path(path), self.params, config)

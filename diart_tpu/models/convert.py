@@ -1,0 +1,256 @@
+"""PyTorch checkpoint -> JAX parameter conversion.
+
+The reference loads pyannote/HF-hosted PyTorch models at runtime
+(``/root/reference/src/diart/models.py:42-59``). The TPU-native framework
+instead *converts* those checkpoints once into its flax parameter trees:
+
+* :func:`load_pyannet_checkpoint` — pyannote ``PyanNet`` segmentation
+  checkpoints -> :class:`diart_tpu.models.segmentation.PyanNet` params.
+* :func:`load_xvector_checkpoint` — pyannote ``XVectorSincNet`` embedding
+  checkpoints -> :class:`diart_tpu.models.embedding.XVectorSincNet` params.
+* :func:`load_pyannote_segmentation` / :func:`load_pyannote_embedding` —
+  resolve a HF model name through ``pyannote.audio`` (optional dependency),
+  then convert its state dict.
+
+Layout rules (verified by per-layer equivalence tests against torch in
+``tests/test_convert.py``):
+
+* ``torch.nn.Conv1d.weight (out, in, k)``  -> flax ``Conv.kernel (k, in, out)``
+* ``torch.nn.Linear.weight (out, in)``     -> flax ``Dense.kernel (in, out)``
+* ``torch.nn.LSTM`` per layer+direction: ``weight_ih (4H, in)`` maps
+  directly; biases are summed (``b = bias_ih + bias_hh``); gate order i,f,g,o
+  is shared.
+* ``InstanceNorm1d``/``BatchNorm1d`` affine params map to the scale/bias
+  (and running mean/var) leaves.
+
+Requires ``torch`` (CPU build is enough); everything degrades with a clear
+error message when unavailable.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .embedding import XVectorSincNet
+from .segmentation import PyanNet
+
+__all__ = [
+    "pyannet_params_from_state_dict",
+    "xvector_params_from_state_dict",
+    "load_pyannet_checkpoint",
+    "load_xvector_checkpoint",
+    "load_pyannote_segmentation",
+    "load_pyannote_embedding",
+]
+
+
+def _np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def _get(sd: Dict[str, Any], *aliases: str) -> np.ndarray:
+    for key in aliases:
+        if key in sd:
+            return _np(sd[key])
+    raise KeyError(f"none of {aliases} found in state dict (keys: {sorted(sd)[:8]}...)")
+
+
+def _sincnet_params(sd: Dict[str, Any], prefix: str = "sincnet.") -> Dict[str, Any]:
+    p = prefix
+    out = {
+        "wav_norm_scale": _get(sd, f"{p}wav_norm1d.weight"),
+        "wav_norm_bias": _get(sd, f"{p}wav_norm1d.bias"),
+        "sinc": {
+            "low_hz": _get(
+                sd,
+                f"{p}conv1d.0.low_hz_",
+                f"{p}conv1d.0.filterbank.low_hz_",
+            ).reshape(-1),
+            "band_hz": _get(
+                sd,
+                f"{p}conv1d.0.band_hz_",
+                f"{p}conv1d.0.filterbank.band_hz_",
+            ).reshape(-1),
+        },
+        "norm1_scale": _get(sd, f"{p}norm1d.0.weight"),
+        "norm1_bias": _get(sd, f"{p}norm1d.0.bias"),
+    }
+    for i in (1, 2):
+        w = _get(sd, f"{p}conv1d.{i}.weight")  # (out, in, k)
+        out[f"conv{i + 1}"] = {
+            "kernel": w.transpose(2, 1, 0),
+            "bias": _get(sd, f"{p}conv1d.{i}.bias"),
+        }
+        out[f"norm{i + 1}_scale"] = _get(sd, f"{p}norm1d.{i}.weight")
+        out[f"norm{i + 1}_bias"] = _get(sd, f"{p}norm1d.{i}.bias")
+    return out
+
+
+def _lstm_params(sd: Dict[str, Any], num_layers: int, prefix: str = "lstm.") -> Dict[str, Any]:
+    out = {}
+    for layer in range(num_layers):
+        w_ih = np.stack(
+            [
+                _get(sd, f"{prefix}weight_ih_l{layer}"),
+                _get(sd, f"{prefix}weight_ih_l{layer}_reverse"),
+            ]
+        )
+        w_hh = np.stack(
+            [
+                _get(sd, f"{prefix}weight_hh_l{layer}"),
+                _get(sd, f"{prefix}weight_hh_l{layer}_reverse"),
+            ]
+        )
+        b = np.stack(
+            [
+                _get(sd, f"{prefix}bias_ih_l{layer}")
+                + _get(sd, f"{prefix}bias_hh_l{layer}"),
+                _get(sd, f"{prefix}bias_ih_l{layer}_reverse")
+                + _get(sd, f"{prefix}bias_hh_l{layer}_reverse"),
+            ]
+        )
+        out[f"l{layer}_w_ih"] = w_ih
+        out[f"l{layer}_w_hh"] = w_hh
+        out[f"l{layer}_b"] = b
+    return out
+
+
+def _dense(sd: Dict[str, Any], key: str) -> Dict[str, np.ndarray]:
+    return {
+        "kernel": _get(sd, f"{key}.weight").T,
+        "bias": _get(sd, f"{key}.bias"),
+    }
+
+
+def pyannet_params_from_state_dict(
+    sd: Dict[str, Any], num_layers: int = 4
+) -> Dict[str, Any]:
+    """Map a pyannote PyanNet state dict onto our parameter tree."""
+    params = {
+        "sincnet": _sincnet_params(sd),
+        "lstm": _lstm_params(sd, num_layers),
+        "classifier": _dense(sd, "classifier"),
+    }
+    i = 0
+    while f"linear.{i}.weight" in sd:
+        params[f"linear{i}"] = _dense(sd, f"linear.{i}")
+        i += 1
+    return {"params": params}
+
+
+def xvector_params_from_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Map a pyannote XVectorSincNet state dict onto our parameter tree.
+
+    pyannote lays the TDNN out as a flat ``nn.Sequential`` of
+    (Conv1d, LeakyReLU, BatchNorm1d) triples named ``tdnns.{j}``.
+    """
+    params: Dict[str, Any] = {"sincnet": _sincnet_params(sd)}
+    conv_keys = sorted(
+        {k.split(".")[1] for k in sd if k.startswith("tdnns.") and k.endswith(".weight")
+         and sd[k].ndim == 3},
+        key=int,
+    )
+    for i, j in enumerate(conv_keys):
+        w = _get(sd, f"tdnns.{j}.weight")
+        params[f"tdnn{i}"] = {
+            "kernel": w.transpose(2, 1, 0),
+            "bias": _get(sd, f"tdnns.{j}.bias"),
+        }
+        norm_j = int(j) + 2  # Conv, LeakyReLU, BatchNorm triple
+        params[f"tdnn{i}_norm"] = {
+            "scale": _get(sd, f"tdnns.{norm_j}.weight"),
+            "bias": _get(sd, f"tdnns.{norm_j}.bias"),
+            "mean": _get(sd, f"tdnns.{norm_j}.running_mean"),
+            "var": _get(sd, f"tdnns.{norm_j}.running_var"),
+        }
+    params["embedding"] = _dense(sd, "embedding")
+    return {"params": params}
+
+
+def _to_jax(tree):
+    return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype=jnp.float32), tree)
+
+
+def _load_torch_state_dict(path: Union[str, Path]) -> Dict[str, Any]:
+    import torch
+
+    obj = torch.load(str(path), map_location="cpu", weights_only=False)
+    if isinstance(obj, dict):
+        for key in ("state_dict", "model_state_dict"):
+            if key in obj:
+                obj = obj[key]
+                break
+    # strip common prefixes (lightning: "model.")
+    if any(k.startswith("model.") for k in obj):
+        obj = {k[len("model."):]: v for k, v in obj.items() if k.startswith("model.")}
+    return obj
+
+
+def load_pyannet_checkpoint(path: Union[str, Path]):
+    """Torch PyanNet checkpoint -> (module, params, meta)."""
+    sd = _load_torch_state_dict(path)
+    num_layers = (
+        max(
+            int(k.split("_l")[-1].replace("_reverse", ""))
+            for k in sd
+            if k.startswith("lstm.weight_ih_l")
+        )
+        + 1
+    )
+    num_out = sd["classifier.weight"].shape[0]
+    module = PyanNet(num_speakers=int(num_out), lstm_layers=num_layers)
+    params = _to_jax(pyannet_params_from_state_dict(sd, num_layers))
+    return module, params, {"sample_rate": 16000, "source": str(path)}
+
+
+def load_xvector_checkpoint(path: Union[str, Path]):
+    sd = _load_torch_state_dict(path)
+    dim = sd["embedding.weight"].shape[0]
+    module = XVectorSincNet(embedding_dim=int(dim))
+    params = _to_jax(xvector_params_from_state_dict(sd))
+    return module, params, {"sample_rate": 16000, "source": str(path)}
+
+
+def _require_pyannote():
+    try:
+        from pyannote.audio import Model  # noqa: F401
+
+        return Model
+    except ImportError as e:
+        raise ImportError(
+            "loading HF-hosted pyannote models requires `pyannote.audio`; "
+            "convert the checkpoint offline with diart_tpu.models.convert "
+            "or pass a native .msgpack/.npz parameter file"
+        ) from e
+
+
+def load_pyannote_segmentation(model, use_hf_token=True):
+    Model = _require_pyannote()
+    net = Model.from_pretrained(model, use_auth_token=use_hf_token)
+    sd = net.state_dict()
+    num_layers = net.hparams.lstm.get("num_layers", 4) if hasattr(net, "hparams") else 4
+    specs = getattr(net, "specifications", None)
+    module, params, meta = (
+        PyanNet(num_speakers=sd["classifier.weight"].shape[0], lstm_layers=num_layers),
+        _to_jax(pyannet_params_from_state_dict(sd, num_layers)),
+        {"sample_rate": 16000, "source": str(model)},
+    )
+    if specs is not None and getattr(specs, "powerset", False):
+        meta["powerset"] = (len(specs.classes), specs.powerset_max_classes)
+    return module, params, meta
+
+
+def load_pyannote_embedding(model, use_hf_token=True):
+    Model = _require_pyannote()
+    net = Model.from_pretrained(model, use_auth_token=use_hf_token)
+    sd = net.state_dict()
+    return (
+        XVectorSincNet(embedding_dim=sd["embedding.weight"].shape[0]),
+        _to_jax(xvector_params_from_state_dict(sd)),
+        {"sample_rate": 16000, "source": str(model)},
+    )

@@ -1,0 +1,158 @@
+"""Speaker embedding model with weighted statistics pooling, in JAX/flax.
+
+Native equivalent of the ``pyannote/embedding`` x-vector family wrapped by
+the reference (``/root/reference/src/diart/models.py:201-265``): SincNet
+frontend, dilated TDNN stack, *weighted* statistics pooling (the paper's
+Eq. 2 modification) and a linear projection to the embedding space.
+
+TPU-first redesign — trunk/head split
+-------------------------------------
+The reference computes one embedding per (chunk, speaker) by repeating the
+waveform per speaker and batching ``(batch*speakers)`` through the whole
+model (``blocks/embedding.py:54-65``). But the per-speaker weights only
+enter at the *pooling* stage, so the convolutional trunk is recomputed
+``speakers`` times for identical input. Here the model is split:
+
+* :meth:`trunk` — waveform -> (batch, frames, channels), run **once** per
+  chunk;
+* :meth:`head` — (frames, channels) + per-speaker weights
+  (batch, speakers, frames) -> (batch, speakers, embedding_dim), a pair of
+  einsum reductions.
+
+For the default 20-speaker ceiling this removes ~95% of the embedding FLOPs
+relative to a literal port, with bit-identical results.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .sincnet import SincNet
+
+__all__ = ["XVectorSincNet", "weighted_stats_pool", "resample_weights"]
+
+
+def resample_weights(weights: jnp.ndarray, num_frames: int) -> jnp.ndarray:
+    """Nearest-neighbor resample of per-frame weights to the trunk's frame
+    grid (pyannote's StatsPool interpolates the same way)."""
+    src = weights.shape[-1]
+    if src == num_frames:
+        return weights
+    idx = (jnp.arange(num_frames) * src) // num_frames
+    return jnp.take(weights, idx, axis=-1)
+
+
+def weighted_stats_pool(
+    frames: jnp.ndarray, weights: jnp.ndarray, eps: float = 1e-10
+) -> jnp.ndarray:
+    """Weighted temporal mean + std pooling.
+
+    Parameters
+    ----------
+    frames: (batch, time, channels)
+    weights: (batch, speakers, time) non-negative.
+
+    Returns
+    -------
+    (batch, speakers, 2*channels) — concatenated weighted mean and std.
+    """
+    total = jnp.sum(weights, axis=-1, keepdims=True)  # (B, S, 1)
+    norm_w = weights / jnp.maximum(total, eps)
+    mean = jnp.einsum(
+        "btc,bst->bsc", frames, norm_w, preferred_element_type=jnp.float32
+    )
+    sq = jnp.einsum(
+        "btc,bst->bsc", frames**2, norm_w, preferred_element_type=jnp.float32
+    )
+    var = jnp.maximum(sq - mean**2, 0.0)
+    std = jnp.sqrt(var + eps)
+    return jnp.concatenate([mean, std], axis=-1).astype(frames.dtype)
+
+
+class _FrozenBatchNorm(nn.Module):
+    """Inference-form batch norm: y = scale * (x - mean) / sqrt(var) + bias.
+
+    Running statistics live as parameters so converted PyTorch checkpoints
+    (Conv1d + BatchNorm1d TDNN blocks) drop in directly.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        return scale * (x - mean) * jax.lax.rsqrt(var + 1e-5) + bias
+
+
+class XVectorSincNet(nn.Module):
+    """SincNet + TDNN x-vector with weighted statistics pooling.
+
+    TDNN geometry matches pyannote's XVectorSincNet:
+    (kernel, dilation, channels) = (5,1,512), (3,2,512), (3,3,512),
+    (1,1,512), (1,1,1500).
+    """
+
+    embedding_dim: int = 512
+    sample_rate: int = 16000
+    tdnn_specs: Tuple[Tuple[int, int, int], ...] = (
+        (5, 1, 512),
+        (3, 2, 512),
+        (3, 3, 512),
+        (1, 1, 512),
+        (1, 1, 1500),
+    )
+
+    def setup(self):
+        self.sincnet = SincNet(sample_rate=self.sample_rate, name="sincnet")
+        self.tdnns = [
+            nn.Conv(
+                features=channels,
+                kernel_size=(kernel,),
+                kernel_dilation=(dilation,),
+                padding="VALID",
+                name=f"tdnn{i}",
+            )
+            for i, (kernel, dilation, channels) in enumerate(self.tdnn_specs)
+        ]
+        self.tdnn_norms = [
+            _FrozenBatchNorm(channels, name=f"tdnn{i}_norm")
+            for i, (_, _, channels) in enumerate(self.tdnn_specs)
+        ]
+        self.embedding = nn.Dense(self.embedding_dim, name="embedding")
+
+    def __call__(
+        self, waveform: jnp.ndarray, weights: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        frames = self.trunk(waveform)
+        return self.head(frames, weights)
+
+    def trunk(self, waveform: jnp.ndarray) -> jnp.ndarray:
+        """waveform: (batch, 1, samples) -> (batch, frames, channels)."""
+        x = self.sincnet(waveform)
+        x = jnp.swapaxes(x, 1, 2)  # (B, T, 60)
+        for conv, norm in zip(self.tdnns, self.tdnn_norms):
+            x = conv(x)
+            x = nn.leaky_relu(x, negative_slope=0.01)
+            x = norm(x)
+        return x
+
+    def head(
+        self, frames: jnp.ndarray, weights: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        """frames: (batch, time, channels); weights: (batch, speakers, w_time)
+        or None -> (batch, speakers, embedding_dim) (or (batch, dim) without
+        weights)."""
+        squeeze = weights is None
+        if weights is None:
+            weights = jnp.ones(frames.shape[:1] + (1, frames.shape[1]), frames.dtype)
+        weights = resample_weights(weights, frames.shape[1])
+        stats = weighted_stats_pool(frames, weights)
+        emb = self.embedding(stats)
+        return emb[:, 0] if squeeze else emb

@@ -1,0 +1,89 @@
+"""Multi-layer bidirectional LSTM tuned for TPU execution.
+
+The reference's segmentation model (pyannote PyanNet) runs a 4-layer
+bidirectional LSTM over ~293 frames. A scan over time is inherently
+sequential, so the implementation splits the work so the MXU sees large
+matmuls and the scan body stays minimal:
+
+* the input projection ``x @ W_ih^T + b`` for the *whole sequence* is one
+  batched matmul outside the scan ((B*T, in) x (in, 4H));
+* both directions run in a single ``lax.scan`` whose body does one batched
+  matmul ``(2, B, H) x (2, H, 4H)`` — for multi-stream serving B is the
+  number of concurrent streams, keeping the MXU fed;
+* the backward direction is realized by flipping the input sequence, so the
+  shared scan always walks forward in memory.
+
+Gate order is PyTorch's (i, f, g, o) so converted checkpoints drop in
+without reshuffling.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["BiLSTM"]
+
+
+def _bidirectional_scan(proj: jnp.ndarray, w_hh: jnp.ndarray, hidden: int) -> jnp.ndarray:
+    """Run forward+backward LSTM in one scan.
+
+    proj: (2, batch, time, 4*hidden) pre-projected inputs (dir 1 already
+        time-flipped); w_hh: (2, 4*hidden, hidden).
+
+    Returns (2, batch, time, hidden) — dir 1 still time-flipped.
+    """
+    _, batch, _, _ = proj.shape
+    h0 = jnp.zeros((2, batch, hidden), dtype=proj.dtype)
+    c0 = jnp.zeros((2, batch, hidden), dtype=proj.dtype)
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + jnp.einsum(
+            "dbh,dgh->dbg", h, w_hh, preferred_element_type=jnp.float32
+        ).astype(xt.dtype)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    xs = jnp.moveaxis(proj, 2, 0)  # (time, 2, batch, 4H)
+    _, ys = jax.lax.scan(step, (h0, c0), xs)
+    return jnp.moveaxis(ys, 0, 2)  # (2, batch, time, hidden)
+
+
+class BiLSTM(nn.Module):
+    """Stacked bidirectional LSTM; returns the full output sequence."""
+
+    hidden_size: int = 128
+    num_layers: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (batch, time, features) -> (batch, time, 2*hidden)"""
+        h = self.hidden_size
+        for layer in range(self.num_layers):
+            in_dim = x.shape[-1]
+            w_ih = self.param(
+                f"l{layer}_w_ih",
+                nn.initializers.lecun_normal(),
+                (2, 4 * h, in_dim),  # [forward, backward]
+            )
+            w_hh = self.param(
+                f"l{layer}_w_hh", nn.initializers.orthogonal(), (2, 4 * h, h)
+            )
+            b = self.param(f"l{layer}_b", nn.initializers.zeros, (2, 4 * h))
+
+            # (2, B, T, in): dir 0 forward, dir 1 time-flipped
+            both = jnp.stack([x, x[:, ::-1, :]], axis=0)
+            proj = (
+                jnp.einsum(
+                    "dbti,dgi->dbtg", both, w_ih, preferred_element_type=jnp.float32
+                )
+                + b[:, None, None, :]
+            ).astype(x.dtype)
+
+            out = _bidirectional_scan(proj, w_hh, h)
+            x = jnp.concatenate([out[0], out[1][:, ::-1, :]], axis=-1)
+        return x

@@ -1,0 +1,162 @@
+"""SincNet learnable band-pass frontend, in JAX/flax.
+
+TPU-native reimplementation of the SincNet trunk used by both pyannote
+models the reference wraps (segmentation: PyanNet, embedding: XVectorSincNet
+— loaded via ``/root/reference/src/diart/models.py:42-59``). Architecture
+(matching pyannote.audio's SincNet block so checkpoints can be converted):
+
+  wav instance-norm -> SincConv(80, k=251, stride=10) -> |.| -> maxpool(3)
+  -> instance-norm -> leaky_relu
+  -> Conv1d(60, k=5) -> maxpool(3) -> instance-norm -> leaky_relu
+  -> Conv1d(60, k=5) -> maxpool(3) -> instance-norm -> leaky_relu
+
+For a 5 s / 16 kHz chunk this yields (60, 293) — one frame every ~17 ms,
+like the reference's segmentation grid (``blocks/diarization.py:190``).
+
+TPU notes: the sinc filters are materialized from their (low, band) params at
+trace time (cheap VPU work, fused by XLA); the convolution itself is a
+strided ``lax.conv_general_dilated`` that XLA lowers onto the MXU. Inputs are
+kept f32 (audio dynamic range), matmuls downstream run bf16.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["SincConv", "SincNet", "num_sincnet_frames"]
+
+
+def _mel_init(num_filters: int, sample_rate: int, min_low_hz: float, min_band_hz: float):
+    """Mel-spaced initial (low, band) cutoffs, as in the original SincNet."""
+    low_hz = 30.0
+    high_hz = sample_rate / 2 - (min_low_hz + min_band_hz)
+
+    def to_mel(hz):
+        return 2595 * np.log10(1 + hz / 700)
+
+    def to_hz(mel):
+        return 700 * (10 ** (mel / 2595) - 1)
+
+    mel = np.linspace(to_mel(low_hz), to_mel(high_hz), num_filters + 1)
+    hz = to_hz(mel)
+    return hz[:-1].astype(np.float32), np.diff(hz).astype(np.float32)
+
+
+class SincConv(nn.Module):
+    """Conv1d whose kernels are parameterized band-pass sinc filters."""
+
+    num_filters: int = 80
+    kernel_size: int = 251
+    stride: int = 10
+    sample_rate: int = 16000
+    min_low_hz: float = 50.0
+    min_band_hz: float = 50.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (batch, 1, samples) -> (batch, num_filters, frames)"""
+        init_low, init_band = _mel_init(
+            self.num_filters, self.sample_rate, self.min_low_hz, self.min_band_hz
+        )
+        low_hz = self.param("low_hz", lambda _: jnp.asarray(init_low))
+        band_hz = self.param("band_hz", lambda _: jnp.asarray(init_band))
+
+        low = self.min_low_hz + jnp.abs(low_hz)
+        high = jnp.clip(
+            low + self.min_band_hz + jnp.abs(band_hz),
+            self.min_low_hz,
+            self.sample_rate / 2,
+        )
+        band = (high - low)[:, None]
+
+        # Left half of the symmetric filter (kernel_size odd).
+        half = (self.kernel_size - 1) // 2
+        n = jnp.arange(-half, 0, dtype=jnp.float32)[None, :] / self.sample_rate
+        window = jnp.hamming(self.kernel_size)[:half][None, :]
+
+        f_low = 2 * jnp.pi * low[:, None] * n
+        f_high = 2 * jnp.pi * high[:, None] * n
+        left = ((jnp.sin(f_high) - jnp.sin(f_low)) / (n / 2)) * window
+        center = 2 * band
+        filters = jnp.concatenate([left, center, left[:, ::-1]], axis=1)
+        filters = filters / (2 * band)  # (num_filters, kernel)
+
+        return jax.lax.conv_general_dilated(
+            x,
+            filters[:, None, :],  # (out, in, kernel)
+            window_strides=(self.stride,),
+            padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )
+
+
+def _instance_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps=1e-5):
+    """InstanceNorm1d(affine): normalize each (sample, channel) over time.
+    x: (batch, channels, time)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    xn = (x - mean) * jax.lax.rsqrt(var + eps)
+    return xn * scale[None, :, None] + bias[None, :, None]
+
+
+def _max_pool_time(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """Non-overlapping max pool over the last axis. x: (B, C, T)."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 1, window),
+        window_strides=(1, 1, window),
+        padding="VALID",
+    )
+
+
+class SincNet(nn.Module):
+    """The full SincNet trunk (see module docstring)."""
+
+    stride: int = 10
+    sample_rate: int = 16000
+
+    @nn.compact
+    def __call__(self, waveform: jnp.ndarray) -> jnp.ndarray:
+        """waveform: (batch, 1, samples) -> (batch, 60, frames)"""
+        scale0 = self.param("wav_norm_scale", nn.initializers.ones, (1,))
+        bias0 = self.param("wav_norm_bias", nn.initializers.zeros, (1,))
+        x = _instance_norm(waveform, scale0, bias0)
+
+        x = SincConv(stride=self.stride, sample_rate=self.sample_rate, name="sinc")(x)
+        x = jnp.abs(x)
+        x = _max_pool_time(x, 3)
+        s = self.param("norm1_scale", nn.initializers.ones, (80,))
+        b = self.param("norm1_bias", nn.initializers.zeros, (80,))
+        x = nn.leaky_relu(_instance_norm(x, s, b), negative_slope=0.01)
+
+        for i, channels in enumerate((60, 60)):
+            x = nn.Conv(
+                features=channels,
+                kernel_size=(5,),
+                padding="VALID",
+                name=f"conv{i + 2}",
+            )(jnp.swapaxes(x, 1, 2))
+            x = jnp.swapaxes(x, 1, 2)
+            x = _max_pool_time(x, 3)
+            s = self.param(f"norm{i + 2}_scale", nn.initializers.ones, (channels,))
+            b = self.param(f"norm{i + 2}_bias", nn.initializers.zeros, (channels,))
+            x = nn.leaky_relu(_instance_norm(x, s, b), negative_slope=0.01)
+        return x
+
+
+def num_sincnet_frames(num_samples: int, kernel_size: int = 251, stride: int = 10) -> int:
+    """Output frames of the SincNet trunk for a given chunk length.
+
+    5 s @ 16 kHz -> 293 frames, matching the reference's observed grid
+    (SURVEY.md §3.2; ``blocks/diarization.py:179-183``).
+    """
+    t = (num_samples - kernel_size) // stride + 1
+    t //= 3  # pool
+    t = (t - 5 + 1) // 3  # conv k5 + pool
+    t = (t - 5 + 1) // 3  # conv k5 + pool
+    return t

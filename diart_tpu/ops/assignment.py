@@ -1,0 +1,98 @@
+"""Linear sum assignment on device, without host synchronization.
+
+The reference solves local->global speaker assignment with scipy's Hungarian
+algorithm on the host (``/root/reference/src/diart/mapping.py:15-16``), which
+would force a device->host sync inside the streaming hot loop. Here the
+problem is tiny — ``rows = local speakers <= 4``, ``cols = max global
+speakers ~ 20`` — so we solve it exactly on device by enumeration.
+
+Optimality of the candidate reduction: for a rectangular min-cost assignment
+with ``R`` rows (all assigned) and ``C >= R`` columns, there is always an
+optimal solution where each row is assigned to one of its ``R`` cheapest
+columns. Proof sketch: if row ``r`` were assigned a column outside its ``R``
+cheapest, then among those ``R`` cheaper columns at most ``R-1`` are taken by
+other rows, so one is free; swapping ``r`` to it does not increase the cost.
+Hence enumerating the ``R**R`` combinations of per-row candidate ranks (and
+masking combinations that reuse a column) covers an optimal solution.
+
+``R**R`` is 256 for the default 4 local speakers — a trivial gather+reduction
+for the VPU, fully vmappable across streams.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["assign_rows", "assign_rows_host"]
+
+# Costs at or above this value are treated as "invalid" sentinels (the
+# clustering layer uses 1e10, matching the reference's convention,
+# mapping.py:49-52).
+_INVALID_THRESHOLD = 1e9
+
+
+@lru_cache(maxsize=None)
+def _rank_combinations(num_rows: int) -> np.ndarray:
+    """All ``num_rows**num_rows`` tuples of per-row candidate ranks."""
+    grids = np.meshgrid(*[np.arange(num_rows)] * num_rows, indexing="ij")
+    return np.stack([g.reshape(-1) for g in grids], axis=-1)  # (R^R, R)
+
+
+def assign_rows(cost: jnp.ndarray) -> jnp.ndarray:
+    """Minimum-cost assignment of every row to a distinct column.
+
+    Device-side equivalent of
+    ``scipy.optimize.linear_sum_assignment(cost)[1]`` for ``R <= C``.
+
+    Parameters
+    ----------
+    cost: (R, C) float matrix, R <= C. R must be small (<= ~6).
+
+    Returns
+    -------
+    cols: (R,) int32 — the column assigned to each row.
+    """
+    num_rows, num_cols = cost.shape
+    if num_rows > num_cols:
+        raise ValueError(f"need rows <= cols, got {cost.shape}")
+    if num_rows == 1:
+        return jnp.argmin(cost, axis=1).astype(jnp.int32)
+
+    # (R, R) cheapest candidate columns per row.
+    candidates = jnp.argsort(cost, axis=1)[:, :num_rows]
+    combos = jnp.asarray(_rank_combinations(num_rows))  # (N, R) static
+    rows = jnp.arange(num_rows)
+
+    # Column chosen by each combination: (N, R)
+    cols = candidates[rows[None, :], combos]
+    # Mask combinations that assign two rows to the same column.
+    distinct = (cols[:, :, None] != cols[:, None, :]) | jnp.eye(
+        num_rows, dtype=bool
+    )[None, :, :]
+    valid = jnp.all(distinct, axis=(1, 2))
+
+    # Sentinel-invalidated entries (>= ~1e9, see ops.clustering) must rank
+    # lexicographically: fewer invalid picks first, then lower real cost.
+    # Summing raw sentinels would absorb the real part in float32
+    # (1e10 + 0.9 == 1e10), silently breaking tie resolution.
+    picked = jnp.take_along_axis(cost, cols.T, axis=1).T  # (N, R)
+    is_invalid = picked >= _INVALID_THRESHOLD
+    real_total = jnp.sum(jnp.where(is_invalid, 0.0, picked), axis=1)
+    inv_count = jnp.sum(is_invalid, axis=1).astype(cost.dtype)
+    # weight strictly dominating any achievable real total
+    weight = 2.0 * num_rows * jnp.maximum(
+        jnp.max(jnp.where(cost >= _INVALID_THRESHOLD, 0.0, jnp.abs(cost))), 1.0
+    ) + 1.0
+    totals = jnp.where(valid, inv_count * weight + real_total, jnp.inf)
+    best = jnp.argmin(totals)
+    return cols[best].astype(jnp.int32)
+
+
+def assign_rows_host(cost: np.ndarray) -> np.ndarray:
+    """Host reference using scipy (for parity tests and the host-exact path)."""
+    from scipy.optimize import linear_sum_assignment
+
+    return linear_sum_assignment(np.asarray(cost))[1]

@@ -1,0 +1,146 @@
+"""Per-layer equivalence tests: converted torch weights must reproduce torch
+outputs in the JAX modules (checkpoint-conversion fidelity, SURVEY.md hard
+part 5)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from diart_tpu.models.convert import (
+    _dense,
+    _lstm_params,
+    pyannet_params_from_state_dict,
+)
+from diart_tpu.models.lstm import BiLSTM
+from diart_tpu.models.segmentation import PyanNet
+
+
+class TestLSTMEquivalence:
+    @pytest.mark.parametrize("layers", [1, 2])
+    def test_bilstm_matches_torch(self, layers):
+        torch.manual_seed(0)
+        in_dim, hidden, batch, time = 12, 16, 3, 20
+        t_lstm = torch.nn.LSTM(
+            in_dim, hidden, num_layers=layers, bidirectional=True, batch_first=True
+        )
+        x = torch.randn(batch, time, in_dim)
+        with torch.no_grad():
+            want, _ = t_lstm(x)
+
+        sd = {f"lstm.{k}": v for k, v in t_lstm.state_dict().items()}
+        params = {"params": _lstm_params(sd, layers)}
+        params = jax.tree_util.tree_map(lambda a: jnp.asarray(np.asarray(a)), params)
+        model = BiLSTM(hidden_size=hidden, num_layers=layers)
+        got = model.apply(params, jnp.asarray(x.numpy()))
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-5)
+
+
+class TestDenseEquivalence:
+    def test_linear(self):
+        torch.manual_seed(1)
+        lin = torch.nn.Linear(8, 5)
+        x = torch.randn(4, 8)
+        sd = {f"fc.{k}": v for k, v in lin.state_dict().items()}
+        p = _dense(sd, "fc")
+        got = np.asarray(x.numpy() @ p["kernel"] + p["bias"])
+        with torch.no_grad():
+            want = lin(x).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestConvEquivalence:
+    def test_conv1d_layout(self):
+        """torch (out,in,k) -> flax (k,in,out) produces identical outputs."""
+        import flax.linen as nn
+
+        torch.manual_seed(2)
+        conv = torch.nn.Conv1d(6, 10, kernel_size=5, dilation=2)
+        x = torch.randn(2, 6, 50)
+        with torch.no_grad():
+            want = conv(x).numpy()  # (2, 10, T')
+
+        fconv = nn.Conv(features=10, kernel_size=(5,), kernel_dilation=(2,), padding="VALID")
+        params = {
+            "params": {
+                "kernel": jnp.asarray(conv.weight.detach().numpy().transpose(2, 1, 0)),
+                "bias": jnp.asarray(conv.bias.detach().numpy()),
+            }
+        }
+        got = fconv.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 1)))
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 2, 1), want, atol=2e-5
+        )
+
+
+class TestInstanceNormEquivalence:
+    def test_instance_norm(self):
+        from diart_tpu.models.sincnet import _instance_norm
+
+        torch.manual_seed(3)
+        norm = torch.nn.InstanceNorm1d(7, affine=True)
+        with torch.no_grad():
+            norm.weight.copy_(torch.randn(7))
+            norm.bias.copy_(torch.randn(7))
+        x = torch.randn(2, 7, 40)
+        with torch.no_grad():
+            want = norm(x).numpy()
+        got = _instance_norm(
+            jnp.asarray(x.numpy()),
+            jnp.asarray(norm.weight.detach().numpy()),
+            jnp.asarray(norm.bias.detach().numpy()),
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+class TestFullPyanNetConversion:
+    def test_state_dict_roundtrip_shapes(self):
+        """A synthetic torch PyanNet-shaped state dict converts into a tree
+        accepted by our module (full forward runs)."""
+        torch.manual_seed(4)
+        sd = {}
+        # sincnet
+        sd["sincnet.wav_norm1d.weight"] = torch.randn(1)
+        sd["sincnet.wav_norm1d.bias"] = torch.randn(1)
+        sd["sincnet.conv1d.0.low_hz_"] = torch.rand(80, 1) * 100
+        sd["sincnet.conv1d.0.band_hz_"] = torch.rand(80, 1) * 100
+        sd["sincnet.norm1d.0.weight"] = torch.randn(80)
+        sd["sincnet.norm1d.0.bias"] = torch.randn(80)
+        sd["sincnet.conv1d.1.weight"] = torch.randn(60, 80, 5)
+        sd["sincnet.conv1d.1.bias"] = torch.randn(60)
+        sd["sincnet.norm1d.1.weight"] = torch.randn(60)
+        sd["sincnet.norm1d.1.bias"] = torch.randn(60)
+        sd["sincnet.conv1d.2.weight"] = torch.randn(60, 60, 5)
+        sd["sincnet.conv1d.2.bias"] = torch.randn(60)
+        sd["sincnet.norm1d.2.weight"] = torch.randn(60)
+        sd["sincnet.norm1d.2.bias"] = torch.randn(60)
+        # lstm 2 layers bidirectional, hidden 32
+        h = 32
+        for layer, in_dim in ((0, 60), (1, 2 * h)):
+            for suffix in ("", "_reverse"):
+                sd[f"lstm.weight_ih_l{layer}{suffix}"] = torch.randn(4 * h, in_dim)
+                sd[f"lstm.weight_hh_l{layer}{suffix}"] = torch.randn(4 * h, h)
+                sd[f"lstm.bias_ih_l{layer}{suffix}"] = torch.randn(4 * h)
+                sd[f"lstm.bias_hh_l{layer}{suffix}"] = torch.randn(4 * h)
+        # linears + classifier
+        sd["linear.0.weight"] = torch.randn(64, 2 * h)
+        sd["linear.0.bias"] = torch.randn(64)
+        sd["linear.1.weight"] = torch.randn(64, 64)
+        sd["linear.1.bias"] = torch.randn(64)
+        sd["classifier.weight"] = torch.randn(3, 64)
+        sd["classifier.bias"] = torch.randn(3)
+
+        params = pyannet_params_from_state_dict(sd, num_layers=2)
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a), dtype=jnp.float32), params
+        )
+        model = PyanNet(
+            num_speakers=3, lstm_hidden=h, lstm_layers=2, linear_dims=(64, 64)
+        )
+        wave = jnp.asarray(np.random.default_rng(0).normal(size=(1, 1, 16000)), jnp.float32)
+        out = model.apply(params, wave)
+        assert out.shape[0] == 1 and out.shape[2] == 3
+        assert np.all(np.isfinite(np.asarray(out)))

@@ -44,10 +44,10 @@ class TestSlidingWindow:
         sw = SlidingWindow(duration=res, step=res, start=0.0)
         # focus [0.5, 1.0], fixed=0.5: loose includes partial frames
         i, j = sw.crop_range(Segment(0.5, 1.0), mode="loose", fixed=0.5)
-        # i = ceil((0.5 - 0.1)/0.1) = 4; n = floor((0.5+0.1)/0.1) = 5
-        # (raw float arithmetic: (0.5+0.1)/0.1 = 5.999..., floored like
-        # pyannote.core.SlidingWindow.samples does — parity over "niceness")
-        assert (i, j) == (4, 9)
+        # i = ceil((0.5 - 0.1)/0.1) = 4; n = floor((0.5+0.1)/0.1) = 6.
+        # The 10-decimal rounding guard resolves the float boundary
+        # ((0.5+0.1)/0.1 = 5.999...) to its exact value, deterministically.
+        assert (i, j) == (4, 10)
 
     def test_crop_strict(self):
         sw = SlidingWindow(duration=0.1, step=0.1, start=0.0)

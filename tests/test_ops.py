@@ -1,0 +1,267 @@
+"""Tests for the jittable ops layer, including parity against the host-exact
+oracle blocks (mapping/clustering/aggregation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+from diart_tpu.blocks.aggregation import DelayedAggregation
+from diart_tpu.blocks.clustering import OnlineSpeakerClustering
+from diart_tpu.core import Segment, SlidingWindow, SlidingWindowFeature
+from diart_tpu.ops import (
+    ClusteringParams,
+    aggregate,
+    assign_rows,
+    binarize,
+    build_geometry,
+    cluster_step,
+    cosine_cdist,
+    init_state,
+    normalize_embeddings,
+    overlapped_speech_penalty,
+    resample,
+)
+
+
+class TestFunctional:
+    def test_osp_formula(self, rng):
+        seg = rng.uniform(0, 1, (2, 50, 4)).astype(np.float32)
+        got = np.asarray(overlapped_speech_penalty(jnp.asarray(seg), 3.0, 10.0))
+        # independent numpy recomputation of reference functional.py:6-13
+        e = np.exp(10.0 * seg)
+        probs = e / e.sum(-1, keepdims=True)
+        want = np.maximum(seg**3 * probs**3, 1e-8)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-7)
+
+    def test_osp_clamp(self):
+        seg = jnp.zeros((1, 10, 4))
+        w = overlapped_speech_penalty(seg)
+        assert float(jnp.min(w)) == pytest.approx(1e-8)
+
+    def test_normalize_embeddings(self, rng):
+        emb = rng.normal(size=(3, 4, 16)).astype(np.float32)
+        out = np.asarray(normalize_embeddings(jnp.asarray(emb), 1.0))
+        np.testing.assert_allclose(
+            np.linalg.norm(out, axis=-1), np.ones((3, 4)), rtol=1e-5
+        )
+        # per-speaker target norms broadcast
+        norms = np.full((3, 4, 1), 2.5, dtype=np.float32)
+        out = np.asarray(normalize_embeddings(jnp.asarray(emb), jnp.asarray(norms)))
+        np.testing.assert_allclose(
+            np.linalg.norm(out, axis=-1), 2.5 * np.ones((3, 4)), rtol=1e-5
+        )
+
+    def test_cosine_cdist_vs_scipy(self, rng):
+        from scipy.spatial.distance import cdist
+
+        x = rng.normal(size=(4, 32))
+        y = rng.normal(size=(7, 32))
+        got = np.asarray(cosine_cdist(jnp.asarray(x), jnp.asarray(y)))
+        want = cdist(x, y, metric="cosine")
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestAssignment:
+    @pytest.mark.parametrize("rows,cols", [(1, 5), (2, 8), (3, 20), (4, 20)])
+    def test_matches_scipy_cost(self, rng, rows, cols):
+        solve = jax.jit(assign_rows)
+        for _ in range(25):
+            cost = rng.uniform(0, 1, (rows, cols)).astype(np.float32)
+            got = np.asarray(solve(jnp.asarray(cost)))
+            assert len(set(got.tolist())) == rows  # distinct columns
+            want_rows, want_cols = linear_sum_assignment(cost)
+            got_total = cost[np.arange(rows), got].sum()
+            want_total = cost[want_rows, want_cols].sum()
+            assert got_total == pytest.approx(want_total, abs=1e-5)
+
+    def test_with_invalid_entries(self, rng):
+        # sentinel-invalidated rows/cols as used by clustering
+        cost = rng.uniform(0, 1, (4, 10)).astype(np.float32)
+        cost[2, :] = 1e10
+        cost[:, 5] = 1e10
+        got = np.asarray(assign_rows(jnp.asarray(cost)))
+        want_total = cost[linear_sum_assignment(cost)].sum()
+        got_total = cost[np.arange(4), got].sum()
+        assert got_total == pytest.approx(want_total, rel=1e-6)
+
+    def test_vmappable(self, rng):
+        costs = rng.uniform(0, 1, (8, 4, 20)).astype(np.float32)
+        batched = jax.jit(jax.vmap(assign_rows))(jnp.asarray(costs))
+        for b in range(8):
+            want = costs[b][linear_sum_assignment(costs[b])].sum()
+            got = costs[b][np.arange(4), np.asarray(batched[b])].sum()
+            assert got == pytest.approx(want, abs=1e-5)
+
+
+def _simulate_stream(rng, num_chunks, num_local=4, dim=16, num_true=3):
+    """Synthetic stream with `num_true` well-separated ground-truth speakers."""
+    true_emb = rng.normal(size=(num_true, dim))
+    true_emb /= np.linalg.norm(true_emb, axis=1, keepdims=True)
+    chunks = []
+    for _ in range(num_chunks):
+        seg = rng.uniform(0, 0.45, (50, num_local))
+        emb = rng.normal(scale=0.2, size=(num_local, dim))
+        speakers = rng.integers(0, num_true, size=num_local)
+        for k in range(num_local):
+            if rng.uniform() < 0.7:  # speaker k active in this chunk
+                seg[:, k] += rng.uniform(0.3, 0.55)
+                emb[k] += true_emb[speakers[k]]
+        seg = np.clip(seg, 0, 1).astype(np.float32)
+        emb = emb.astype(np.float32)
+        chunks.append((seg, emb))
+    return chunks
+
+
+class TestClusteringParity:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_device_matches_host_oracle(self, seed):
+        rng = np.random.default_rng(seed)
+        chunks = _simulate_stream(rng, num_chunks=25)
+        tau, rho, delta, max_spk = 0.5, 0.3, 1.0, 6
+
+        oracle = OnlineSpeakerClustering(tau, rho, delta, "cosine", max_spk)
+        params = ClusteringParams(tau, rho, delta)
+        state = init_state(max_spk, 16)
+        step = jax.jit(lambda s, seg, emb: cluster_step(s, seg, emb, params))
+
+        res = 0.01
+        mismatches = 0
+        for t, (seg, emb) in enumerate(chunks):
+            sw = SlidingWindow(start=t * 0.5, duration=res, step=res)
+            want = oracle(SlidingWindowFeature(seg, sw), emb).data
+            state, permuted, _ = step(state, jnp.asarray(seg), jnp.asarray(emb))
+            got = np.asarray(permuted)
+            if not np.allclose(got, want, atol=1e-4):
+                mismatches += 1
+        # The device path solves assignment once per chunk instead of lazily
+        # re-solving after every map edit; rare tie-breaking differences are
+        # tolerated but must stay rare.
+        assert mismatches <= 1, f"{mismatches} mismatched chunks of {len(chunks)}"
+
+    def test_first_chunk_initializes_actives(self):
+        params = ClusteringParams(0.5, 0.3, 1.0)
+        state = init_state(4, 8)
+        seg = np.zeros((20, 3), dtype=np.float32)
+        seg[:, 0] = 0.9
+        seg[:, 2] = 0.8
+        emb = np.eye(3, 8, dtype=np.float32)
+        state, permuted, targets = cluster_step(
+            state, jnp.asarray(seg), jnp.asarray(emb), params
+        )
+        assert np.asarray(targets).tolist() == [0, -1, 1]
+        assert np.asarray(state.active).tolist() == [True, True, False, False]
+        np.testing.assert_allclose(np.asarray(permuted)[:, 0], seg[:, 0])
+        np.testing.assert_allclose(np.asarray(permuted)[:, 1], seg[:, 2])
+
+    def test_nan_embeddings_ignored(self):
+        params = ClusteringParams(0.5, 0.3, 1.0)
+        state = init_state(4, 8)
+        seg = np.full((20, 2), 0.9, dtype=np.float32)
+        emb = np.ones((2, 8), dtype=np.float32)
+        emb[1] = np.nan
+        state, _, targets = cluster_step(
+            state, jnp.asarray(seg), jnp.asarray(emb), params
+        )
+        assert np.asarray(targets).tolist() == [0, -1]
+
+
+class TestAggregationParity:
+    @pytest.mark.parametrize("latency", [0.5, 1.0, 2.0, 5.0])
+    def test_hamming_matches_host(self, rng, latency):
+        duration, step, frames, dims = 5.0, 0.5, 293, 3
+        W = int(round(latency / step))
+        geometry = build_geometry(duration, step, latency, frames, "hamming")
+        host = DelayedAggregation(step, latency, "hamming", "loose")
+
+        buffers = []  # host list: oldest -> newest
+        ring = np.zeros((W, frames, dims), dtype=np.float32)  # newest first
+        for t in range(W + 5):
+            chunk = rng.uniform(0, 1, (frames, dims)).astype(np.float32)
+            sw = SlidingWindow(start=t * step, duration=duration / frames, step=duration / frames)
+            buffers.append(SlidingWindowFeature(chunk, sw))
+            if len(buffers) > W:
+                buffers = buffers[1:]
+            ring = np.roll(ring, 1, axis=0)
+            ring[0] = chunk
+            count = min(t + 1, W)
+
+            want = host(buffers).data
+            got = np.asarray(
+                aggregate(geometry, jnp.asarray(ring), jnp.asarray(count))
+            )
+            if t == 0 and latency < duration + 1e-9:
+                # host output includes the first-chunk prepend; the device
+                # caller reproduces it via geometry.first_indices
+                first = chunk[geometry.first_indices].copy()
+                first[-geometry.num_out :] = got
+                got = first
+            np.testing.assert_allclose(got, want, atol=1e-5, err_msg=f"t={t}")
+
+    def test_first_strategy_matches_host(self, rng):
+        duration, step, latency, frames = 5.0, 0.5, 2.0, 100
+        W = int(round(latency / step))
+        geometry = build_geometry(duration, step, latency, frames, "first")
+        host = DelayedAggregation(step, latency, "first", "loose")
+        buffers, ring = [], np.zeros((W, frames, 2), dtype=np.float32)
+        for t in range(W + 3):
+            chunk = rng.uniform(0, 1, (frames, 2)).astype(np.float32)
+            sw = SlidingWindow(start=t * step, duration=duration / frames, step=duration / frames)
+            buffers = (buffers + [SlidingWindowFeature(chunk, sw)])[-W:]
+            ring = np.roll(ring, 1, axis=0)
+            ring[0] = chunk
+            if t == 0:
+                continue  # prepend handled separately (hamming test covers it)
+            want = host(buffers).data
+            got = np.asarray(
+                aggregate(geometry, jnp.asarray(ring), jnp.asarray(min(t + 1, W)))
+            )
+            np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestBinarize:
+    def test_simple_turns(self):
+        res = 0.1
+        sw = SlidingWindow(start=0.0, duration=res, step=res)
+        scores = np.zeros((10, 2))
+        scores[2:5, 0] = 0.9  # frames 2,3,4 active
+        scores[0:10, 1] = 0.8  # always active
+        ann = binarize(SlidingWindowFeature(scores, sw), 0.5, uri="u")
+        turns = {
+            label: seg for seg, _, label in ann.itertracks(yield_label=True)
+        }
+        # speaker0: starts middle of frame 2 (0.25), ends middle of frame 5 (0.55)
+        assert turns["speaker0"].start == pytest.approx(0.25)
+        assert turns["speaker0"].end == pytest.approx(0.55)
+        # speaker1: full span, closed by the artificial last frame
+        assert turns["speaker1"].start == pytest.approx(0.05)
+        assert turns["speaker1"].end == pytest.approx(1.05)
+
+    def test_threshold_strict(self):
+        sw = SlidingWindow(start=0.0, duration=0.1, step=0.1)
+        scores = np.full((5, 1), 0.5)
+        ann = binarize(SlidingWindowFeature(scores, sw), 0.5)
+        assert len(ann) == 0  # strictly greater-than
+
+
+class TestResample:
+    def test_tone_preserved(self):
+        sr_in, sr_out, f0 = 48000, 16000, 440.0
+        t = np.arange(sr_in) / sr_in
+        x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+        y = np.asarray(resample(jnp.asarray(x), sr_in, sr_out))
+        assert y.shape[0] == sr_out
+        # dominant frequency survives
+        spec = np.abs(np.fft.rfft(y))
+        peak = np.argmax(spec) * sr_out / y.shape[0]
+        assert peak == pytest.approx(f0, abs=2.0)
+
+    def test_shapes(self):
+        x = jnp.zeros((2, 3, 44100))
+        y = resample(x, 44100, 16000)
+        assert y.shape == (2, 3, 16000)
+
+    def test_identity(self):
+        x = jnp.ones((100,))
+        assert resample(x, 16000, 16000) is x
