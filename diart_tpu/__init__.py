@@ -1,0 +1,23 @@
+"""diart-tpu: TPU-native streaming speaker diarization framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+`juanmc2005/diart` (reference mounted at /root/reference), designed
+TPU-first: fixed-shape functional state, fused on-device streaming steps,
+streams as the batch dimension, mesh sharding for multi-chip scale-out.
+"""
+
+from .blocks import (
+    SpeakerDiarization,
+    SpeakerDiarizationConfig,
+    VoiceActivityDetection,
+    VoiceActivityDetectionConfig,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "SpeakerDiarization",
+    "SpeakerDiarizationConfig",
+    "VoiceActivityDetection",
+    "VoiceActivityDetectionConfig",
+]

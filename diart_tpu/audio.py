@@ -1,0 +1,150 @@
+"""Audio file loading without heavyweight dependencies.
+
+The reference delegates decoding to torchaudio
+(``/root/reference/src/diart/audio.py``). This loader decodes WAV natively
+(PCM 8/16/24/32-bit and IEEE float) with numpy, falls back to ``torchaudio``
+or ``soundfile`` for other containers when available, and resamples with the
+jittable polyphase resampler (:mod:`diart_tpu.ops.resample`).
+"""
+
+from __future__ import annotations
+
+import struct
+import wave
+from pathlib import Path
+from typing import Tuple, Union
+
+import numpy as np
+
+FilePath = Union[str, Path]
+
+__all__ = ["AudioLoader", "FilePath", "read_wav", "write_wav"]
+
+
+def read_wav(filepath: FilePath) -> Tuple[np.ndarray, int]:
+    """Decode a WAV file -> ((channels, samples) float32 in [-1, 1], rate)."""
+    with open(filepath, "rb") as f:
+        riff, _, wave_id = struct.unpack("<4sI4s", f.read(12))
+        if riff != b"RIFF" or wave_id != b"WAVE":
+            raise ValueError(f"{filepath} is not a RIFF/WAVE file")
+        fmt = None
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                raise ValueError(f"{filepath}: no data chunk found")
+            chunk_id, size = struct.unpack("<4sI", header)
+            if chunk_id == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", f.read(16)[:16])
+                if size > 16:
+                    f.read(size - 16)
+            elif chunk_id == b"data":
+                raw = f.read(size)
+                break
+            else:
+                f.read(size + (size & 1))
+        if fmt is None:
+            raise ValueError(f"{filepath}: missing fmt chunk")
+        audio_format, channels, rate, _, _, bits = fmt
+        if audio_format == 3 or (audio_format == 0xFFFE and bits == 32):
+            data = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        elif audio_format in (1, 0xFFFE):
+            if bits == 16:
+                data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+            elif bits == 8:
+                data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+            elif bits == 24:
+                b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+                ints = (
+                    b[:, 0].astype(np.int32)
+                    | (b[:, 1].astype(np.int32) << 8)
+                    | (b[:, 2].astype(np.int32) << 16)
+                )
+                ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints)
+                data = ints.astype(np.float32) / float(1 << 23)
+            elif bits == 32:
+                data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / float(1 << 31)
+            else:
+                raise ValueError(f"unsupported PCM bit depth {bits}")
+        else:
+            raise ValueError(f"unsupported WAV format code {audio_format}")
+    usable = (len(data) // channels) * channels
+    return data[:usable].reshape(-1, channels).T, rate
+
+
+def write_wav(filepath: FilePath, waveform: np.ndarray, sample_rate: int) -> None:
+    """(channels, samples) float32 -> 16-bit PCM WAV."""
+    waveform = np.atleast_2d(np.asarray(waveform))
+    pcm = np.clip(waveform.T * 32767.0, -32768, 32767).astype("<i2")
+    with wave.open(str(filepath), "wb") as w:
+        w.setnchannels(waveform.shape[0])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+
+
+class AudioLoader:
+    """File -> mono float32 waveform at a target sample rate."""
+
+    def __init__(self, sample_rate: int, mono: bool = True):
+        self.sample_rate = sample_rate
+        self.mono = mono
+
+    def load(self, filepath: FilePath) -> np.ndarray:
+        """Returns (channels, samples) — (1, samples) when mono."""
+        waveform, rate = self._decode(filepath)
+        if self.mono and waveform.shape[0] > 1:
+            waveform = waveform.mean(axis=0, keepdims=True)
+        if rate != self.sample_rate:
+            from .ops.resample import resample
+
+            waveform = np.asarray(resample(waveform, rate, self.sample_rate))
+        return waveform.astype(np.float32)
+
+    @staticmethod
+    def _decode(filepath: FilePath) -> Tuple[np.ndarray, int]:
+        path = Path(filepath)
+        if path.suffix.lower() == ".wav":
+            return read_wav(path)
+        try:
+            import torchaudio
+
+            wav, rate = torchaudio.load(str(path))
+            return wav.numpy(), rate
+        except ImportError:
+            pass
+        try:
+            import soundfile as sf
+
+            data, rate = sf.read(str(path), always_2d=True)
+            return data.T.astype(np.float32), rate
+        except ImportError as e:
+            raise ValueError(
+                f"cannot decode {path.suffix} files: install torchaudio or soundfile"
+            ) from e
+
+    def get_duration(self, filepath: FilePath) -> float:
+        path = Path(filepath)
+        if path.suffix.lower() == ".wav":
+            with open(path, "rb") as f:
+                f.read(12)
+                rate = None
+                while True:
+                    header = f.read(8)
+                    if len(header) < 8:
+                        break
+                    chunk_id, size = struct.unpack("<4sI", header)
+                    if chunk_id == b"fmt ":
+                        fmt = struct.unpack("<HHIIHH", f.read(16)[:16])
+                        rate = fmt[2]
+                        bits, channels = fmt[5], fmt[1]
+                        if size > 16:
+                            f.read(size - 16)
+                    elif chunk_id == b"data":
+                        if rate is None:
+                            break
+                        return size / (rate * channels * (bits // 8))
+                    else:
+                        f.read(size + (size & 1))
+            raise ValueError(f"cannot probe duration of {path}")
+        waveform, rate = self._decode(path)
+        return waveform.shape[1] / rate

@@ -1,0 +1,47 @@
+from .base import (
+    DeltaNew,
+    HyperParameter,
+    Pipeline,
+    PipelineConfig,
+    RhoUpdate,
+    TauActive,
+)
+from .aggregation import AggregationStrategy, DelayedAggregation
+from .clustering import OnlineSpeakerClustering
+from .diarization import SpeakerDiarization, SpeakerDiarizationConfig
+from .embedding import (
+    EmbeddingNormalization,
+    OverlapAwareSpeakerEmbedding,
+    OverlappedSpeechPenalty,
+    SpeakerEmbedding,
+)
+from .mapping import SpeakerMap, SpeakerMapBuilder
+from .segmentation import SpeakerSegmentation
+from .utils import AdjustVolume, Binarize, Resample
+from .vad import VoiceActivityDetection, VoiceActivityDetectionConfig
+
+__all__ = [
+    "HyperParameter",
+    "TauActive",
+    "RhoUpdate",
+    "DeltaNew",
+    "Pipeline",
+    "PipelineConfig",
+    "AggregationStrategy",
+    "DelayedAggregation",
+    "OnlineSpeakerClustering",
+    "SpeakerDiarization",
+    "SpeakerDiarizationConfig",
+    "SpeakerEmbedding",
+    "OverlappedSpeechPenalty",
+    "EmbeddingNormalization",
+    "OverlapAwareSpeakerEmbedding",
+    "SpeakerMap",
+    "SpeakerMapBuilder",
+    "SpeakerSegmentation",
+    "Binarize",
+    "Resample",
+    "AdjustVolume",
+    "VoiceActivityDetection",
+    "VoiceActivityDetectionConfig",
+]

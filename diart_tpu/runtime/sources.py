@@ -1,0 +1,283 @@
+"""Audio sources: push-based producers of raw sample blocks.
+
+Parity targets in ``/root/reference/src/diart/sources.py``: file source with
+zero padding and fixed block size (``:50-135``), microphone capture
+(``:138-201``, requires ``sounddevice``), websocket server source
+(``:204-271``), and a generic iterator source replacing the torchaudio
+``StreamReader`` variants (``:274-322``).
+"""
+
+from __future__ import annotations
+
+import threading
+from abc import ABC, abstractmethod
+from pathlib import Path
+from queue import SimpleQueue
+from typing import Iterable, Optional, Text, Tuple, Union
+
+import numpy as np
+
+from .. import utils
+from ..audio import AudioLoader, FilePath
+from .rx import Subject
+
+__all__ = [
+    "AudioSource",
+    "FileAudioSource",
+    "IteratorAudioSource",
+    "MicrophoneAudioSource",
+    "WebSocketAudioSource",
+]
+
+
+class AudioSource(ABC):
+    """A source of audio that streams sample blocks via ``self.stream``."""
+
+    def __init__(self, uri: Text, sample_rate: int):
+        self.uri = uri
+        self.sample_rate = sample_rate
+        self.stream = Subject()
+
+    @property
+    def duration(self) -> Optional[float]:
+        """Stream duration if known, else None."""
+        return None
+
+    @abstractmethod
+    def read(self):
+        """Start reading and pushing samples through the stream (blocking)."""
+
+    @abstractmethod
+    def close(self):
+        """Stop reading and close open handles."""
+
+
+class FileAudioSource(AudioSource):
+    """Streams a file in fixed-size blocks with optional zero padding
+    (``sources.py:50-135``)."""
+
+    def __init__(
+        self,
+        file: FilePath,
+        sample_rate: int,
+        padding: Tuple[float, float] = (0.0, 0.0),
+        block_duration: float = 0.5,
+    ):
+        super().__init__(Path(file).stem, sample_rate)
+        self.loader = AudioLoader(self.sample_rate, mono=True)
+        self._duration = self.loader.get_duration(file)
+        self.file = file
+        self.block_size = int(np.rint(block_duration * self.sample_rate))
+        self.padding_start, self.padding_end = padding
+        self.is_closed = False
+
+    @property
+    def duration(self) -> Optional[float]:
+        return self.padding_start + self._duration + self.padding_end
+
+    def read(self):
+        waveform = self.loader.load(self.file)  # (1, samples)
+        if self.padding_start > 0:
+            pad = int(np.rint(self.padding_start * self.sample_rate))
+            waveform = np.concatenate(
+                [np.zeros((waveform.shape[0], pad), np.float32), waveform], axis=1
+            )
+        if self.padding_end > 0:
+            pad = int(np.rint(self.padding_end * self.sample_rate))
+            waveform = np.concatenate(
+                [waveform, np.zeros((waveform.shape[0], pad), np.float32)], axis=1
+            )
+
+        num_samples = waveform.shape[1]
+        for start in range(0, num_samples, self.block_size):
+            if self.is_closed:
+                break
+            block = waveform[:, start : start + self.block_size]
+            if block.shape[1] < self.block_size:
+                block = np.concatenate(
+                    [
+                        block,
+                        np.zeros(
+                            (block.shape[0], self.block_size - block.shape[1]),
+                            np.float32,
+                        ),
+                    ],
+                    axis=1,
+                )
+            try:
+                self.stream.on_next(block)
+            except BaseException as e:
+                self.stream.on_error(e)
+                break
+        self.stream.on_completed()
+        self.close()
+
+    def close(self):
+        self.is_closed = True
+
+
+class IteratorAudioSource(AudioSource):
+    """Wraps any iterator of (1, n) float32 blocks as a source — the generic
+    replacement for the reference's torchaudio ``StreamReader`` sources
+    (``sources.py:274-322``) and the backbone of hermetic tests."""
+
+    def __init__(
+        self,
+        uri: Text,
+        sample_rate: int,
+        blocks: Iterable[np.ndarray],
+        total_duration: Optional[float] = None,
+    ):
+        super().__init__(uri, sample_rate)
+        self._blocks = blocks
+        self._duration = total_duration
+        self.is_closed = False
+
+    @property
+    def duration(self) -> Optional[float]:
+        return self._duration
+
+    def read(self):
+        for block in self._blocks:
+            if self.is_closed:
+                break
+            try:
+                self.stream.on_next(np.atleast_2d(block))
+            except BaseException as e:
+                self.stream.on_error(e)
+                break
+        self.stream.on_completed()
+        self.close()
+
+    def close(self):
+        self.is_closed = True
+
+
+class MicrophoneAudioSource(AudioSource):
+    """Local microphone capture (requires ``sounddevice``;
+    ``sources.py:138-201``)."""
+
+    def __init__(
+        self,
+        block_duration: float = 0.5,
+        device: Optional[Union[int, Text, Tuple[int, Text]]] = None,
+    ):
+        try:
+            import sounddevice as sd
+        except ImportError as e:
+            raise ImportError(
+                "microphone capture requires `sounddevice`, which is not installed"
+            ) from e
+        best_sample_rate = None
+        for sr in (16000, 32000, 44100, 48000):
+            try:
+                sd.check_input_settings(device=device, samplerate=sr)
+            except Exception:
+                continue
+            best_sample_rate = sr
+            break
+        super().__init__(f"input_device:{device}", best_sample_rate)
+        self.block_size = int(np.rint(block_duration * self.sample_rate))
+        self._queue = SimpleQueue()
+        self._mic_stream = sd.InputStream(
+            channels=1,
+            samplerate=self.sample_rate,
+            latency=0,
+            blocksize=self.block_size,
+            callback=self._read_callback,
+            device=device,
+        )
+
+    def _read_callback(self, samples, *args):
+        self._queue.put_nowait(samples[:, [0]].T)
+
+    def read(self):
+        self._mic_stream.start()
+        while self._mic_stream:
+            try:
+                while self._queue.empty():
+                    if self._mic_stream.closed:
+                        break
+                self.stream.on_next(self._queue.get_nowait())
+            except BaseException as e:
+                self.stream.on_error(e)
+                break
+        self.stream.on_completed()
+        self.close()
+
+    def close(self):
+        self._mic_stream.stop()
+        self._mic_stream.close()
+
+
+class WebSocketAudioSource(AudioSource):
+    """Audio over a websocket: each text frame is a base64 float32 block
+    (``sources.py:204-271``; wire format ``utils.py:56-66``). One client at a
+    time — for multiplexed many-client serving use
+    ``diart_tpu.runtime.server.StreamingServer``."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        host: Text = "127.0.0.1",
+        port: int = 7007,
+        key: Optional[Union[Text, Path]] = None,
+        certificate: Optional[Union[Text, Path]] = None,
+    ):
+        super().__init__(f"{host}:{port}", sample_rate)
+        self.host = host
+        self.port = port
+        self.key = key
+        self.certificate = certificate
+        self._client = None
+        self._loop = None
+        self._server = None
+        self._stop_event = None
+
+    def _handle(self, websocket):
+        import asyncio
+
+        async def handler():
+            self._client = websocket
+            async for message in websocket:
+                self.stream.on_next(utils.decode_audio(message))
+
+        return handler()
+
+    def read(self):
+        import asyncio
+
+        import websockets
+
+        async def main():
+            self._loop = asyncio.get_running_loop()
+            self._stop_event = asyncio.Event()
+            ssl_context = None
+            if self.certificate is not None:
+                import ssl
+
+                ssl_context = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+                ssl_context.load_cert_chain(self.certificate, keyfile=self.key)
+            async with websockets.serve(
+                lambda ws: self._handle(ws), self.host, self.port, ssl=ssl_context
+            ) as server:
+                self._server = server
+                await self._stop_event.wait()
+
+        try:
+            asyncio.run(main())
+        finally:
+            self.stream.on_completed()
+
+    def close(self):
+        if self._loop is not None and self._stop_event is not None:
+            self._loop.call_soon_threadsafe(self._stop_event.set)
+
+    def send(self, message: Text):
+        """Send a message back to the current client (server->client RTTM)."""
+        if self._client is not None and self._loop is not None and message:
+            import asyncio
+
+            asyncio.run_coroutine_threadsafe(
+                self._client.send(message), self._loop
+            )

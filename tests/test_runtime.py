@@ -1,0 +1,212 @@
+"""End-to-end streaming runtime tests with hermetic fake models.
+
+The hermetic analogue of the reference's CI smoke runs (SURVEY.md §4):
+synthetic two-speaker audio -> FileAudioSource -> StreamingInference ->
+RTTMWriter, scored with our own DER.
+"""
+
+import numpy as np
+import pytest
+
+from diart_tpu import (
+    SpeakerDiarization,
+    SpeakerDiarizationConfig,
+    VoiceActivityDetection,
+    VoiceActivityDetectionConfig,
+)
+from diart_tpu.audio import AudioLoader, write_wav
+from diart_tpu.core import load_rttm
+from diart_tpu.metrics import DetectionErrorRate, DiarizationErrorRate
+from diart_tpu.runtime import (
+    FileAudioSource,
+    IteratorAudioSource,
+    RTTMWriter,
+    StreamingInference,
+)
+from diart_tpu.runtime.operators import rearrange_audio_stream
+
+from fakes import (
+    SAMPLE_RATE,
+    Turn,
+    fake_embedding,
+    fake_segmentation,
+    synth_audio,
+    turns_to_annotation,
+)
+
+TURNS = [
+    Turn(0.0, 3.0, 0),
+    Turn(4.0, 7.0, 1),
+    Turn(8.0, 11.0, 0),
+    Turn(9.5, 12.0, 1),  # overlap region
+]
+TOTAL = 13.0
+
+
+@pytest.fixture(scope="module")
+def wav_file(tmp_path_factory):
+    path = tmp_path_factory.mktemp("audio") / "synth.wav"
+    write_wav(path, synth_audio(TURNS, TOTAL), SAMPLE_RATE)
+    return path
+
+
+def make_config(**kwargs):
+    return SpeakerDiarizationConfig(
+        segmentation=fake_segmentation(),
+        embedding=fake_embedding(),
+        duration=2.0,
+        step=0.5,
+        latency=kwargs.pop("latency", 0.5),
+        tau_active=0.6,
+        rho_update=0.1,
+        delta_new=0.7,
+        max_speakers=8,
+        sample_rate=SAMPLE_RATE,
+        **kwargs,
+    )
+
+
+class TestRearrangeOperator:
+    def test_sliding_windows(self):
+        blocks = [np.full((1, 4000), i, dtype=np.float32) for i in range(12)]
+        source = IteratorAudioSource("it", SAMPLE_RATE, blocks, total_duration=3.0)
+        chunks = []
+        source.stream.pipe(
+            rearrange_audio_stream(duration=1.0, step=0.25, sample_rate=SAMPLE_RATE)
+        ).subscribe(on_next=chunks.append)
+        source.read()
+        # 3s of audio -> first chunk at 1.0s, then every 0.25s: 9 chunks
+        assert len(chunks) == 9
+        assert chunks[0].extent.start == 0.0
+        assert chunks[1].extent.start == pytest.approx(0.25)
+        assert all(c.data.shape[0] == SAMPLE_RATE for c in chunks)
+
+    def test_irregular_blocks(self):
+        rng = np.random.default_rng(0)
+        pieces, remaining = [], 32000
+        while remaining > 0:
+            n = min(int(rng.integers(100, 3000)), remaining)
+            pieces.append(np.zeros((1, n), np.float32))
+            remaining -= n
+        source = IteratorAudioSource("it", SAMPLE_RATE, pieces)
+        chunks = []
+        source.stream.pipe(
+            rearrange_audio_stream(duration=1.0, step=0.5, sample_rate=SAMPLE_RATE)
+        ).subscribe(on_next=chunks.append)
+        source.read()
+        assert len(chunks) == 3  # 2s -> chunks at 1.0, 1.5, 2.0
+
+
+class TestFileSource:
+    def test_blocks_and_padding(self, wav_file):
+        source = FileAudioSource(
+            wav_file, SAMPLE_RATE, padding=(1.0, 0.5), block_duration=0.5
+        )
+        assert source.duration == pytest.approx(TOTAL + 1.5)
+        blocks = []
+        source.stream.subscribe(on_next=blocks.append)
+        source.read()
+        assert all(b.shape == (1, 8000) for b in blocks)
+        total_seconds = len(blocks) * 0.5
+        assert total_seconds == pytest.approx(np.ceil((TOTAL + 1.5) * 2) / 2)
+        # padding is silent
+        assert np.abs(blocks[0]).max() == 0.0
+
+
+class TestVADEndToEnd:
+    def test_detection_error(self, wav_file, tmp_path):
+        config = VoiceActivityDetectionConfig(
+            segmentation=fake_segmentation(),
+            duration=2.0,
+            step=0.5,
+            latency=0.5,
+            tau_active=0.6,
+            sample_rate=SAMPLE_RATE,
+        )
+        pipeline = VoiceActivityDetection(config)
+        padding = config.get_file_padding(wav_file)
+        source = FileAudioSource(wav_file, SAMPLE_RATE, padding, config.step)
+        pipeline.set_timestamp_shift(-padding[0])
+        inference = StreamingInference(
+            pipeline, source, batch_size=1, do_profile=False, show_progress=False
+        )
+        rttm_path = tmp_path / "vad.rttm"
+        inference.attach_observers(RTTMWriter(source.uri, rttm_path))
+        prediction = inference()
+
+        ref = turns_to_annotation(TURNS)
+        det = DetectionErrorRate()
+        error = det(ref, prediction)
+        assert error < 0.15, f"detection error {error:.3f}"
+        assert rttm_path.exists()
+
+    def test_latency_max(self, wav_file):
+        config = VoiceActivityDetectionConfig(
+            segmentation=fake_segmentation(),
+            duration=2.0,
+            step=0.5,
+            latency="max",
+            tau_active=0.6,
+            sample_rate=SAMPLE_RATE,
+        )
+        assert config.latency == 2.0
+        pipeline = VoiceActivityDetection(config)
+        padding = config.get_file_padding(wav_file)
+        source = FileAudioSource(wav_file, SAMPLE_RATE, padding, config.step)
+        pipeline.set_timestamp_shift(-padding[0])
+        inference = StreamingInference(
+            pipeline, source, batch_size=1, do_profile=False, show_progress=False
+        )
+        prediction = inference()
+        error = DetectionErrorRate()(turns_to_annotation(TURNS), prediction)
+        assert error < 0.15
+
+
+class TestDiarizationEndToEnd:
+    @pytest.mark.parametrize("batch_size", [1, 4])
+    def test_der(self, wav_file, tmp_path, batch_size):
+        config = make_config()
+        pipeline = SpeakerDiarization(config)
+        padding = config.get_file_padding(wav_file)
+        source = FileAudioSource(wav_file, SAMPLE_RATE, padding, config.step)
+        pipeline.set_timestamp_shift(-padding[0])
+        inference = StreamingInference(
+            pipeline,
+            source,
+            batch_size=batch_size,
+            do_profile=False,
+            show_progress=False,
+        )
+        rttm_path = tmp_path / "diar.rttm"
+        inference.attach_observers(RTTMWriter(source.uri, rttm_path))
+        prediction = inference()
+
+        ref = turns_to_annotation(TURNS)
+        der = DiarizationErrorRate()
+        error = der(ref, prediction)
+        assert error < 0.2, f"DER {error:.3f}"
+
+        # speakers must be consistent: exactly 2 speakers found
+        assert len(prediction.labels()) == 2
+
+        # written RTTM parses back and matches the accumulated prediction
+        loaded = load_rttm(rttm_path)[source.uri]
+        assert len(loaded.labels()) == 2
+
+    def test_batch_size_invariance(self, wav_file):
+        """batch_size pre-computation must not change results
+        (reference claim: inference.py:259-265)."""
+        preds = []
+        for batch_size in (1, 8):
+            config = make_config()
+            pipeline = SpeakerDiarization(config)
+            padding = config.get_file_padding(wav_file)
+            source = FileAudioSource(wav_file, SAMPLE_RATE, padding, config.step)
+            pipeline.set_timestamp_shift(-padding[0])
+            inference = StreamingInference(
+                pipeline, source, batch_size=batch_size,
+                do_profile=False, show_progress=False,
+            )
+            preds.append(inference())
+        der = DiarizationErrorRate()
+        assert der(preds[0], preds[1]) == pytest.approx(0.0, abs=1e-6)
