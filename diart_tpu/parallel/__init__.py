@@ -1,3 +1,4 @@
 from .engine import MultiStreamEngine, StepOutput, StreamState
+from .session import MultiStreamSession
 
-__all__ = ["MultiStreamEngine", "StepOutput", "StreamState"]
+__all__ = ["MultiStreamEngine", "StepOutput", "StreamState", "MultiStreamSession"]

@@ -160,7 +160,13 @@ class MultiStreamEngine:
             self._step = jax.jit(
                 step_fn,
                 donate_argnums=donate,
-                in_shardings=(replicated, state_shardings, stream_sharding, stream_sharding),
+                in_shardings=(
+                    replicated,
+                    state_shardings,
+                    stream_sharding,
+                    stream_sharding,
+                    stream_sharding,
+                ),
                 out_shardings=out_shardings,
             )
         else:
@@ -226,12 +232,20 @@ class MultiStreamEngine:
         params,
         state: StreamState,
         blocks: jnp.ndarray,
+        audio_mask: jnp.ndarray,
         run_mask: jnp.ndarray,
     ) -> Tuple[StreamState, StepOutput]:
+        """audio_mask: streams that received a new block (ring advances);
+        run_mask: streams whose 5 s window is full (chunk is processed).
+        During the first duration/step - 1 hops a stream warms up with
+        audio_mask=True, run_mask=False — matching the reference re-chunker,
+        which only emits once a full chunk accumulated (operators.py:92-99).
+        """
         del params  # bound via self; placed here for sharding annotations
-        audio = jnp.concatenate(
+        rolled = jnp.concatenate(
             [state.audio[:, self.step_samples :], blocks], axis=1
         )
+        audio = jnp.where(audio_mask[:, None], rolled, state.audio)
         seg, emb = self._frame_scores(audio)
 
         if self.is_vad:
@@ -265,7 +279,7 @@ class MultiStreamEngine:
             run_mask.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
         )
         new_state = StreamState(
-            audio=keep(audio, state.audio),
+            audio=audio,
             ring=keep(ring, state.ring),
             centers=new_centers,
             center_active=new_active,
@@ -281,21 +295,26 @@ class MultiStreamEngine:
         self,
         state: StreamState,
         blocks: np.ndarray,
+        audio_mask: Optional[np.ndarray] = None,
         run_mask: Optional[np.ndarray] = None,
     ) -> Tuple[StreamState, StepOutput]:
-        """Advance all streams by one 500 ms hop.
+        """Advance all streams by one hop.
 
         blocks: (B, step_samples) float32 host audio.
-        run_mask: (B,) bool — False entries keep their state frozen (stream
-            has no new audio this tick).
+        audio_mask: (B,) bool — streams that received a new block.
+        run_mask: (B,) bool — streams whose chunk window is full and should
+            be processed (False while warming up or idle).
         """
         b = blocks.shape[0]
+        if audio_mask is None:
+            audio_mask = np.ones((b,), bool)
         if run_mask is None:
             run_mask = np.ones((b,), bool)
         return self._step(
             self._params,
             state,
             jnp.asarray(blocks, jnp.float32),
+            jnp.asarray(audio_mask),
             jnp.asarray(run_mask),
         )
 

@@ -1,0 +1,155 @@
+"""Host-side session management for the fused multi-stream engine.
+
+Bridges the device engine (:class:`diart_tpu.parallel.MultiStreamEngine`)
+to the annotation world: tracks per-stream warm-up (the reference re-chunker
+only emits once a full chunk accumulated, ``operators.py:92-99``), rebuilds
+the first-chunk prepend (``aggregation.py:188-212``), binarizes the
+latency-delayed scores, applies per-stream timestamp shifts, and slices the
+corresponding audio region — producing exactly the (Annotation, waveform)
+pairs the reference pipelines emit per chunk
+(``blocks/diarization.py:157-234``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.annotation import Annotation
+from ..core.segment import SlidingWindow, SlidingWindowFeature
+from ..ops.binarize import binarize
+from .engine import MultiStreamEngine, StreamState
+
+__all__ = ["MultiStreamSession"]
+
+
+class MultiStreamSession:
+    """Drives N concurrent streams and assembles per-stream outputs.
+
+    Parameters
+    ----------
+    engine: the compiled multi-stream engine.
+    uris: stream identifiers (len == engine.batch_size).
+    tau_active: binarization threshold (``blocks/diarization.py:119``).
+    timestamp_shifts: per-stream shift applied to output timestamps
+        (negative left padding, as in ``inference.py:339``).
+    collect_audio: also return the aggregated audio region per output.
+    """
+
+    def __init__(
+        self,
+        engine: MultiStreamEngine,
+        uris: Optional[Sequence[str]] = None,
+        tau_active: float = 0.6,
+        timestamp_shifts: Optional[Sequence[float]] = None,
+        collect_audio: bool = True,
+    ):
+        self.engine = engine
+        b = engine.batch_size
+        self.uris = list(uris) if uris is not None else [f"stream{i}" for i in range(b)]
+        assert len(self.uris) == b
+        self.tau_active = tau_active
+        self.shifts = list(timestamp_shifts) if timestamp_shifts else [0.0] * b
+        self.collect_audio = collect_audio
+
+        self.state: StreamState = engine.init_state()
+        self.blocks_seen = np.zeros(b, np.int64)
+        self.warmup_blocks = int(
+            round(engine.duration / engine.step_duration)
+        )  # blocks per full chunk
+        if self.collect_audio:
+            self._audio = np.zeros((b, engine.chunk_samples), np.float32)
+
+    @property
+    def batch_size(self) -> int:
+        return self.engine.batch_size
+
+    def reset_slot(self, index: int, uri: Optional[str] = None, shift: float = 0.0):
+        """Recycle a stream slot for a new session."""
+        self.state = self.engine.reset_stream(self.state, index)
+        self.blocks_seen[index] = 0
+        self.shifts[index] = shift
+        if uri is not None:
+            self.uris[index] = uri
+        if self.collect_audio:
+            self._audio[index] = 0.0
+
+    def push(
+        self,
+        blocks: np.ndarray,
+        present: Optional[np.ndarray] = None,
+    ) -> List[Optional[Tuple[Annotation, Optional[SlidingWindowFeature]]]]:
+        """Feed one step-sized block per stream; return per-stream outputs.
+
+        blocks: (B, step_samples); present: (B,) bool mask of streams that
+        actually have new audio (others are frozen this tick).
+
+        Returns a list with one entry per stream: ``None`` while warming up
+        or absent, else ``(annotation, audio_region)``.
+        """
+        b = self.batch_size
+        if present is None:
+            present = np.ones(b, bool)
+        present = np.asarray(present, bool)
+
+        self.blocks_seen[present] += 1
+        run_mask = present & (self.blocks_seen >= self.warmup_blocks)
+
+        if self.collect_audio:
+            upd = np.concatenate(
+                [self._audio[:, self.engine.step_samples :], blocks], axis=1
+            )
+            self._audio = np.where(present[:, None], upd, self._audio)
+
+        self.state, out = self.engine.step(self.state, blocks, present, run_mask)
+        if not run_mask.any():
+            return [None] * b
+
+        aggregated = np.asarray(out.aggregated)
+        newest = np.asarray(out.newest)
+        chunk_index = np.asarray(out.chunk_index)
+
+        geometry = self.engine.geometry
+        eng = self.engine
+        outputs: List[Optional[Tuple[Annotation, Optional[SlidingWindowFeature]]]] = []
+        for i in range(b):
+            if not run_mask[i]:
+                outputs.append(None)
+                continue
+            c = int(chunk_index[i])
+            shift = self.shifts[i]
+            if c == 0:
+                # first-chunk prepend: cover [0, duration - latency + step]
+                first = newest[i][geometry.first_indices].copy()
+                first[-geometry.num_out :] = aggregated[i]
+                res = geometry.first_resolution
+                window = SlidingWindow(start=shift, duration=res, step=res)
+                scores = SlidingWindowFeature(first, window)
+                region_start, region_len = 0.0, first.shape[0] * res
+            else:
+                res = geometry.out_resolution
+                start = eng.output_start(c)
+                window = SlidingWindow(start=start + shift, duration=res, step=res)
+                scores = SlidingWindowFeature(aggregated[i], window)
+                region_start = start - c * eng.step_duration  # offset in window
+                region_len = eng.step_duration
+
+            annotation = binarize(scores, self.tau_active, uri=self.uris[i])
+
+            audio = None
+            if self.collect_audio:
+                sr = eng.sample_rate
+                lo = int(round(region_start * sr))
+                hi = min(lo + int(round(region_len * sr)), eng.chunk_samples)
+                data = self._audio[i, lo:hi, None]
+                audio = SlidingWindowFeature(
+                    data,
+                    SlidingWindow(
+                        start=(0.0 if c == 0 else eng.output_start(c)) + shift,
+                        duration=1.0 / sr,
+                        step=1.0 / sr,
+                    ),
+                )
+            outputs.append((annotation, audio))
+        return outputs

@@ -1,0 +1,231 @@
+"""Tests for the fused multi-stream engine: parity with the reference-exact
+pipeline path, stream independence, and mesh sharding."""
+
+import jax
+import numpy as np
+import pytest
+
+from diart_tpu import SpeakerDiarization, SpeakerDiarizationConfig
+from diart_tpu.core import SlidingWindow, SlidingWindowFeature
+from diart_tpu.metrics import DiarizationErrorRate
+from diart_tpu.parallel import MultiStreamEngine, MultiStreamSession
+from diart_tpu.runtime import FileAudioSource, StreamingInference
+
+from fakes import (
+    SAMPLE_RATE,
+    Turn,
+    fake_embedding,
+    fake_segmentation,
+    synth_audio,
+    turns_to_annotation,
+)
+
+DURATION, STEP, LATENCY = 2.0, 0.5, 0.5
+PARAMS = dict(
+    duration=DURATION,
+    step=STEP,
+    latency=LATENCY,
+    tau_active=0.6,
+    rho_update=0.1,
+    delta_new=0.7,
+    max_speakers=8,
+    sample_rate=SAMPLE_RATE,
+)
+
+STREAM_TURNS = [
+    [Turn(0.0, 3.0, 0), Turn(4.0, 7.0, 1), Turn(8.0, 10.0, 0)],
+    [Turn(1.0, 4.0, 2), Turn(5.0, 9.0, 0)],
+    [Turn(0.5, 2.0, 1), Turn(2.5, 5.0, 2), Turn(6.0, 10.0, 1)],
+    [Turn(0.0, 10.0, 0)],
+]
+TOTAL = 10.0
+
+
+def make_engine(batch_size, mesh=None):
+    return MultiStreamEngine(
+        segmentation=fake_segmentation(),
+        embedding=fake_embedding(),
+        batch_size=batch_size,
+        mesh=mesh,
+        **PARAMS,
+    )
+
+
+def run_pipeline_path(audio: np.ndarray) -> list:
+    """Reference-exact path: re-chunk + pipeline, one stream."""
+    config = SpeakerDiarizationConfig(
+        segmentation=fake_segmentation(), embedding=fake_embedding(), **PARAMS
+    )
+    pipe = SpeakerDiarization(config)
+    chunk_s = int(DURATION * SAMPLE_RATE)
+    step_s = int(STEP * SAMPLE_RATE)
+    outputs = []
+    res = 1.0 / SAMPLE_RATE
+    for start in range(0, audio.shape[1] - chunk_s + 1, step_s):
+        sw = SlidingWindow(start=start / SAMPLE_RATE, duration=res, step=res)
+        chunk = audio[0, start : start + chunk_s, None]
+        outputs.extend(pipe([SlidingWindowFeature(chunk, sw)]))
+    return outputs
+
+
+class TestEngineParity:
+    def test_matches_pipeline_path(self):
+        """The fused engine must produce the same annotations as the
+        host-exact pipeline path, for every stream in the batch."""
+        batch = len(STREAM_TURNS)
+        engine = make_engine(batch)
+        session = MultiStreamSession(
+            engine, tau_active=PARAMS["tau_active"], collect_audio=True
+        )
+
+        audios = [synth_audio(t, TOTAL, seed=i) for i, t in enumerate(STREAM_TURNS)]
+        step_s = engine.step_samples
+        num_blocks = int(TOTAL * SAMPLE_RATE) // step_s
+
+        engine_anns = [[] for _ in range(batch)]
+        for blk in range(num_blocks):
+            blocks = np.stack(
+                [a[0, blk * step_s : (blk + 1) * step_s] for a in audios]
+            )
+            outs = session.push(blocks)
+            for i, out in enumerate(outs):
+                if out is not None:
+                    engine_anns[i].append(out[0])
+
+        der = DiarizationErrorRate()
+        for i, audio in enumerate(audios):
+            pipe_outputs = run_pipeline_path(audio)
+            assert len(pipe_outputs) == len(engine_anns[i])
+            # accumulate both and compare as full annotations
+            from diart_tpu.runtime.sinks import PredictionAccumulator
+
+            acc_pipe, acc_eng = PredictionAccumulator("u"), PredictionAccumulator("u")
+            for ann, _ in pipe_outputs:
+                acc_pipe.on_next(ann)
+            for ann in engine_anns[i]:
+                acc_eng.on_next(ann)
+            pred_pipe = acc_pipe.get_prediction()
+            pred_eng = acc_eng.get_prediction()
+            error = der(pred_pipe, pred_eng)
+            assert error < 0.02, f"stream {i}: engine vs pipeline DER {error:.4f}"
+
+    def test_accuracy_vs_ground_truth(self):
+        batch = len(STREAM_TURNS)
+        engine = make_engine(batch)
+        session = MultiStreamSession(engine, tau_active=PARAMS["tau_active"])
+        audios = [synth_audio(t, TOTAL, seed=i) for i, t in enumerate(STREAM_TURNS)]
+        step_s = engine.step_samples
+        from diart_tpu.runtime.sinks import PredictionAccumulator
+
+        accs = [PredictionAccumulator(f"s{i}") for i in range(batch)]
+        for blk in range(int(TOTAL * SAMPLE_RATE) // step_s):
+            blocks = np.stack(
+                [a[0, blk * step_s : (blk + 1) * step_s] for a in audios]
+            )
+            for i, out in enumerate(session.push(blocks)):
+                if out is not None:
+                    accs[i].on_next(out[0])
+        for i, turns in enumerate(STREAM_TURNS):
+            der = DiarizationErrorRate()
+            error = der(turns_to_annotation(turns), accs[i].get_prediction())
+            assert error < 0.25, f"stream {i}: DER {error:.3f}"
+
+    def test_stream_independence(self):
+        """A stream's output must not depend on what other streams carry."""
+        audio = synth_audio(STREAM_TURNS[0], TOTAL, seed=0)
+        other = synth_audio(STREAM_TURNS[2], TOTAL, seed=7)
+
+        def run(fill_audio):
+            engine = make_engine(2)
+            session = MultiStreamSession(engine, tau_active=PARAMS["tau_active"])
+            anns = []
+            step_s = engine.step_samples
+            for blk in range(int(TOTAL * SAMPLE_RATE) // step_s):
+                blocks = np.stack(
+                    [
+                        audio[0, blk * step_s : (blk + 1) * step_s],
+                        fill_audio[0, blk * step_s : (blk + 1) * step_s],
+                    ]
+                )
+                out = session.push(blocks)
+                if out[0] is not None:
+                    anns.append(out[0][0])
+            return anns
+
+        a1, a2 = run(other), run(np.zeros_like(other))
+        assert len(a1) == len(a2)
+        for x, y in zip(a1, a2):
+            assert x.to_rttm() == y.to_rttm()
+
+    def test_run_mask_freezes_streams(self):
+        engine = make_engine(2)
+        session = MultiStreamSession(engine, tau_active=PARAMS["tau_active"])
+        audio = synth_audio(STREAM_TURNS[3], TOTAL, seed=3)
+        step_s = engine.step_samples
+        outs0 = []
+        # stream 1 never gets audio
+        for blk in range(12):
+            blocks = np.stack(
+                [audio[0, blk * step_s : (blk + 1) * step_s], np.zeros(step_s, np.float32)]
+            )
+            outs = session.push(blocks, present=np.array([True, False]))
+            outs0.append(outs[0])
+            assert outs[1] is None
+        assert session.blocks_seen[1] == 0
+        assert any(o is not None for o in outs0)
+
+
+class TestEngineSharding:
+    def test_mesh_sharded_step(self):
+        """8 streams sharded over an 8-device CPU mesh: one jitted step
+        executes with stream-parallel sharding."""
+        devices = jax.devices()
+        assert len(devices) == 8, "conftest should provide 8 virtual devices"
+        mesh = jax.sharding.Mesh(np.array(devices), ("streams",))
+        engine = make_engine(8, mesh=mesh)
+        session = MultiStreamSession(engine, tau_active=PARAMS["tau_active"])
+
+        audios = [
+            synth_audio(STREAM_TURNS[i % len(STREAM_TURNS)], TOTAL, seed=i)
+            for i in range(8)
+        ]
+        step_s = engine.step_samples
+        produced = 0
+        for blk in range(int(TOTAL * SAMPLE_RATE) // step_s):
+            blocks = np.stack(
+                [a[0, blk * step_s : (blk + 1) * step_s] for a in audios]
+            )
+            outs = session.push(blocks)
+            produced += sum(o is not None for o in outs)
+        assert produced > 0
+        # state stays sharded over the mesh
+        shard_axes = engine.init_state().audio.sharding
+        assert session.state.audio.sharding.is_equivalent_to(shard_axes, 2)
+
+    def test_sharded_matches_unsharded(self):
+        devices = jax.devices()
+        mesh = jax.sharding.Mesh(np.array(devices), ("streams",))
+        audios = [
+            synth_audio(STREAM_TURNS[i % len(STREAM_TURNS)], TOTAL, seed=i)
+            for i in range(8)
+        ]
+
+        def run(mesh):
+            engine = make_engine(8, mesh=mesh)
+            session = MultiStreamSession(engine, tau_active=PARAMS["tau_active"])
+            step_s = engine.step_samples
+            rttms = [[] for _ in range(8)]
+            for blk in range(int(TOTAL * SAMPLE_RATE) // step_s):
+                blocks = np.stack(
+                    [a[0, blk * step_s : (blk + 1) * step_s] for a in audios]
+                )
+                for i, out in enumerate(session.push(blocks)):
+                    if out is not None:
+                        rttms[i].append(out[0].to_rttm())
+            return rttms
+
+        sharded, single = run(mesh), run(None)
+        der = DiarizationErrorRate()
+        for i in range(8):
+            assert len(sharded[i]) == len(single[i])
+        assert sharded[0] == single[0]
