@@ -1,0 +1,90 @@
+"""Headline benchmark: concurrent real-time diarization streams per TPU chip.
+
+Runs the flagship fused multi-stream engine (full-size PyanNet segmentation +
+XVectorSincNet embedding, 5 s windows sliding every 0.5 s — the reference's
+default geometry, ``/root/reference/src/diart/blocks/diarization.py:21-86``)
+and measures the steady-state wall time of one 0.5 s hop for a batch of
+concurrent streams.
+
+A stream is served in real time iff its share of the step time fits in the
+0.5 s budget, so ``streams/chip = batch * 0.5 / t_step``.
+
+Baseline: the reference paper reports 50 ms per 0.5 s update on an NVIDIA
+V100 (paper §5; BASELINE.md) == 10 real-time streams per GPU. vs_baseline is
+the ratio against those 10 streams.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from diart_tpu.models import EmbeddingModel, SegmentationModel
+    from diart_tpu.parallel import MultiStreamEngine
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+
+    seg = SegmentationModel.from_registry("tpu/pyannet")  # 4-spk PyanNet
+    emb = EmbeddingModel.from_registry("tpu/xvector")  # 512-d x-vector
+    engine = MultiStreamEngine(
+        segmentation=seg,
+        embedding=emb,
+        duration=5.0,
+        step=0.5,
+        latency=0.5,
+        sample_rate=16000,
+        max_speakers=20,
+        batch_size=batch,
+    )
+
+    rng = np.random.default_rng(0)
+    state = engine.init_state()
+    blocks_host = rng.normal(scale=0.1, size=(steps + 12, batch, engine.step_samples)).astype(
+        np.float32
+    )
+    blocks = [jax.device_put(b) for b in blocks_host]
+
+    # warm up the audio ring + compile
+    warmup = int(round(engine.duration / engine.step_duration))
+    for i in range(warmup):
+        run = np.full((batch,), i + 1 >= warmup)
+        state, out = engine.step(state, blocks[i], run_mask=run)
+    jax.block_until_ready(out.aggregated)
+
+    # timed steady state
+    times = []
+    for i in range(steps):
+        t0 = time.perf_counter()
+        state, out = engine.step(state, blocks[warmup + i])
+        jax.block_until_ready(out.aggregated)
+        times.append(time.perf_counter() - t0)
+
+    t_step = float(np.median(times))
+    streams = batch * engine.step_duration / t_step
+    print(
+        json.dumps(
+            {
+                "metric": "realtime_streams_per_chip",
+                "value": round(streams, 1),
+                "unit": "streams",
+                "vs_baseline": round(streams / 10.0, 2),
+            }
+        )
+    )
+    print(
+        f"# batch={batch} t_step_median={t_step*1000:.1f}ms "
+        f"p50_chunk_latency={t_step*1000:.1f}ms device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

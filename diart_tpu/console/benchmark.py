@@ -1,0 +1,69 @@
+"""``diart-tpu-benchmark``: batch evaluation over a directory of files.
+
+Parity: ``/root/reference/src/diart/console/benchmark.py``.
+"""
+
+import argparse
+from pathlib import Path
+
+import pandas as pd
+
+from .. import argdoc
+from .. import models as m
+from .. import utils
+from ..runtime import Benchmark, Parallelize
+from .stream import add_common_model_args, add_common_pipeline_args
+
+
+def run():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "root", type=Path, help="Directory with audio files CONVERSATION.(wav|flac|...)"
+    )
+    parser.add_argument(
+        "--pipeline",
+        default="SpeakerDiarization",
+        type=str,
+        help="Pipeline class: SpeakerDiarization | VoiceActivityDetection",
+    )
+    add_common_model_args(parser)
+    parser.add_argument(
+        "--reference",
+        type=Path,
+        help="Directory with RTTM files CONVERSATION.rttm (same names as audio)",
+    )
+    add_common_pipeline_args(parser)
+    parser.add_argument("--batch-size", default=32, type=int, help=f"{argdoc.BATCH_SIZE}. Defaults to 32")
+    parser.add_argument("--num-workers", default=0, type=int, help=f"{argdoc.NUM_WORKERS}. Defaults to 0")
+    parser.add_argument("--output", type=Path, help=f"{argdoc.OUTPUT}")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    hf_token = utils.parse_hf_token_arg(args.hf_token)
+    args.segmentation = m.SegmentationModel.from_pretrained(args.segmentation, hf_token)
+    args.embedding = m.EmbeddingModel.from_pretrained(args.embedding, hf_token)
+
+    pipeline_class = utils.get_pipeline_class(args.pipeline)
+    benchmark = Benchmark(
+        args.root,
+        args.reference,
+        args.output,
+        show_progress=True,
+        show_report=True,
+        batch_size=args.batch_size,
+    )
+    config = pipeline_class.get_config_class()(**vars(args))
+    if args.num_workers > 0:
+        benchmark = Parallelize(benchmark, args.num_workers)
+
+    report = benchmark(pipeline_class, config)
+    if args.output is not None and isinstance(report, pd.DataFrame):
+        report.to_csv(args.output / "benchmark_report.csv")
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,89 @@
+"""``diart-tpu-client``: stream a file or microphone to a diarization server.
+
+Parity: ``/root/reference/src/diart/console/client.py`` — sender and
+receiver threads over one websocket; audio goes out base64-encoded, RTTM
+lines come back.
+"""
+
+import argparse
+import threading
+import time
+from pathlib import Path
+from typing import Optional, Text
+
+from .. import argdoc
+from .. import utils
+from ..runtime import FileAudioSource, MicrophoneAudioSource
+from ..runtime.rx import ops
+
+
+def send_audio(ws, source: Text, step: float, sample_rate: int, realtime: bool):
+    if source != "microphone":
+        audio_source = FileAudioSource(source, sample_rate, block_duration=step)
+    else:
+        audio_source = MicrophoneAudioSource(step)
+
+    def emit(block):
+        ws.send(utils.encode_audio(block))
+        if realtime and source != "microphone":
+            time.sleep(step)
+
+    audio_source.stream.pipe(ops.map(lambda b: b)).subscribe(on_next=emit)
+    audio_source.read()
+
+
+def receive_audio(ws, output: Optional[Path]):
+    out_file = open(output, "a") if output is not None else None
+    try:
+        while True:
+            rttm = ws.recv()
+            print(rttm, end="")
+            if out_file is not None:
+                out_file.write(rttm)
+                out_file.flush()
+    except Exception:
+        pass
+    finally:
+        if out_file is not None:
+            out_file.close()
+
+
+def run():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "source", type=str, help="Path to an audio file | 'microphone'"
+    )
+    parser.add_argument("--host", required=True, type=str, help="Server host")
+    parser.add_argument("--port", required=True, type=int, help="Server port")
+    parser.add_argument("--step", default=0.5, type=float, help=f"{argdoc.STEP}. Defaults to 0.5")
+    parser.add_argument(
+        "--sample-rate", default=16000, type=int, help=f"{argdoc.SAMPLE_RATE}. Defaults to 16000"
+    )
+    parser.add_argument(
+        "--realtime", action="store_true", help="Pace file streaming at real time"
+    )
+    parser.add_argument(
+        "-o", "--output-file", type=Path, help="Output RTTM file. Defaults to no writing"
+    )
+    args = parser.parse_args()
+
+    from websockets.sync.client import connect
+
+    uri = f"ws://{args.host}:{args.port}"
+    with connect(uri) as ws:
+        sender = threading.Thread(
+            target=send_audio,
+            args=(ws, args.source, args.step, args.sample_rate, args.realtime),
+        )
+        receiver = threading.Thread(target=receive_audio, args=(ws, args.output_file))
+        sender.start()
+        receiver.start()
+        sender.join()
+        # give the server time to flush the tail predictions
+        time.sleep(2.0)
+        ws.close()
+        receiver.join()
+
+
+if __name__ == "__main__":
+    run()

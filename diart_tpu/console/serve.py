@@ -1,0 +1,67 @@
+"""``diart-tpu-serve``: websocket diarization server.
+
+Parity + upgrade over ``/root/reference/src/diart/console/serve.py``: the
+reference serves ONE client per process; this server multiplexes up to
+``--num-streams`` concurrent clients into one fused on-device engine.
+"""
+
+import argparse
+
+from .. import argdoc
+from .. import models as m
+from .. import utils
+from ..parallel import MultiStreamEngine
+from ..runtime.server import StreamingServer
+from .stream import add_common_model_args, add_common_pipeline_args
+
+
+def run():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", default="127.0.0.1", type=str, help="Server host")
+    parser.add_argument("--port", default=7007, type=int, help="Server port")
+    add_common_model_args(parser)
+    add_common_pipeline_args(parser)
+    parser.add_argument(
+        "--num-streams",
+        default=16,
+        type=int,
+        help=f"{argdoc.NUM_STREAMS}. Defaults to 16",
+    )
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    hf_token = utils.parse_hf_token_arg(args.hf_token)
+    segmentation = m.SegmentationModel.from_pretrained(args.segmentation, hf_token)
+    embedding = m.EmbeddingModel.from_pretrained(args.embedding, hf_token)
+
+    engine = MultiStreamEngine(
+        segmentation=segmentation,
+        embedding=embedding,
+        duration=args.duration,
+        step=args.step,
+        latency=args.latency,
+        sample_rate=args.sample_rate,
+        tau_active=args.tau_active,
+        rho_update=args.rho_update,
+        delta_new=args.delta_new,
+        gamma=args.gamma,
+        beta=args.beta,
+        max_speakers=args.max_speakers,
+        normalize_embedding_weights=args.normalize_embedding_weights,
+        batch_size=args.num_streams,
+    )
+    server = StreamingServer(
+        engine, tau_active=args.tau_active, host=args.host, port=args.port
+    )
+    try:
+        server.run()
+    except KeyboardInterrupt:
+        server.close()
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,159 @@
+"""Multiplexed streaming diarization server.
+
+Upgrade over the reference's websocket serving
+(``/root/reference/src/diart/sources.py:204-271`` + ``console/serve.py``),
+which supports exactly ONE client per server process. Here many clients
+multiplex into the stream-batch dimension of one fused
+:class:`diart_tpu.parallel.MultiStreamEngine`: each connection claims a
+stream slot, its audio blocks are queued on the host, and a device tick
+advances every active stream at once — the TPU-native answer to "how do I
+serve 100 meetings from one chip".
+
+Wire protocol (compatible with the reference's client, ``utils.py:56-66``):
+clients send base64-encoded float32 blocks as text frames; the server sends
+back the RTTM lines of each latency-delayed prediction.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from typing import Dict, Optional
+
+import numpy as np
+
+from .. import utils
+from ..parallel.engine import MultiStreamEngine
+from ..parallel.session import MultiStreamSession
+
+__all__ = ["StreamingServer"]
+
+logger = logging.getLogger(__name__)
+
+
+class _ClientSlot:
+    def __init__(self, index: int, websocket):
+        self.index = index
+        self.websocket = websocket
+        self.buffer = np.zeros((0,), np.float32)
+        self.closed = False
+
+
+class StreamingServer:
+    """Serve a fused multi-stream engine over websockets.
+
+    Parameters
+    ----------
+    engine: compiled engine; ``engine.batch_size`` is the max number of
+        concurrent clients.
+    tau_active: binarization threshold for emitted predictions.
+    host/port: bind address.
+    realtime: if True, ticks every ``engine.step_duration`` seconds of wall
+        clock; if False, ticks as fast as audio arrives (useful for tests
+        and batch-over-websocket workloads).
+    """
+
+    def __init__(
+        self,
+        engine: MultiStreamEngine,
+        tau_active: float = 0.6,
+        host: str = "127.0.0.1",
+        port: int = 7007,
+        realtime: bool = False,
+    ):
+        self.engine = engine
+        self.host = host
+        self.port = port
+        self.realtime = realtime
+        self.session = MultiStreamSession(
+            engine, tau_active=tau_active, collect_audio=False
+        )
+        self.slots: Dict[int, Optional[_ClientSlot]] = {
+            i: None for i in range(engine.batch_size)
+        }
+        self._stop = None
+        self._loop = None
+
+    # ------------------------------------------------------------------ #
+    def _claim_slot(self, websocket) -> Optional[_ClientSlot]:
+        for i, slot in self.slots.items():
+            if slot is None:
+                client = _ClientSlot(i, websocket)
+                self.slots[i] = client
+                self.session.reset_slot(i, uri=f"client{i}")
+                return client
+        return None
+
+    def _release_slot(self, client: _ClientSlot):
+        client.closed = True
+        self.slots[client.index] = None
+
+    async def _handler(self, websocket):
+        client = self._claim_slot(websocket)
+        if client is None:
+            await websocket.close(code=1013, reason="server full")
+            return
+        logger.info("client connected on slot %d", client.index)
+        try:
+            async for message in websocket:
+                samples = utils.decode_audio(message)[0]
+                client.buffer = np.concatenate([client.buffer, samples])
+        except Exception as e:  # connection errors end the stream
+            logger.info("client %d disconnected: %s", client.index, e)
+        finally:
+            self._release_slot(client)
+
+    async def _tick(self):
+        """Advance every stream that has a full step block queued."""
+        b = self.engine.batch_size
+        n = self.engine.step_samples
+        blocks = np.zeros((b, n), np.float32)
+        present = np.zeros((b,), bool)
+        clients = {}
+        for i, slot in self.slots.items():
+            if slot is not None and slot.buffer.shape[0] >= n:
+                blocks[i] = slot.buffer[:n]
+                slot.buffer = slot.buffer[n:]
+                present[i] = True
+                clients[i] = slot
+        if not present.any():
+            return
+        outputs = self.session.push(blocks, present)
+        for i, out in enumerate(outputs):
+            if out is None or i not in clients:
+                continue
+            annotation = out[0]
+            rttm = annotation.to_rttm()
+            if rttm:
+                try:
+                    await clients[i].websocket.send(rttm)
+                except Exception:
+                    pass
+
+    async def _ticker(self):
+        interval = self.engine.step_duration if self.realtime else 0.005
+        while not self._stop.is_set():
+            await self._tick()
+            try:
+                await asyncio.wait_for(self._stop.wait(), timeout=interval)
+            except asyncio.TimeoutError:
+                pass
+
+    # ------------------------------------------------------------------ #
+    async def serve(self):
+        import websockets
+
+        self._loop = asyncio.get_running_loop()
+        self._stop = asyncio.Event()
+        async with websockets.serve(self._handler, self.host, self.port):
+            logger.info("serving on %s:%d", self.host, self.port)
+            await self._ticker()
+
+    def run(self):
+        """Blocking entry point."""
+        asyncio.run(self.serve())
+
+    def close(self):
+        """Stop the server (thread-safe)."""
+        if self._stop is not None and self._loop is not None:
+            self._loop.call_soon_threadsafe(self._stop.set)

@@ -1,0 +1,79 @@
+"""Fine-tuning of the segmentation model (data-parallel over a mesh).
+
+The reference framework is inference-only (models come pre-trained from the
+HF hub, ``/root/reference/src/diart/models.py``). The TPU-native build adds
+the missing piece for teams adapting the segmentation model to their domain:
+a permutation-invariant BCE training step (the standard EEND/PyanNet
+objective — speaker identities within a chunk are arbitrary, so the loss is
+minimized over output-channel permutations) that shards the batch over a
+``jax.sharding.Mesh`` data-parallel axis. Gradients are averaged across
+devices by XLA-inserted collectives (psum over ICI) — no hand-written
+communication.
+"""
+
+from __future__ import annotations
+
+from itertools import permutations
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+__all__ = ["pit_bce_loss", "TrainState", "make_train_state", "train_step"]
+
+
+def pit_bce_loss(
+    predictions: jnp.ndarray, targets: jnp.ndarray, eps: float = 1e-6
+) -> jnp.ndarray:
+    """Permutation-invariant binary cross-entropy.
+
+    predictions/targets: (batch, frames, speakers) in [0, 1]. For each sample
+    the speaker-channel permutation minimizing mean BCE is selected (K! is at
+    most 24 for the default K=4 — evaluated in parallel on device).
+    """
+    k = predictions.shape[-1]
+    perms = np.array(list(permutations(range(k))))  # (P, K)
+    p = jnp.clip(predictions, eps, 1.0 - eps)
+    # (P, B, F, K): permuted targets
+    permuted = targets[..., perms.T]  # (B, F, K, P)
+    permuted = jnp.moveaxis(permuted, -1, 0)
+    bce = -(
+        permuted * jnp.log(p)[None] + (1.0 - permuted) * jnp.log1p(-p)[None]
+    )  # (P, B, F, K)
+    per_perm = jnp.mean(bce, axis=(2, 3))  # (P, B)
+    return jnp.mean(jnp.min(per_perm, axis=0))
+
+
+class TrainState(NamedTuple):
+    params: any
+    opt_state: any
+    step: jnp.ndarray
+
+
+def make_train_state(params, learning_rate: float = 1e-4) -> Tuple[TrainState, optax.GradientTransformation]:
+    tx = optax.adamw(learning_rate)
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
+
+
+def train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    state: TrainState,
+    waveforms: jnp.ndarray,
+    targets: jnp.ndarray,
+) -> Tuple[TrainState, jnp.ndarray]:
+    """One SGD step. ``waveforms``: (batch, 1, samples); ``targets``:
+    (batch, frames, speakers). Jit with the batch sharded over a mesh 'dp'
+    axis and params replicated; XLA inserts the gradient all-reduce.
+    """
+
+    def loss_fn(params):
+        preds = apply_fn(params, waveforms)
+        return pit_bce_loss(preds, targets)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss

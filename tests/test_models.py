@@ -1,0 +1,154 @@
+"""Model-level tests: shapes, frame math, powerset decoding, weighted
+pooling, wrapper registry, serialization, and the training step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diart_tpu.models import (
+    EmbeddingModel,
+    PyanNet,
+    SegmentationModel,
+    XVectorSincNet,
+    num_powerset_classes,
+    num_sincnet_frames,
+    powerset_mapping,
+    resample_weights,
+    to_multilabel,
+    weighted_stats_pool,
+)
+
+
+class TestFrameMath:
+    def test_flagship_geometry(self):
+        # 5 s @ 16 kHz -> 293 frames (SURVEY.md §3.2)
+        assert num_sincnet_frames(80000) == 293
+        # 2 s -> 115 frames
+        assert num_sincnet_frames(32000) == 115
+
+
+class TestPowerset:
+    def test_mapping_order(self):
+        m = powerset_mapping(3, 2)
+        assert m.shape == (7, 3)
+        # pyannote ordering: {}, singletons, pairs
+        np.testing.assert_array_equal(m[0], [0, 0, 0])
+        np.testing.assert_array_equal(m[1], [1, 0, 0])
+        np.testing.assert_array_equal(m[4], [1, 1, 0])
+        assert num_powerset_classes(3, 2) == 7
+
+    def test_to_multilabel_argmax(self):
+        m = powerset_mapping(3, 2)
+        scores = jnp.asarray(np.log([[0.1, 0.1, 0.1, 0.1, 0.5, 0.05, 0.05]]))[None]
+        out = to_multilabel(scores, m)
+        np.testing.assert_array_equal(np.asarray(out)[0, 0], [1, 1, 0])
+
+
+class TestPooling:
+    def test_weighted_stats(self, rng):
+        frames = jnp.asarray(rng.normal(size=(2, 50, 8)).astype(np.float32))
+        w = jnp.asarray(rng.uniform(0.1, 1, (2, 3, 50)).astype(np.float32))
+        out = np.asarray(weighted_stats_pool(frames, w))
+        assert out.shape == (2, 3, 16)
+        # hand-check stream 0 speaker 0
+        wn = np.asarray(w)[0, 0] / np.asarray(w)[0, 0].sum()
+        mean = (np.asarray(frames)[0] * wn[:, None]).sum(0)
+        np.testing.assert_allclose(out[0, 0, :8], mean, atol=1e-4)
+
+    def test_uniform_weights_match_plain_stats(self, rng):
+        frames = jnp.asarray(rng.normal(size=(1, 40, 4)).astype(np.float32))
+        w = jnp.ones((1, 1, 40))
+        out = np.asarray(weighted_stats_pool(frames, w))[0, 0]
+        f = np.asarray(frames)[0]
+        np.testing.assert_allclose(out[:4], f.mean(0), atol=1e-5)
+        np.testing.assert_allclose(out[4:], f.std(0), atol=1e-3)
+
+    def test_resample_weights_nearest(self):
+        w = jnp.asarray(np.arange(10, dtype=np.float32))[None, None]
+        out = np.asarray(resample_weights(w, 5))[0, 0]
+        np.testing.assert_array_equal(out, [0, 2, 4, 6, 8])
+
+
+class TestWrappers:
+    def test_registry_and_call(self):
+        seg = SegmentationModel.from_pretrained(
+            "tpu/pyannet", num_speakers=3, lstm_hidden=16, lstm_layers=1,
+            init_samples=8000,
+        )
+        out = seg(np.zeros((2, 1, 8000), np.float32))
+        assert out.shape == (2, num_sincnet_frames(8000), 3)
+        assert seg.num_speakers == 3
+        assert seg.sample_rate == 16000
+
+    def test_powerset_registry(self):
+        seg = SegmentationModel.from_pretrained(
+            "tpu/pyannet-powerset", num_speakers=3, max_simultaneous=2,
+            init_samples=8000,
+        )
+        out = np.asarray(seg(np.zeros((1, 1, 8000), np.float32)))
+        assert out.shape[-1] == 3
+        assert set(np.unique(out)).issubset({0.0, 1.0})
+
+    def test_lazy_loading(self):
+        seg = SegmentationModel.from_pretrained("tpu/pyannet", init_samples=8000)
+        assert not seg.is_in_memory()
+        seg.load()
+        assert seg.is_in_memory()
+
+    def test_embedding_reference_convention(self):
+        emb = EmbeddingModel.from_pretrained(
+            "tpu/xvector", embedding_dim=32, init_samples=8000
+        )
+        wave = np.zeros((2, 1, 8000), np.float32)
+        frames = emb.trunk_fn()(emb.params, jnp.asarray(wave))
+        weights = np.ones((2, frames.shape[1]), np.float32)
+        out = emb(wave, weights)  # (B, frames) weights -> (B, dim)
+        assert out.shape == (2, 32)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        seg = SegmentationModel.from_pretrained(
+            "tpu/pyannet", num_speakers=4, init_samples=8000
+        )
+        seg.load()
+        path = tmp_path / "seg.msgpack"
+        seg.save(path)
+        loaded = SegmentationModel.from_pretrained(str(path))
+        x = np.random.default_rng(0).normal(size=(1, 1, 8000)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(seg(x)), np.asarray(loaded(x)), atol=1e-6
+        )
+
+
+class TestTraining:
+    def test_pit_loss_permutation_invariance(self, rng):
+        from diart_tpu.train import pit_bce_loss
+
+        pred = jnp.asarray(rng.uniform(0.01, 0.99, (2, 30, 3)).astype(np.float32))
+        target = jnp.asarray((rng.uniform(size=(2, 30, 3)) > 0.5).astype(np.float32))
+        base = float(pit_bce_loss(pred, target))
+        permuted = target[..., [2, 0, 1]]
+        assert float(pit_bce_loss(pred, permuted)) == pytest.approx(base, rel=1e-5)
+
+    def test_train_step_reduces_loss(self):
+        from diart_tpu.train import make_train_state, train_step
+
+        seg = SegmentationModel.from_pretrained(
+            "tpu/pyannet", num_speakers=2, lstm_hidden=8, lstm_layers=1,
+            linear_dims=(8,), init_samples=4000,
+        )
+        seg.load()
+        apply_fn = seg.apply_fn()
+        state, tx = make_train_state(seg.params, learning_rate=1e-3)
+        rng = np.random.default_rng(0)
+        waves = jnp.asarray(rng.normal(scale=0.1, size=(4, 1, 4000)).astype(np.float32))
+        frames = apply_fn(seg.params, waves).shape[1]
+        targets = jnp.asarray(
+            (rng.uniform(size=(4, frames, 2)) > 0.6).astype(np.float32)
+        )
+        step = jax.jit(lambda s, w, t: train_step(apply_fn, tx, s, w, t))
+        losses = []
+        for _ in range(8):
+            state, loss = step(state, waves, targets)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]

@@ -1,0 +1,193 @@
+"""Tests for Benchmark, Optimizer/Study, and the websocket serving stack."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from diart_tpu import SpeakerDiarization, SpeakerDiarizationConfig
+from diart_tpu.audio import write_wav
+from diart_tpu.core import load_rttm, write_rttm
+from diart_tpu.optim import Optimizer, Study, TPESampler
+from diart_tpu.parallel import MultiStreamEngine
+from diart_tpu.runtime import Benchmark
+from diart_tpu.utils import encode_audio
+
+from fakes import (
+    SAMPLE_RATE,
+    Turn,
+    fake_embedding,
+    fake_segmentation,
+    synth_audio,
+    turns_to_annotation,
+)
+
+FILES = {
+    "conv1": [Turn(0.0, 3.0, 0), Turn(4.0, 7.0, 1)],
+    "conv2": [Turn(0.5, 2.5, 2), Turn(3.0, 6.0, 0), Turn(6.5, 8.0, 2)],
+}
+TOTAL = 8.0
+
+PIPELINE_PARAMS = dict(
+    duration=2.0,
+    step=0.5,
+    latency=0.5,
+    tau_active=0.6,
+    rho_update=0.1,
+    delta_new=0.7,
+    max_speakers=8,
+    sample_rate=SAMPLE_RATE,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    audio_dir = root / "audio"
+    rttm_dir = root / "rttm"
+    audio_dir.mkdir()
+    rttm_dir.mkdir()
+    for i, (uri, turns) in enumerate(FILES.items()):
+        write_wav(audio_dir / f"{uri}.wav", synth_audio(turns, TOTAL, seed=i), SAMPLE_RATE)
+        write_rttm(turns_to_annotation(turns, uri), rttm_dir / f"{uri}.rttm")
+    return audio_dir, rttm_dir
+
+
+def make_config(**overrides):
+    params = dict(PIPELINE_PARAMS)
+    params.update(overrides)
+    return SpeakerDiarizationConfig(
+        segmentation=fake_segmentation(), embedding=fake_embedding(), **params
+    )
+
+
+class TestBenchmark:
+    def test_report_and_rttm_output(self, corpus, tmp_path):
+        audio_dir, rttm_dir = corpus
+        out = tmp_path / "preds"
+        benchmark = Benchmark(
+            audio_dir, rttm_dir, out, show_progress=False, show_report=False,
+            batch_size=8,
+        )
+        report = benchmark(SpeakerDiarization, make_config())
+        name = SpeakerDiarization.suggest_metric().name
+        total = report.loc["TOTAL", name]["%"]
+        assert total < 25.0, f"benchmark DER {total:.1f}%"
+        for uri in FILES:
+            assert (out / f"{uri}.rttm").exists()
+            assert uri in report.index
+        # predictions parse and are aligned to t=0 (timestamp shift applied)
+        pred = load_rttm(out / "conv1.rttm")["conv1"]
+        assert pred.get_timeline().extent().start >= -0.1
+
+    def test_predictions_without_reference(self, corpus, tmp_path):
+        audio_dir, _ = corpus
+        benchmark = Benchmark(
+            audio_dir, None, tmp_path / "o", show_progress=False, batch_size=4
+        )
+        predictions = benchmark(SpeakerDiarization, make_config())
+        assert isinstance(predictions, list) and len(predictions) == len(FILES)
+
+
+class TestStudyAndOptimizer:
+    def test_study_persistence(self, tmp_path):
+        db = tmp_path / "study.db"
+        study = Study(db)
+        study.tell({"tau_active": 0.5}, 10.0)
+        study.tell({"tau_active": 0.7}, 5.0)
+        # reopen
+        study2 = Study(db)
+        assert study2.best_value == 5.0
+        assert study2.best_params == {"tau_active": 0.7}
+        assert len(study2.trials) == 2
+
+    def test_tpe_converges_on_quadratic(self):
+        sampler = TPESampler(n_startup=8, seed=0)
+        history = []
+        for _ in range(60):
+            x = sampler.suggest("x", 0.0, 1.0, history, minimize=True)
+            history.append(({"x": x}, (x - 0.3) ** 2))
+        best = min(history, key=lambda t: t[1])[0]["x"]
+        assert abs(best - 0.3) < 0.05
+        # the search must improve over random: late losses beat early ones
+        early = np.mean([v for _, v in history[:15]])
+        late = np.mean([v for _, v in history[-15:]])
+        assert late < early
+
+    def test_optimizer_improves_tau(self, corpus, tmp_path):
+        audio_dir, rttm_dir = corpus
+        study = Study(tmp_path / "opt.db", sampler=TPESampler(n_startup=3, seed=1))
+        optimizer = Optimizer(
+            pipeline_class=SpeakerDiarization,
+            speech_path=audio_dir,
+            reference_path=rttm_dir,
+            study_or_path=study,
+            batch_size=8,
+            base_config=make_config(),
+            do_kickstart_hparams=True,
+        )
+        optimizer(num_iter=4, show_progress=False)
+        assert 0 <= optimizer.best_performance < 40.0
+        assert set(optimizer.best_hparams) == {"tau_active", "rho_update", "delta_new"}
+
+
+class TestStreamingServer:
+    def test_multi_client_serving(self):
+        pytest.importorskip("websockets")
+        from websockets.sync.client import connect
+
+        from diart_tpu.runtime.server import StreamingServer
+
+        engine = MultiStreamEngine(
+            segmentation=fake_segmentation(),
+            embedding=fake_embedding(),
+            batch_size=2,
+            **PIPELINE_PARAMS,
+        )
+        port = 7311
+        server = StreamingServer(
+            engine, tau_active=0.6, host="127.0.0.1", port=port, realtime=False
+        )
+        thread = threading.Thread(target=server.run, daemon=True)
+        thread.start()
+        time.sleep(0.5)
+
+        audios = {
+            uri: synth_audio(turns, TOTAL, seed=i)
+            for i, (uri, turns) in enumerate(FILES.items())
+        }
+        received = {uri: [] for uri in FILES}
+
+        def client(uri):
+            audio = audios[uri]
+            step_samples = int(PIPELINE_PARAMS["step"] * SAMPLE_RATE)
+            with connect(f"ws://127.0.0.1:{port}") as ws:
+                for start in range(0, audio.shape[1], step_samples):
+                    ws.send(encode_audio(audio[:, start : start + step_samples]))
+                    time.sleep(0.01)
+                deadline = time.time() + 30
+                while time.time() < deadline:
+                    try:
+                        msg = ws.recv(timeout=1.0)
+                        received[uri].append(msg)
+                    except TimeoutError:
+                        # engine may still be compiling; keep waiting, but
+                        # stop once we have output and the stream went quiet
+                        if received[uri]:
+                            break
+                    except Exception:
+                        break
+
+        threads = [threading.Thread(target=client, args=(u,)) for u in FILES]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        server.close()
+        thread.join(timeout=10)
+
+        for uri in FILES:
+            assert received[uri], f"client {uri} received no RTTM"
+            text = "".join(received[uri])
+            assert "SPEAKER" in text
