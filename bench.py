@@ -24,7 +24,17 @@ import numpy as np
 
 
 def main():
+    from pathlib import Path
+
     import jax
+
+    # Persistent compilation cache: the remote TPU compile service has high
+    # latency variance (observed 1-30 min for the same program); cached
+    # executables make reruns deterministic and fast.
+    cache_dir = Path(__file__).resolve().parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from diart_tpu.models import EmbeddingModel, SegmentationModel
     from diart_tpu.parallel import MultiStreamEngine

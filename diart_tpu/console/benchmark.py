@@ -35,6 +35,12 @@ def run():
     add_common_pipeline_args(parser)
     parser.add_argument("--batch-size", default=32, type=int, help=f"{argdoc.BATCH_SIZE}. Defaults to 32")
     parser.add_argument("--num-workers", default=0, type=int, help=f"{argdoc.NUM_WORKERS}. Defaults to 0")
+    parser.add_argument(
+        "--multi-stream",
+        action="store_true",
+        help="Run all files as one batched on-device engine session "
+        "(TPU-native replacement for --num-workers)",
+    )
     parser.add_argument("--output", type=Path, help=f"{argdoc.OUTPUT}")
     args = parser.parse_args()
 
@@ -55,6 +61,7 @@ def run():
         show_progress=True,
         show_report=True,
         batch_size=args.batch_size,
+        multi_stream=args.multi_stream,
     )
     config = pipeline_class.get_config_class()(**vars(args))
     if args.num_workers > 0:

@@ -38,6 +38,25 @@ def _seed_from_name(name: str) -> int:
     return abs(hash(name)) % (2**31)
 
 
+def _init_params(module, seed: int, samples: int):
+    """Initialize parameters on the host CPU backend.
+
+    Running ``module.init`` on the accelerator compiles a full forward pass
+    just to produce random weights (observed ~2 min over the remote-TPU
+    tunnel); the CPU backend does it in seconds and the arrays migrate to the
+    accelerator lazily on first use.
+    """
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    dummy = jnp.zeros((1, 1, samples))
+    if cpu is None:
+        return module.init(jax.random.PRNGKey(seed), dummy)
+    with jax.default_device(cpu):
+        return module.init(jax.random.PRNGKey(seed), dummy)
+
+
 class LazyModel:
     """Defers building module+params until first use."""
 
@@ -78,9 +97,7 @@ def _load_native(path: Path, module_cls):
     path = Path(path)
     config = json.loads(path.with_suffix(path.suffix + ".json").read_text())
     module = module_cls(**config.get("module", {}))
-    dummy = module.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 1, config.get("init_samples", 16000)))
-    )
+    dummy = _init_params(module, 0, config.get("init_samples", 16000))
     params = serialization.from_bytes(dummy, path.read_bytes())
     return module, params, config
 
@@ -154,9 +171,8 @@ class SegmentationModel(LazyModel):
                     linear_dims=tuple(kwargs.get("linear_dims", (128, 128))),
                 )
             samples = kwargs.get("init_samples", 80000)
-            params = module.init(
-                jax.random.PRNGKey(kwargs.get("seed", _seed_from_name(name))),
-                jnp.zeros((1, 1, samples)),
+            params = _init_params(
+                module, kwargs.get("seed", _seed_from_name(name)), samples
             )
             meta = {"sample_rate": 16000, "name": name}
             return module, params, meta
@@ -199,10 +215,18 @@ class SegmentationModel(LazyModel):
 
     # ------------------------------------------------------------------ #
     @property
+    def powerset(self):
+        """(num_speakers, max_simultaneous) when the model emits powerset
+        classes — set at construction or discovered by the loader (e.g.
+        pyannote segmentation-3.0 checkpoints)."""
+        self.load()
+        return self._powerset or self.meta.get("powerset")
+
+    @property
     def num_speakers(self) -> int:
         self.load()
-        if self._powerset is not None:
-            return self._powerset[0]
+        if self.powerset is not None:
+            return self.powerset[0]
         return getattr(self.module, "num_speakers", 4)
 
     @property
@@ -217,8 +241,8 @@ class SegmentationModel(LazyModel):
         if self.params is None:  # ONNX host fallback
             raise RuntimeError("ONNX models cannot run inside jitted pipelines")
         module = self.module
-        if self._powerset is not None:
-            mapping = powerset_mapping(*self._powerset)
+        if self.powerset is not None:
+            mapping = powerset_mapping(*self.powerset)
 
             def fn(params, waveform):
                 scores = module.apply(params, waveform)
@@ -305,9 +329,8 @@ class EmbeddingModel(LazyModel):
         def loader():
             module = XVectorSincNet(embedding_dim=kwargs.get("embedding_dim", 512))
             samples = kwargs.get("init_samples", 80000)
-            params = module.init(
-                jax.random.PRNGKey(kwargs.get("seed", _seed_from_name(name))),
-                jnp.zeros((1, 1, samples)),
+            params = _init_params(
+                module, kwargs.get("seed", _seed_from_name(name)), samples
             )
             return module, params, {"sample_rate": 16000, "name": name}
 

@@ -193,7 +193,9 @@ class Benchmark:
         show_progress: bool = True,
         show_report: bool = True,
         batch_size: int = 32,
+        multi_stream: bool = False,
     ):
+        self.multi_stream = multi_stream
         self.speech_path = Path(speech_path).expanduser()
         assert self.speech_path.is_dir(), "Speech path must be a directory"
         msg = "Benchmark expected reference path, output path or both"
@@ -252,12 +254,100 @@ class Benchmark:
             metric(ref, hyp)
         return metric.report(display=self.show_report)
 
+    def run_multi_stream(
+        self, pipeline_class: type, config: blocks.PipelineConfig
+    ) -> List[Annotation]:
+        """Run ALL files as one batched engine session: files become the
+        stream dimension of a fused :class:`MultiStreamEngine` step — the
+        on-chip replacement for the reference's per-file loop and process
+        pool (``inference.py:435-559``)."""
+        from ..models import EmbeddingModel, SegmentationModel
+        from ..parallel.engine import MultiStreamEngine
+        from ..parallel.session import MultiStreamSession
+        from ..audio import AudioLoader
+        from .sinks import PredictionAccumulator
+
+        assert pipeline_class is blocks.SpeakerDiarization, (
+            "multi_stream benchmarking currently supports SpeakerDiarization"
+        )
+        paths = self.get_file_paths()
+        b = len(paths)
+        engine = MultiStreamEngine(
+            segmentation=config.segmentation,
+            embedding=config.embedding,
+            duration=config.duration,
+            step=config.step,
+            latency=config.latency,
+            sample_rate=config.sample_rate,
+            tau_active=config.tau_active,
+            rho_update=config.rho_update,
+            delta_new=config.delta_new,
+            gamma=config.gamma,
+            beta=config.beta,
+            max_speakers=config.max_speakers,
+            normalize_embedding_weights=config.normalize_embedding_weights,
+            batch_size=b,
+        )
+        loader = AudioLoader(config.sample_rate, mono=True)
+        waveforms, shifts = [], []
+        for path in paths:
+            left, right = config.get_file_padding(path)
+            wave = loader.load(path)[0]
+            sr = config.sample_rate
+            wave = np.concatenate(
+                [
+                    np.zeros(int(np.rint(left * sr)), np.float32),
+                    wave,
+                    np.zeros(int(np.rint(right * sr)), np.float32),
+                ]
+            )
+            waveforms.append(wave)
+            shifts.append(-left)
+
+        session = MultiStreamSession(
+            engine,
+            uris=[p.stem for p in paths],
+            tau_active=config.tau_active,
+            timestamp_shifts=shifts,
+            collect_audio=False,
+        )
+        accumulators = [PredictionAccumulator(p.stem) for p in paths]
+        n = engine.step_samples
+        num_blocks = max(int(np.ceil(len(w) / n)) for w in waveforms)
+        for blk in range(num_blocks):
+            present = np.zeros(b, bool)
+            batch = np.zeros((b, n), np.float32)
+            for i, wave in enumerate(waveforms):
+                piece = wave[blk * n : (blk + 1) * n]
+                if piece.shape[0] > 0:
+                    batch[i, : piece.shape[0]] = piece
+                    present[i] = True
+            outputs = session.push(batch, present)
+            for i, out in enumerate(outputs):
+                if out is not None:
+                    accumulators[i].on_next(out[0])
+
+        predictions = []
+        for i, path in enumerate(paths):
+            pred = accumulators[i].get_prediction()
+            pred.uri = path.stem
+            predictions.append(pred)
+            if self.output_path is not None:
+                with open(self.output_path / f"{path.stem}.rttm", "w") as out:
+                    pred.write_rttm(out)
+        return predictions
+
     def __call__(
         self,
         pipeline_class: type,
         config: blocks.PipelineConfig,
         metric: Optional[BaseMetric] = None,
     ) -> Union[pd.DataFrame, List[Annotation]]:
+        if self.multi_stream:
+            predictions = self.run_multi_stream(pipeline_class, config)
+            metric = pipeline_class.suggest_metric() if metric is None else metric
+            return self.evaluate(predictions, metric)
+
         audio_file_paths = self.get_file_paths()
         num_files = len(audio_file_paths)
         pipeline = pipeline_class(config)

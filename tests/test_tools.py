@@ -81,6 +81,26 @@ class TestBenchmark:
         pred = load_rttm(out / "conv1.rttm")["conv1"]
         assert pred.get_timeline().extent().start >= -0.1
 
+    def test_multi_stream_matches_sequential(self, corpus, tmp_path):
+        """Files-as-streams batched benchmarking must match the sequential
+        per-file path."""
+        audio_dir, rttm_dir = corpus
+        name = SpeakerDiarization.suggest_metric().name
+
+        seq = Benchmark(
+            audio_dir, rttm_dir, show_progress=False, show_report=False, batch_size=8
+        )(SpeakerDiarization, make_config())
+        ms = Benchmark(
+            audio_dir, rttm_dir, tmp_path / "ms", show_progress=False,
+            show_report=False, multi_stream=True,
+        )(SpeakerDiarization, make_config())
+
+        seq_total = seq.loc["TOTAL", name]["%"]
+        ms_total = ms.loc["TOTAL", name]["%"]
+        assert abs(seq_total - ms_total) < 2.0, (seq_total, ms_total)
+        for uri in FILES:
+            assert (tmp_path / "ms" / f"{uri}.rttm").exists()
+
     def test_predictions_without_reference(self, corpus, tmp_path):
         audio_dir, _ = corpus
         benchmark = Benchmark(
