@@ -34,7 +34,9 @@ def main():
     cache_dir = Path(__file__).resolve().parent / ".jax_cache"
     cache_dir.mkdir(exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # only cache the big TPU programs: small CPU executables are AOT-compiled
+    # for the exact host CPU and are not portable between machines
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     from diart_tpu.models import EmbeddingModel, SegmentationModel
     from diart_tpu.parallel import MultiStreamEngine

@@ -1,6 +1,8 @@
 from .base import EmbeddingModel, LazyModel, SegmentationModel
 from .segmentation import PyanNet
 from .embedding import XVectorSincNet, weighted_stats_pool, resample_weights
+from .ecapa import EcapaTDNN
+from .fbank import log_mel_filterbank, mel_filter_matrix, num_fbank_frames
 from .sincnet import SincNet, SincConv, num_sincnet_frames
 from .lstm import BiLSTM
 from .powerset import num_powerset_classes, powerset_mapping, to_multilabel
@@ -11,6 +13,10 @@ __all__ = [
     "EmbeddingModel",
     "PyanNet",
     "XVectorSincNet",
+    "EcapaTDNN",
+    "log_mel_filterbank",
+    "mel_filter_matrix",
+    "num_fbank_frames",
     "SincNet",
     "SincConv",
     "BiLSTM",

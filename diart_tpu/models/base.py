@@ -327,7 +327,15 @@ class EmbeddingModel(LazyModel):
     @staticmethod
     def from_registry(name: str, **kwargs) -> "EmbeddingModel":
         def loader():
-            module = XVectorSincNet(embedding_dim=kwargs.get("embedding_dim", 512))
+            if name == "tpu/ecapa":
+                from .ecapa import EcapaTDNN
+
+                module = EcapaTDNN(
+                    embedding_dim=kwargs.get("embedding_dim", 192),
+                    channels=kwargs.get("channels", 512),
+                )
+            else:
+                module = XVectorSincNet(embedding_dim=kwargs.get("embedding_dim", 512))
             samples = kwargs.get("init_samples", 80000)
             params = _init_params(
                 module, kwargs.get("seed", _seed_from_name(name)), samples

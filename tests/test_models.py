@@ -152,3 +152,60 @@ class TestTraining:
             state, loss = step(state, waves, targets)
             losses.append(float(loss))
         assert losses[-1] < losses[0]
+
+
+class TestEcapa:
+    def test_shapes_and_weighted_head(self, rng):
+        from diart_tpu.models import EmbeddingModel
+
+        emb = EmbeddingModel.from_pretrained("tpu/ecapa", init_samples=16000)
+        emb.load()
+        import jax.numpy as jnp
+
+        wave = jnp.asarray(
+            rng.normal(scale=0.1, size=(2, 1, 16000)).astype(np.float32)
+        )
+        frames = emb.trunk_fn()(emb.params, wave)
+        assert frames.shape[0] == 2 and frames.shape[2] == 3 * 512
+        w = jnp.asarray(rng.uniform(0, 1, (2, 3, 100)).astype(np.float32))
+        out = np.asarray(emb.head_fn()(emb.params, frames, w))
+        assert out.shape == (2, 3, 192)
+        assert np.isfinite(out).all()
+
+    def test_weights_differentiate_speakers(self, rng):
+        """Disjoint temporal weights over different content must produce
+        different embeddings; identical weights identical ones."""
+        from diart_tpu.models import EmbeddingModel
+        import jax.numpy as jnp
+
+        emb = EmbeddingModel.from_pretrained("tpu/ecapa", init_samples=16000)
+        emb.load()
+        wave = rng.normal(scale=0.1, size=(1, 1, 16000)).astype(np.float32)
+        wave[0, 0, :8000] += np.sin(2 * np.pi * 440 * np.arange(8000) / 16000)
+        frames = emb.trunk_fn()(emb.params, jnp.asarray(wave))
+        T = frames.shape[1]
+        w = np.zeros((1, 3, T), np.float32)
+        w[0, 0, : T // 2] = 1.0
+        w[0, 1, T // 2 :] = 1.0
+        w[0, 2, : T // 2] = 1.0  # same as speaker 0
+        out = np.asarray(emb.head_fn()(emb.params, frames, jnp.asarray(w)))
+        np.testing.assert_allclose(out[0, 0], out[0, 2], atol=1e-5)
+        assert np.linalg.norm(out[0, 0] - out[0, 1]) > 1e-3
+
+
+class TestFbank:
+    def test_tone_lands_in_right_mel_band(self):
+        from diart_tpu.models import log_mel_filterbank, mel_filter_matrix
+        import jax.numpy as jnp
+
+        sr = 16000
+        t = np.arange(sr) / sr
+        for f0 in (300.0, 2000.0):
+            x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+            mel = np.asarray(log_mel_filterbank(jnp.asarray(x[None]), sample_rate=sr))
+            band = mel.mean(axis=1)[0].argmax()
+            # the peak band's center frequency should be near f0
+            filters = mel_filter_matrix(80, 400, sr)
+            freqs = np.arange(201) * sr / 400
+            center = freqs[filters[band].argmax()]
+            assert abs(center - f0) < max(120, 0.2 * f0), (f0, center)
