@@ -19,11 +19,19 @@ without reshuffling.
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 __all__ = ["BiLSTM"]
+
+
+def _use_pallas_default() -> bool:
+    """The Pallas sweep kernel is opt-in via DIART_TPU_PALLAS_LSTM=1
+    (bit-equivalent to the scan path; see ops/pallas_lstm.py)."""
+    return os.environ.get("DIART_TPU_PALLAS_LSTM", "0") == "1"
 
 
 def _bidirectional_scan(proj: jnp.ndarray, w_hh: jnp.ndarray, hidden: int) -> jnp.ndarray:
@@ -58,10 +66,14 @@ class BiLSTM(nn.Module):
 
     hidden_size: int = 128
     num_layers: int = 4
+    use_pallas: bool = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (batch, time, features) -> (batch, time, 2*hidden)"""
+        use_pallas = (
+            _use_pallas_default() if self.use_pallas is None else self.use_pallas
+        )
         h = self.hidden_size
         for layer in range(self.num_layers):
             in_dim = x.shape[-1]
@@ -84,6 +96,11 @@ class BiLSTM(nn.Module):
                 + b[:, None, None, :]
             ).astype(x.dtype)
 
-            out = _bidirectional_scan(proj, w_hh, h)
+            if use_pallas:
+                from ..ops.pallas_lstm import lstm_sweep
+
+                out = lstm_sweep(proj, w_hh)
+            else:
+                out = _bidirectional_scan(proj, w_hh, h)
             x = jnp.concatenate([out[0], out[1][:, ::-1, :]], axis=-1)
         return x

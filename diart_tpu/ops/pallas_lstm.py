@@ -1,0 +1,125 @@
+"""Pallas TPU kernel: fused recurrent LSTM sweep.
+
+The segmentation model's BiLSTM is the latency-critical sequential op in the
+streaming hot path (~293 timesteps per 5 s chunk; SURVEY.md hard part 4).
+Under plain ``lax.scan`` every timestep is a separate tiny HLO loop
+iteration whose recurrent weights are re-fetched from HBM. This kernel runs
+the whole time sweep inside one Pallas program:
+
+* the recurrent weights ``w_hh (2, 4H, H)`` and the running ``h``/``c``
+  state stay resident in VMEM for the entire sweep;
+* the pre-computed input projections stream from HBM with double-buffered
+  async DMA (two time-step slots), so the MXU matmul of step ``t`` overlaps
+  the fetch of step ``t+1``;
+* both directions run in the same kernel (the caller time-flips direction 1,
+  exactly like the XLA path in :mod:`diart_tpu.models.lstm`).
+
+The kernel computes gates in f32 on the MXU (``preferred_element_type``) and
+matches the XLA path bit-for-bit at f32 within normal accumulation noise —
+verified by parity tests (interpret mode on CPU, compiled on TPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["lstm_sweep"]
+
+
+def _lstm_kernel(proj_ref, w_hh_ref, out_ref, h_scr, c_scr, x_scr, sem):
+    """proj_ref: (2, B, T, 4H) in ANY/HBM; w_hh_ref: (2, 4H, H) VMEM;
+    out_ref: (2, B, T, H) in ANY/HBM; scratch: h/c (2, B, H) VMEM,
+    x (2 slots, 2, B, 4H) VMEM, sem: 2 DMA + 1 out semaphore."""
+    _, batch, time, gates4 = proj_ref.shape
+    hidden = gates4 // 4
+
+    h_scr[...] = jnp.zeros_like(h_scr)
+    c_scr[...] = jnp.zeros_like(c_scr)
+
+    def fetch(slot, t):
+        return pltpu.make_async_copy(
+            proj_ref.at[:, :, t], x_scr.at[slot], sem.at[slot]
+        )
+
+    # warm-up: start the first timestep's DMA
+    fetch(0, 0).start()
+
+    def step(t, _):
+        slot = jax.lax.rem(t, 2)
+        next_slot = jax.lax.rem(t + 1, 2)
+
+        @pl.when(t + 1 < time)
+        def _():
+            fetch(next_slot, t + 1).start()
+
+        fetch(slot, t).wait()
+
+        xt = x_scr[slot]  # (2, B, 4H)
+        h = h_scr[...]
+        gates = xt + jax.lax.dot_general(
+            h,
+            w_hh_ref[...],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(xt.dtype)
+        i = jax.nn.sigmoid(gates[..., 0 * hidden : 1 * hidden])
+        f = jax.nn.sigmoid(gates[..., 1 * hidden : 2 * hidden])
+        g = jnp.tanh(gates[..., 2 * hidden : 3 * hidden])
+        o = jax.nn.sigmoid(gates[..., 3 * hidden : 4 * hidden])
+        c = f * c_scr[...] + i * g
+        h = o * jnp.tanh(c)
+        c_scr[...] = c
+        h_scr[...] = h
+
+        # write h back to HBM (async; the next iteration's state lives in
+        # VMEM so we only need the copy to finish by kernel end)
+        out_copy = pltpu.make_async_copy(h_scr, out_ref.at[:, :, t], sem.at[2])
+        out_copy.start()
+        out_copy.wait()
+        return 0
+
+    jax.lax.fori_loop(0, time, step, 0)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def lstm_sweep(
+    proj: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Run a bidirectional LSTM recurrence over pre-projected inputs.
+
+    Parameters
+    ----------
+    proj: (2, batch, time, 4*hidden) — input projections incl. bias
+        (direction 1 already time-flipped).
+    w_hh: (2, 4*hidden, hidden) — recurrent weights (PyTorch gate order).
+
+    Returns
+    -------
+    (2, batch, time, hidden) hidden states (direction 1 still flipped).
+    """
+    dirs, batch, time, gates4 = proj.shape
+    hidden = gates4 // 4
+    return pl.pallas_call(
+        _lstm_kernel,
+        out_shape=jax.ShapeDtypeStruct((dirs, batch, time, hidden), proj.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # proj streams via DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_hh resident
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((dirs, batch, hidden), proj.dtype),  # h
+            pltpu.VMEM((dirs, batch, hidden), proj.dtype),  # c
+            pltpu.VMEM((2, dirs, batch, gates4), proj.dtype),  # x double buffer
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1.2e8),
+        ),
+    )(proj, w_hh)

@@ -265,3 +265,38 @@ class TestResample:
     def test_identity(self):
         x = jnp.ones((100,))
         assert resample(x, 16000, 16000) is x
+
+
+class TestPallasLSTM:
+    def test_interpret_matches_scan(self, rng):
+        from diart_tpu.models.lstm import _bidirectional_scan
+        from diart_tpu.ops.pallas_lstm import lstm_sweep
+
+        D, B, T, H = 2, 3, 17, 8
+        proj = jnp.asarray(rng.normal(size=(D, B, T, 4 * H)).astype(np.float32))
+        w_hh = jnp.asarray(
+            rng.normal(scale=0.3, size=(D, 4 * H, H)).astype(np.float32)
+        )
+        want = np.asarray(_bidirectional_scan(proj, w_hh, H))
+        got = np.asarray(lstm_sweep(proj, w_hh, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_bilstm_module_pallas_flag(self, rng):
+        from diart_tpu.models.lstm import BiLSTM
+
+        x = jnp.asarray(rng.normal(size=(2, 11, 6)).astype(np.float32))
+        ref_model = BiLSTM(hidden_size=8, num_layers=2, use_pallas=False)
+        params = ref_model.init(jax.random.PRNGKey(0), x)
+        want = np.asarray(ref_model.apply(params, x))
+        # pallas path compiles on TPU; on CPU it runs via pallas interpret
+        # machinery only when requested, so emulate via interpret env
+        from diart_tpu.ops import pallas_lstm
+
+        orig = pallas_lstm.lstm_sweep
+        pallas_lstm.lstm_sweep = lambda p, w: orig(p, w, interpret=True)
+        try:
+            pl_model = BiLSTM(hidden_size=8, num_layers=2, use_pallas=True)
+            got = np.asarray(pl_model.apply(params, x))
+        finally:
+            pallas_lstm.lstm_sweep = orig
+        np.testing.assert_allclose(got, want, atol=1e-5)
