@@ -91,9 +91,19 @@ class AudioLoader:
 
     def load(self, filepath: FilePath) -> np.ndarray:
         """Returns (channels, samples) — (1, samples) when mono."""
-        waveform, rate = self._decode(filepath)
-        if self.mono and waveform.shape[0] > 1:
-            waveform = waveform.mean(axis=0, keepdims=True)
+        waveform = None
+        rate = None
+        if self.mono and str(filepath).lower().endswith(".wav"):
+            # native C++ fast path (decode + downmix in one pass)
+            from .native import wav_decode_mono
+
+            decoded = wav_decode_mono(filepath)
+            if decoded is not None:
+                waveform, rate = decoded
+        if waveform is None:
+            waveform, rate = self._decode(filepath)
+            if self.mono and waveform.shape[0] > 1:
+                waveform = waveform.mean(axis=0, keepdims=True)
         if rate != self.sample_rate:
             from .ops.resample import resample
 
