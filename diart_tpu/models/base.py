@@ -34,6 +34,11 @@ from .sincnet import num_sincnet_frames
 __all__ = ["LazyModel", "SegmentationModel", "EmbeddingModel"]
 
 
+def _dtype_kwarg(kwargs):
+    dtype = kwargs.get("dtype", "f32")
+    return jnp.bfloat16 if dtype in ("bf16", "bfloat16") else jnp.float32
+
+
 def _seed_from_name(name: str) -> int:
     return abs(hash(name)) % (2**31)
 
@@ -169,6 +174,7 @@ class SegmentationModel(LazyModel):
                     lstm_hidden=kwargs.get("lstm_hidden", 128),
                     lstm_layers=kwargs.get("lstm_layers", 4),
                     linear_dims=tuple(kwargs.get("linear_dims", (128, 128))),
+                    compute_dtype=_dtype_kwarg(kwargs),
                 )
             samples = kwargs.get("init_samples", 80000)
             params = _init_params(
@@ -335,7 +341,10 @@ class EmbeddingModel(LazyModel):
                     channels=kwargs.get("channels", 512),
                 )
             else:
-                module = XVectorSincNet(embedding_dim=kwargs.get("embedding_dim", 512))
+                module = XVectorSincNet(
+                    embedding_dim=kwargs.get("embedding_dim", 512),
+                    compute_dtype=_dtype_kwarg(kwargs),
+                )
             samples = kwargs.get("init_samples", 80000)
             params = _init_params(
                 module, kwargs.get("seed", _seed_from_name(name)), samples

@@ -101,6 +101,7 @@ class XVectorSincNet(nn.Module):
 
     embedding_dim: int = 512
     sample_rate: int = 16000
+    compute_dtype: jnp.dtype = jnp.float32
     tdnn_specs: Tuple[Tuple[int, int, int], ...] = (
         (5, 1, 512),
         (3, 2, 512),
@@ -110,7 +111,11 @@ class XVectorSincNet(nn.Module):
     )
 
     def setup(self):
-        self.sincnet = SincNet(sample_rate=self.sample_rate, name="sincnet")
+        self.sincnet = SincNet(
+            sample_rate=self.sample_rate,
+            compute_dtype=self.compute_dtype,
+            name="sincnet",
+        )
         self.tdnns = [
             nn.Conv(
                 features=channels,
@@ -118,6 +123,8 @@ class XVectorSincNet(nn.Module):
                 kernel_dilation=(dilation,),
                 padding="VALID",
                 name=f"tdnn{i}",
+                dtype=self.compute_dtype,
+                param_dtype=jnp.float32,
             )
             for i, (kernel, dilation, channels) in enumerate(self.tdnn_specs)
         ]
@@ -136,12 +143,12 @@ class XVectorSincNet(nn.Module):
     def trunk(self, waveform: jnp.ndarray) -> jnp.ndarray:
         """waveform: (batch, 1, samples) -> (batch, frames, channels)."""
         x = self.sincnet(waveform)
-        x = jnp.swapaxes(x, 1, 2)  # (B, T, 60)
+        x = jnp.swapaxes(x, 1, 2).astype(self.compute_dtype)  # (B, T, 60)
         for conv, norm in zip(self.tdnns, self.tdnn_norms):
             x = conv(x)
             x = nn.leaky_relu(x, negative_slope=0.01)
-            x = norm(x)
-        return x
+            x = norm(x.astype(jnp.float32)).astype(self.compute_dtype)
+        return x.astype(jnp.float32)
 
     def head(
         self, frames: jnp.ndarray, weights: Optional[jnp.ndarray] = None

@@ -37,6 +37,7 @@ class PyanNet(nn.Module):
 
     num_speakers: int = 4
     sample_rate: int = 16000
+    compute_dtype: "jnp.dtype" = jnp.float32
     lstm_hidden: int = 128
     lstm_layers: int = 4
     linear_dims: tuple = (128, 128)
@@ -50,7 +51,11 @@ class PyanNet(nn.Module):
         ``powerset_classes`` is set, in which case raw log-softmax powerset
         scores are returned.
         """
-        x = SincNet(sample_rate=self.sample_rate, name="sincnet")(waveform)
+        x = SincNet(
+            sample_rate=self.sample_rate,
+            compute_dtype=self.compute_dtype,
+            name="sincnet",
+        )(waveform)
         x = jnp.swapaxes(x, 1, 2)  # (batch, frames, 60)
         x = BiLSTM(
             hidden_size=self.lstm_hidden, num_layers=self.lstm_layers, name="lstm"

@@ -115,10 +115,16 @@ def _max_pool_time(x: jnp.ndarray, window: int) -> jnp.ndarray:
 
 
 class SincNet(nn.Module):
-    """The full SincNet trunk (see module docstring)."""
+    """The full SincNet trunk (see module docstring).
+
+    compute_dtype: activation dtype for the convolution stack. bf16 keeps
+    the MXU on its fast path with f32 parameters/accumulation; the waveform
+    instance-norm and sinc filter synthesis stay f32 (audio dynamic range).
+    """
 
     stride: int = 10
     sample_rate: int = 16000
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, waveform: jnp.ndarray) -> jnp.ndarray:
@@ -140,7 +146,10 @@ class SincNet(nn.Module):
                 kernel_size=(5,),
                 padding="VALID",
                 name=f"conv{i + 2}",
-            )(jnp.swapaxes(x, 1, 2))
+                dtype=self.compute_dtype,
+                param_dtype=jnp.float32,
+            )(jnp.swapaxes(x, 1, 2).astype(self.compute_dtype))
+            x = x.astype(jnp.float32)
             x = jnp.swapaxes(x, 1, 2)
             x = _max_pool_time(x, 3)
             s = self.param(f"norm{i + 2}_scale", nn.initializers.ones, (channels,))
