@@ -1,9 +1,11 @@
 from .rx import Observable, Observer, Subject, ops
 from .sources import (
+    AppleDeviceAudioSource,
     AudioSource,
     FileAudioSource,
     IteratorAudioSource,
     MicrophoneAudioSource,
+    TorchStreamAudioSource,
     WebSocketAudioSource,
 )
 from .sinks import (
@@ -24,6 +26,8 @@ __all__ = [
     "IteratorAudioSource",
     "MicrophoneAudioSource",
     "WebSocketAudioSource",
+    "TorchStreamAudioSource",
+    "AppleDeviceAudioSource",
     "PredictionAccumulator",
     "RTTMWriter",
     "StreamingPlot",

@@ -27,6 +27,8 @@ __all__ = [
     "IteratorAudioSource",
     "MicrophoneAudioSource",
     "WebSocketAudioSource",
+    "TorchStreamAudioSource",
+    "AppleDeviceAudioSource",
 ]
 
 
@@ -281,3 +283,74 @@ class WebSocketAudioSource(AudioSource):
             asyncio.run_coroutine_threadsafe(
                 self._client.send(message), self._loop
             )
+
+
+class TorchStreamAudioSource(AudioSource):
+    """Streaming decode of arbitrary containers/devices via torchaudio's
+    StreamReader (parity: ``sources.py:274-322``; optional dependency).
+    Without torchaudio, wrap any block iterator in
+    :class:`IteratorAudioSource` instead."""
+
+    def __init__(
+        self,
+        uri: Text,
+        sample_rate: int,
+        streamer=None,
+        stream_index: Optional[int] = None,
+        block_duration: float = 0.5,
+    ):
+        try:
+            from torchaudio.io import StreamReader  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "TorchStreamAudioSource requires `torchaudio`; for generic "
+                "streams use IteratorAudioSource"
+            ) from e
+        super().__init__(uri, sample_rate)
+        self.block_size = int(np.rint(block_duration * self.sample_rate))
+        self._streamer = streamer
+        self._streamer.add_basic_audio_stream(
+            frames_per_chunk=self.block_size,
+            stream_index=stream_index,
+            format="fltp",
+            sample_rate=self.sample_rate,
+        )
+        self.is_closed = False
+
+    def read(self):
+        for item in self._streamer.stream():
+            if self.is_closed:
+                break
+            try:
+                chunk = np.mean(item[0].numpy(), axis=1, keepdims=True).T
+                self.stream.on_next(chunk)
+            except BaseException as e:
+                self.stream.on_error(e)
+                break
+        self.stream.on_completed()
+        self.close()
+
+    def close(self):
+        self.is_closed = True
+
+
+class AppleDeviceAudioSource(TorchStreamAudioSource):
+    """macOS avfoundation capture device (parity: ``sources.py:312-322``)."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        device: str = "0:0",
+        stream_index: int = 0,
+        block_duration: float = 0.5,
+    ):
+        from torchaudio.io import StreamReader
+
+        streamer = StreamReader(device, format="avfoundation")
+        super().__init__(
+            f"apple_input_device:{device}",
+            sample_rate,
+            streamer,
+            stream_index,
+            block_duration,
+        )

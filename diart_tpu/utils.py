@@ -105,3 +105,44 @@ def parse_hf_token_arg(hf_token: Union[bool, str]) -> Union[bool, str]:
 def repeat_label(label: str) -> Iterator[str]:
     while True:
         yield label
+
+
+def visualize_feature(duration=None):
+    """Notebook helper: plot a SlidingWindowFeature (reference
+    ``utils.py:91-102``)."""
+
+    def apply(feature):
+        import matplotlib.pyplot as plt
+
+        sw = feature.sliding_window
+        times = sw.start + np.arange(feature.data.shape[0]) * sw.step
+        plt.figure(figsize=(8, 2))
+        plt.plot(times, feature.data)
+        if duration is not None:
+            plt.xlim(times[-1] - duration, times[-1])
+        plt.tight_layout()
+        plt.show()
+
+    return apply
+
+
+def visualize_annotation(duration=None):
+    """Notebook helper: plot an Annotation timeline (reference
+    ``utils.py:105-117``)."""
+
+    def apply(annotation):
+        import matplotlib.pyplot as plt
+
+        labels = annotation.labels()
+        plt.figure(figsize=(8, 2))
+        for i, label in enumerate(labels):
+            for seg in annotation.label_timeline(label):
+                plt.plot([seg.start, seg.end], [i, i], lw=8)
+        extent = annotation.get_timeline().extent()
+        if duration is not None:
+            plt.xlim(extent.end - duration, extent.end)
+        plt.yticks(range(len(labels)), labels)
+        plt.tight_layout()
+        plt.show()
+
+    return apply
