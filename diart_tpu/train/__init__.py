@@ -4,5 +4,14 @@ from .segmentation import (
     pit_bce_loss,
     train_step,
 )
+from .checkpoint import latest_checkpoint, restore_train_state, save_train_state
 
-__all__ = ["TrainState", "make_train_state", "pit_bce_loss", "train_step"]
+__all__ = [
+    "TrainState",
+    "make_train_state",
+    "pit_bce_loss",
+    "train_step",
+    "save_train_state",
+    "restore_train_state",
+    "latest_checkpoint",
+]

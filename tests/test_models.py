@@ -209,3 +209,45 @@ class TestFbank:
             freqs = np.arange(201) * sr / 400
             center = freqs[filters[band].argmax()]
             assert abs(center - f0) < max(120, 0.2 * f0), (f0, center)
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        from diart_tpu.train import (
+            make_train_state,
+            restore_train_state,
+            save_train_state,
+            latest_checkpoint,
+        )
+
+        seg = SegmentationModel.from_pretrained(
+            "tpu/pyannet", num_speakers=2, lstm_hidden=8, lstm_layers=1,
+            linear_dims=(8,), init_samples=4000,
+        )
+        seg.load()
+        state, tx = make_train_state(seg.params)
+        state = state._replace(step=jnp.asarray(7, jnp.int32))
+        save_train_state(tmp_path, state)
+        assert latest_checkpoint(tmp_path).name == "step_00000007.msgpack"
+
+        fresh, _ = make_train_state(seg.params)
+        restored = restore_train_state(tmp_path, fresh)
+        assert int(restored.step) == 7
+        a = jax.tree_util.tree_leaves(state.params)
+        b = jax.tree_util.tree_leaves(restored.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_pruning(self, tmp_path):
+        from diart_tpu.train import make_train_state, save_train_state
+
+        seg = SegmentationModel.from_pretrained(
+            "tpu/pyannet", num_speakers=2, lstm_hidden=8, lstm_layers=1,
+            linear_dims=(8,), init_samples=4000,
+        )
+        seg.load()
+        state, _ = make_train_state(seg.params)
+        for step in range(5):
+            save_train_state(tmp_path, state._replace(step=jnp.asarray(step)), keep=2)
+        remaining = sorted(p.name for p in tmp_path.glob("step_*.msgpack"))
+        assert remaining == ["step_00000003.msgpack", "step_00000004.msgpack"]
