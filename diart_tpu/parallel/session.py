@@ -75,6 +75,47 @@ class MultiStreamSession:
         if self.collect_audio:
             self._audio[index] = 0.0
 
+    # ------------------------------------------------------------------ #
+    # Checkpoint / resume (fault recovery for long-running streams — the
+    # reference has no state lifecycle beyond reset(), SURVEY.md §5)
+    # ------------------------------------------------------------------ #
+    def save(self, path) -> None:
+        """Persist the full session (device state + host bookkeeping)."""
+        import json
+        from pathlib import Path
+
+        from flax import serialization
+
+        path = Path(path)
+        path.write_bytes(serialization.to_bytes(self.state))
+        meta = {
+            "uris": self.uris,
+            "shifts": self.shifts,
+            "blocks_seen": self.blocks_seen.tolist(),
+            "tau_active": self.tau_active,
+        }
+        if self.collect_audio:
+            np.save(path.with_suffix(".audio.npy"), self._audio)
+        path.with_suffix(".json").write_text(json.dumps(meta))
+
+    def restore(self, path) -> None:
+        """Resume a previously saved session (same engine geometry)."""
+        import json
+        from pathlib import Path
+
+        from flax import serialization
+
+        path = Path(path)
+        self.state = serialization.from_bytes(self.state, path.read_bytes())
+        meta = json.loads(path.with_suffix(".json").read_text())
+        self.uris = list(meta["uris"])
+        self.shifts = list(meta["shifts"])
+        self.blocks_seen = np.asarray(meta["blocks_seen"], np.int64)
+        self.tau_active = meta["tau_active"]
+        audio_path = path.with_suffix(".audio.npy")
+        if self.collect_audio and audio_path.exists():
+            self._audio = np.load(audio_path)
+
     def push(
         self,
         blocks: np.ndarray,

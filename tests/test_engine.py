@@ -32,6 +32,12 @@ PARAMS = dict(
     sample_rate=SAMPLE_RATE,
 )
 
+
+def params_with(latency):
+    p = dict(PARAMS)
+    p["latency"] = latency
+    return p
+
 STREAM_TURNS = [
     [Turn(0.0, 3.0, 0), Turn(4.0, 7.0, 1), Turn(8.0, 10.0, 0)],
     [Turn(1.0, 4.0, 2), Turn(5.0, 9.0, 0)],
@@ -109,6 +115,52 @@ class TestEngineParity:
             error = der(pred_pipe, pred_eng)
             assert error < 0.02, f"stream {i}: engine vs pipeline DER {error:.4f}"
 
+    @pytest.mark.parametrize("latency", [1.0, 2.0])
+    def test_parity_at_higher_latency(self, latency):
+        """Warm-up aggregation phases and the first-chunk prepend only kick
+        in for latency > step; the engine must still match the host path."""
+        p = params_with(latency)
+        audio = synth_audio(STREAM_TURNS[0], TOTAL, seed=11)
+
+        config = SpeakerDiarizationConfig(
+            segmentation=fake_segmentation(), embedding=fake_embedding(), **p
+        )
+        pipe = SpeakerDiarization(config)
+        chunk_s, step_s = int(DURATION * SAMPLE_RATE), int(STEP * SAMPLE_RATE)
+        res = 1.0 / SAMPLE_RATE
+        pipe_anns = []
+        for start in range(0, audio.shape[1] - chunk_s + 1, step_s):
+            sw = SlidingWindow(start=start / SAMPLE_RATE, duration=res, step=res)
+            out = pipe(
+                [SlidingWindowFeature(audio[0, start : start + chunk_s, None], sw)]
+            )
+            pipe_anns.append(out[0][0])
+
+        engine = MultiStreamEngine(
+            segmentation=fake_segmentation(),
+            embedding=fake_embedding(),
+            batch_size=1,
+            **p,
+        )
+        session = MultiStreamSession(engine, tau_active=p["tau_active"])
+        eng_anns = []
+        for blk in range(int(TOTAL * SAMPLE_RATE) // step_s):
+            outs = session.push(audio[:, blk * step_s : (blk + 1) * step_s])
+            if outs[0] is not None:
+                eng_anns.append(outs[0][0])
+        assert len(pipe_anns) == len(eng_anns)
+
+        from diart_tpu.runtime.sinks import PredictionAccumulator
+
+        acc_p, acc_e = PredictionAccumulator("u"), PredictionAccumulator("u")
+        for a in pipe_anns:
+            acc_p.on_next(a)
+        for a in eng_anns:
+            acc_e.on_next(a)
+        der = DiarizationErrorRate()
+        error = der(acc_p.get_prediction(), acc_e.get_prediction())
+        assert error < 0.02, f"latency={latency}: engine vs pipeline DER {error:.4f}"
+
     def test_accuracy_vs_ground_truth(self):
         batch = len(STREAM_TURNS)
         engine = make_engine(batch)
@@ -173,6 +225,46 @@ class TestEngineParity:
             assert outs[1] is None
         assert session.blocks_seen[1] == 0
         assert any(o is not None for o in outs0)
+
+
+class TestSessionCheckpoint:
+    def test_save_restore_continues_identically(self, tmp_path):
+        """Interrupt a stream mid-way, restore into a fresh session, and the
+        remaining outputs must be identical to the uninterrupted run."""
+        audio = synth_audio(STREAM_TURNS[0], TOTAL, seed=2)
+        step_s = int(STEP * SAMPLE_RATE)
+        num_blocks = int(TOTAL * SAMPLE_RATE) // step_s
+        half = num_blocks // 2
+
+        def fresh_session():
+            engine = make_engine(1)
+            return MultiStreamSession(engine, tau_active=PARAMS["tau_active"])
+
+        # uninterrupted run
+        ref_session = fresh_session()
+        ref_outputs = []
+        for blk in range(num_blocks):
+            out = ref_session.push(audio[:, blk * step_s : (blk + 1) * step_s])
+            if out[0] is not None:
+                ref_outputs.append(out[0][0].to_rttm())
+
+        # interrupted run
+        session = fresh_session()
+        outputs = []
+        for blk in range(half):
+            out = session.push(audio[:, blk * step_s : (blk + 1) * step_s])
+            if out[0] is not None:
+                outputs.append(out[0][0].to_rttm())
+        session.save(tmp_path / "session.msgpack")
+
+        resumed = fresh_session()
+        resumed.restore(tmp_path / "session.msgpack")
+        for blk in range(half, num_blocks):
+            out = resumed.push(audio[:, blk * step_s : (blk + 1) * step_s])
+            if out[0] is not None:
+                outputs.append(out[0][0].to_rttm())
+
+        assert outputs == ref_outputs
 
 
 class TestEngineSharding:
