@@ -24,7 +24,6 @@ including aggregation into one step and batches over streams.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence, Tuple, Union
 
 import jax

@@ -8,7 +8,7 @@ choreography.
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Union
 
 import jax.numpy as jnp
 

@@ -24,12 +24,10 @@ from typing import Any, Callable, Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .embedding import XVectorSincNet
 from .powerset import num_powerset_classes, powerset_mapping, to_multilabel
 from .segmentation import PyanNet
-from .sincnet import num_sincnet_frames
 
 __all__ = ["LazyModel", "SegmentationModel", "EmbeddingModel"]
 

@@ -30,7 +30,7 @@ error message when unavailable.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, Tuple, Union
+from typing import Any, Dict, Union
 
 import jax
 import jax.numpy as jnp

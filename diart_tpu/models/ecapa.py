@@ -17,7 +17,7 @@ exposes ``normalize_embedding_weights`` for them (``README.md`` note,
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -261,7 +261,6 @@ class Benchmark:
         stream dimension of a fused :class:`MultiStreamEngine` step — the
         on-chip replacement for the reference's per-file loop and process
         pool (``inference.py:435-559``)."""
-        from ..models import EmbeddingModel, SegmentationModel
         from ..parallel.engine import MultiStreamEngine
         from ..parallel.session import MultiStreamSession
         from ..audio import AudioLoader

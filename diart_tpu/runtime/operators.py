@@ -11,7 +11,7 @@ annotation+audio accumulation with an amortized doubling buffer;
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, List, Optional, Tuple
+from typing import Any, Callable, List, Optional
 
 import numpy as np
 

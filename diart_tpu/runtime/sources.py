@@ -9,7 +9,6 @@ zero padding and fixed block size (``:50-135``), microphone capture
 
 from __future__ import annotations
 
-import threading
 from abc import ABC, abstractmethod
 from pathlib import Path
 from queue import SimpleQueue

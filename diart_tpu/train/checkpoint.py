@@ -15,8 +15,6 @@ import os
 from pathlib import Path
 from typing import Optional, Union
 
-import jax
-import jax.numpy as jnp
 from flax import serialization
 
 from .segmentation import TrainState

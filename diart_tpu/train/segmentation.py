@@ -14,7 +14,7 @@ communication.
 from __future__ import annotations
 
 from itertools import permutations
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
