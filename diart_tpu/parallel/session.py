@@ -55,6 +55,11 @@ class MultiStreamSession:
 
         self.state: StreamState = engine.init_state()
         self.blocks_seen = np.zeros(b, np.int64)
+        # wall-clock per push, for observability (reference Chronometer
+        # semantics, utils.py:13-43)
+        from ..utils import Chronometer
+
+        self.chronometer = Chronometer("step")
         self.warmup_blocks = int(
             round(engine.duration / engine.step_duration)
         )  # blocks per full chunk
@@ -143,13 +148,16 @@ class MultiStreamSession:
             )
             self._audio = np.where(present[:, None], upd, self._audio)
 
+        self.chronometer.start()
         self.state, out = self.engine.step(self.state, blocks, present, run_mask)
         if not run_mask.any():
+            self.chronometer.stop(do_count=False)
             return [None] * b
 
         aggregated = np.asarray(out.aggregated)
         newest = np.asarray(out.newest)
         chunk_index = np.asarray(out.chunk_index)
+        self.chronometer.stop()
 
         geometry = self.engine.geometry
         eng = self.engine
