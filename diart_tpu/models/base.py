@@ -86,6 +86,39 @@ class LazyModel:
         return self.load()
 
 
+def _module_config(module) -> Dict[str, Any]:
+    """JSON-serializable dataclass fields of a flax module (dtypes as
+    strings), so serialized models reconstruct with their exact shape."""
+    import dataclasses
+
+    out = {}
+    for field in dataclasses.fields(module):
+        if field.name in ("parent", "name"):
+            continue
+        value = getattr(module, field.name)
+        if value is jnp.bfloat16:
+            value = "bf16"
+        elif value is jnp.float32:
+            value = "f32"
+        elif isinstance(value, tuple):
+            value = list(value)
+        out[field.name] = value
+    return out
+
+
+def _restore_module_config(config: Dict[str, Any]) -> Dict[str, Any]:
+    out = {}
+    for key, value in config.items():
+        if value == "bf16":
+            value = jnp.bfloat16
+        elif value == "f32":
+            value = jnp.float32
+        elif isinstance(value, list):
+            value = tuple(tuple(v) if isinstance(v, list) else v for v in value)
+        out[key] = value
+    return out
+
+
 def _save_native(path: Path, params, config: Dict[str, Any]) -> None:
     from flax import serialization
 
@@ -99,7 +132,7 @@ def _load_native(path: Path, module_cls):
 
     path = Path(path)
     config = json.loads(path.with_suffix(path.suffix + ".json").read_text())
-    module = module_cls(**config.get("module", {}))
+    module = module_cls(**_restore_module_config(config.get("module", {})))
     dummy = _init_params(module, 0, config.get("init_samples", 16000))
     params = serialization.from_bytes(dummy, path.read_bytes())
     return module, params, config
@@ -266,7 +299,9 @@ class SegmentationModel(LazyModel):
 
     def save(self, path: Union[str, Path]) -> None:
         self.load()
-        config = {"module": {"num_speakers": self.module.num_speakers}}
+        config = {"module": _module_config(self.module)}
+        if self._powerset is not None or self.meta.get("powerset"):
+            config["powerset"] = list(self.powerset)
         _save_native(Path(path), self.params, config)
 
 
@@ -431,5 +466,5 @@ class EmbeddingModel(LazyModel):
 
     def save(self, path: Union[str, Path]) -> None:
         self.load()
-        config = {"module": {"embedding_dim": self.module.embedding_dim}}
+        config = {"module": _module_config(self.module)}
         _save_native(Path(path), self.params, config)

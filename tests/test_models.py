@@ -251,3 +251,20 @@ class TestCheckpoint:
             save_train_state(tmp_path, state._replace(step=jnp.asarray(step)), keep=2)
         remaining = sorted(p.name for p in tmp_path.glob("step_*.msgpack"))
         assert remaining == ["step_00000003.msgpack", "step_00000004.msgpack"]
+
+
+class TestNonDefaultSerialization:
+    def test_roundtrip_preserves_architecture(self, tmp_path):
+        seg = SegmentationModel.from_pretrained(
+            "tpu/pyannet", num_speakers=3, lstm_hidden=16, lstm_layers=1,
+            linear_dims=(16,), init_samples=8000,
+        )
+        seg.load()
+        path = tmp_path / "m.msgpack"
+        seg.save(path)
+        loaded = SegmentationModel.from_pretrained(str(path))
+        x = np.random.default_rng(0).normal(size=(1, 1, 8000)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(seg(x)), np.asarray(loaded(x)), atol=1e-6
+        )
+        assert loaded.num_speakers == 3
