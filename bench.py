@@ -41,7 +41,7 @@ def main():
     from diart_tpu.models import EmbeddingModel, SegmentationModel
     from diart_tpu.parallel import MultiStreamEngine
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
     seg = SegmentationModel.from_registry("tpu/pyannet")  # 4-spk PyanNet
