@@ -60,6 +60,95 @@ def _init_params(module, seed: int, samples: int):
         return module.init(jax.random.PRNGKey(seed), dummy)
 
 
+
+
+class _SegRegistryLoader:
+    """Picklable registry loader (Parallelize pickles configs across
+    processes, reference inference.py:456-493)."""
+
+    def __init__(self, name, kwargs):
+        self.name = name
+        self.kwargs = kwargs
+
+    def __call__(self):
+        name, kwargs = self.name, self.kwargs
+        if name == "tpu/pyannet-powerset":
+            num_speakers = kwargs.get("num_speakers", 3)
+            max_simul = kwargs.get("max_simultaneous", 2)
+            classes = num_powerset_classes(num_speakers, max_simul)
+            module = PyanNet(num_speakers=num_speakers, powerset_classes=classes)
+        else:
+            module = PyanNet(
+                num_speakers=kwargs.get("num_speakers", 4),
+                lstm_hidden=kwargs.get("lstm_hidden", 128),
+                lstm_layers=kwargs.get("lstm_layers", 4),
+                linear_dims=tuple(kwargs.get("linear_dims", (128, 128))),
+                compute_dtype=_dtype_kwarg(kwargs),
+            )
+        samples = kwargs.get("init_samples", 80000)
+        params = _init_params(
+            module, kwargs.get("seed", _seed_from_name(name)), samples
+        )
+        return module, params, {"sample_rate": 16000, "name": name}
+
+
+class _EmbRegistryLoader:
+    def __init__(self, name, kwargs):
+        self.name = name
+        self.kwargs = kwargs
+
+    def __call__(self):
+        name, kwargs = self.name, self.kwargs
+        if name == "tpu/ecapa":
+            from .ecapa import EcapaTDNN
+
+            module = EcapaTDNN(
+                embedding_dim=kwargs.get("embedding_dim", 192),
+                channels=kwargs.get("channels", 512),
+            )
+        else:
+            module = XVectorSincNet(
+                embedding_dim=kwargs.get("embedding_dim", 512),
+                compute_dtype=_dtype_kwarg(kwargs),
+            )
+        samples = kwargs.get("init_samples", 80000)
+        params = _init_params(
+            module, kwargs.get("seed", _seed_from_name(name)), samples
+        )
+        return module, params, {"sample_rate": 16000, "name": name}
+
+
+class _FileLoader:
+    """Picklable loader for native/torch/pyannote-backed checkpoints."""
+
+    def __init__(self, kind, *args):
+        self.kind = kind
+        self.args = args
+
+    def __call__(self):
+        if self.kind == "native_seg":
+            return _load_native(Path(self.args[0]), PyanNet)
+        if self.kind == "native_emb":
+            return _load_native(Path(self.args[0]), XVectorSincNet)
+        if self.kind == "torch_seg":
+            from .convert import load_pyannet_checkpoint
+
+            return load_pyannet_checkpoint(self.args[0])
+        if self.kind == "torch_emb":
+            from .convert import load_xvector_checkpoint
+
+            return load_xvector_checkpoint(self.args[0])
+        if self.kind == "pyannote_seg":
+            from .convert import load_pyannote_segmentation
+
+            return load_pyannote_segmentation(*self.args)
+        if self.kind == "pyannote_emb":
+            from .convert import load_pyannote_embedding
+
+            return load_pyannote_embedding(*self.args)
+        raise ValueError(self.kind)
+
+
 class LazyModel:
     """Defers building module+params until first use."""
 
@@ -76,6 +165,18 @@ class LazyModel:
         if not self.is_in_memory():
             self.module, self.params, self.meta = self._loader()
         return self
+
+    def __getstate__(self):
+        """Pickle only the loader: compiled functions aren't picklable and
+        parameters are cheaper to rebuild in the worker than to ship
+        (Parallelize sends configs to spawn workers)."""
+        state = self.__dict__.copy()
+        state["module"] = None
+        state["params"] = None
+        state["meta"] = {}
+        if "_apply" in state:
+            state["_apply"] = None
+        return state
 
     # The reference exposes .to(device)/.eval(); JAX arrays are placed by the
     # surrounding jit/sharding, so these are no-ops kept for API parity.
@@ -158,7 +259,7 @@ class SegmentationModel(LazyModel):
         if name.endswith(".onnx"):
             return SegmentationModel.from_onnx(model)
         if name.endswith((".msgpack", ".npz")):
-            return SegmentationModel(lambda: _load_native(Path(model), PyanNet))
+            return SegmentationModel(_FileLoader("native_seg", model))
         if name.endswith((".bin", ".pt", ".ckpt", ".safetensors")):
             return SegmentationModel.from_torch(model)
         if name.startswith("tpu/"):
@@ -193,27 +294,7 @@ class SegmentationModel(LazyModel):
         ``tpu/pyannet-powerset`` (random weights — for tests, benchmarks and
         training from scratch)."""
 
-        def loader():
-            if name == "tpu/pyannet-powerset":
-                num_speakers = kwargs.get("num_speakers", 3)
-                max_simul = kwargs.get("max_simultaneous", 2)
-                classes = num_powerset_classes(num_speakers, max_simul)
-                module = PyanNet(num_speakers=num_speakers, powerset_classes=classes)
-            else:
-                module = PyanNet(
-                    num_speakers=kwargs.get("num_speakers", 4),
-                    lstm_hidden=kwargs.get("lstm_hidden", 128),
-                    lstm_layers=kwargs.get("lstm_layers", 4),
-                    linear_dims=tuple(kwargs.get("linear_dims", (128, 128))),
-                    compute_dtype=_dtype_kwarg(kwargs),
-                )
-            samples = kwargs.get("init_samples", 80000)
-            params = _init_params(
-                module, kwargs.get("seed", _seed_from_name(name)), samples
-            )
-            meta = {"sample_rate": 16000, "name": name}
-            return module, params, meta
-
+        loader = _SegRegistryLoader(name, kwargs)
         powerset = None
         if name == "tpu/pyannet-powerset":
             powerset = (kwargs.get("num_speakers", 3), kwargs.get("max_simultaneous", 2))
@@ -221,21 +302,11 @@ class SegmentationModel(LazyModel):
 
     @staticmethod
     def from_torch(path: Union[str, Path]) -> "SegmentationModel":
-        def loader():
-            from .convert import load_pyannet_checkpoint
-
-            return load_pyannet_checkpoint(path)
-
-        return SegmentationModel(loader)
+        return SegmentationModel(_FileLoader("torch_seg", path))
 
     @staticmethod
     def from_pyannote(model, use_hf_token=True) -> "SegmentationModel":
-        def loader():
-            from .convert import load_pyannote_segmentation
-
-            return load_pyannote_segmentation(model, use_hf_token)
-
-        return SegmentationModel(loader)
+        return SegmentationModel(_FileLoader("pyannote_seg", model, use_hf_token))
 
     @staticmethod
     def from_onnx(
@@ -324,7 +395,7 @@ class EmbeddingModel(LazyModel):
         if name.endswith(".onnx"):
             return EmbeddingModel.from_onnx(model)
         if name.endswith((".msgpack", ".npz")):
-            return EmbeddingModel(lambda: _load_native(Path(model), XVectorSincNet))
+            return EmbeddingModel(_FileLoader("native_emb", model))
         if name.endswith((".bin", ".pt", ".ckpt", ".safetensors")):
             return EmbeddingModel.from_torch(model)
         if name.startswith("tpu/"):
@@ -365,44 +436,15 @@ class EmbeddingModel(LazyModel):
 
     @staticmethod
     def from_registry(name: str, **kwargs) -> "EmbeddingModel":
-        def loader():
-            if name == "tpu/ecapa":
-                from .ecapa import EcapaTDNN
-
-                module = EcapaTDNN(
-                    embedding_dim=kwargs.get("embedding_dim", 192),
-                    channels=kwargs.get("channels", 512),
-                )
-            else:
-                module = XVectorSincNet(
-                    embedding_dim=kwargs.get("embedding_dim", 512),
-                    compute_dtype=_dtype_kwarg(kwargs),
-                )
-            samples = kwargs.get("init_samples", 80000)
-            params = _init_params(
-                module, kwargs.get("seed", _seed_from_name(name)), samples
-            )
-            return module, params, {"sample_rate": 16000, "name": name}
-
-        return EmbeddingModel(loader)
+        return EmbeddingModel(_EmbRegistryLoader(name, kwargs))
 
     @staticmethod
     def from_torch(path: Union[str, Path]) -> "EmbeddingModel":
-        def loader():
-            from .convert import load_xvector_checkpoint
-
-            return load_xvector_checkpoint(path)
-
-        return EmbeddingModel(loader)
+        return EmbeddingModel(_FileLoader("torch_emb", path))
 
     @staticmethod
     def from_pyannote(model, use_hf_token=True) -> "EmbeddingModel":
-        def loader():
-            from .convert import load_pyannote_embedding
-
-            return load_pyannote_embedding(model, use_hf_token)
-
-        return EmbeddingModel(loader)
+        return EmbeddingModel(_FileLoader("pyannote_emb", model, use_hf_token))
 
     @staticmethod
     def from_onnx(

@@ -211,3 +211,41 @@ class TestStreamingServer:
             assert received[uri], f"client {uri} received no RTTM"
             text = "".join(received[uri])
             assert "SPEAKER" in text
+
+
+class TestParallelize:
+    def test_spawn_workers_match_sequential(self, corpus, tmp_path):
+        """The process-pool benchmark must produce the same report as the
+        sequential one (registry models, spawn start method)."""
+        from diart_tpu.models import EmbeddingModel, SegmentationModel
+        from diart_tpu.runtime import Parallelize
+
+        audio_dir, rttm_dir = corpus
+        name = SpeakerDiarization.suggest_metric().name
+
+        def registry_config():
+            params = dict(PIPELINE_PARAMS)
+            return SpeakerDiarizationConfig(
+                segmentation=SegmentationModel.from_pretrained(
+                    "tpu/pyannet", num_speakers=3, lstm_hidden=8, lstm_layers=1,
+                    linear_dims=(8,), init_samples=int(params["duration"] * SAMPLE_RATE),
+                ),
+                embedding=EmbeddingModel.from_pretrained(
+                    "tpu/xvector", embedding_dim=16,
+                    init_samples=int(params["duration"] * SAMPLE_RATE),
+                ),
+                **params,
+            )
+
+        seq = Benchmark(
+            audio_dir, rttm_dir, show_progress=False, show_report=False, batch_size=8
+        )(SpeakerDiarization, registry_config())
+        par_bench = Benchmark(
+            audio_dir, rttm_dir, show_progress=False, show_report=False, batch_size=8
+        )
+        par = Parallelize(par_bench, num_workers=2)(
+            SpeakerDiarization, registry_config()
+        )
+        assert seq.loc["TOTAL", name]["%"] == pytest.approx(
+            par.loc["TOTAL", name]["%"], abs=0.5
+        )
