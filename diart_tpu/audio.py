@@ -45,6 +45,10 @@ def read_wav(filepath: FilePath) -> Tuple[np.ndarray, int]:
         if fmt is None:
             raise ValueError(f"{filepath}: missing fmt chunk")
         audio_format, channels, rate, _, _, bits = fmt
+        if channels == 0:
+            raise ValueError(f"{filepath}: zero channels in fmt chunk")
+        if audio_format == 3 and bits != 32:
+            raise ValueError(f"{filepath}: IEEE-float WAV must be 32-bit, got {bits}")
         if audio_format == 3 or (audio_format == 0xFFFE and bits == 32):
             data = np.frombuffer(raw, dtype="<f4").astype(np.float32)
         elif audio_format in (1, 0xFFFE):
@@ -150,7 +154,12 @@ class AudioLoader:
                         if size > 16:
                             f.read(size - 16)
                     elif chunk_id == b"data":
-                        if rate is None:
+                        if (
+                            rate is None
+                            or rate == 0
+                            or channels == 0
+                            or bits not in (8, 16, 24, 32)
+                        ):
                             break
                         return size / (rate * channels * (bits // 8))
                     else:

@@ -166,17 +166,13 @@ class SlidingWindow:
                 return i, j + 1
             return i, i + self.samples(fixed, mode="strict")
         if mode == "center":
-            i = int(
-                math.ceil(
-                    _r((focus.start - self.start - 0.5 * self.duration) / self.step)
-                )
-            )
+            # Frame whose *center* is closest to the focus bound (np.rint),
+            # matching pyannote.core's closest_frame semantics — ceil/floor
+            # here would shift center crops by one frame relative to the
+            # reference for half-step-offset focuses.
+            i = self.closest_frame(focus.start)
             if fixed is None:
-                j = int(
-                    math.floor(
-                        _r((focus.end - self.start - 0.5 * self.duration) / self.step)
-                    )
-                )
+                j = self.closest_frame(focus.end)
                 return i, j + 1
             return i, i + self.samples(fixed, mode="center")
         raise ValueError(f"unknown mode {mode!r}")

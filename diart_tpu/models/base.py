@@ -38,7 +38,11 @@ def _dtype_kwarg(kwargs):
 
 
 def _seed_from_name(name: str) -> int:
-    return abs(hash(name)) % (2**31)
+    # Stable across processes (unlike str.__hash__, which is per-process
+    # randomized) so spawn workers rebuild identical registry weights.
+    import zlib
+
+    return zlib.crc32(name.encode("utf-8")) % (2**31)
 
 
 def _init_params(module, seed: int, samples: int):
@@ -228,11 +232,32 @@ def _save_native(path: Path, params, config: Dict[str, Any]) -> None:
     path.with_suffix(path.suffix + ".json").write_text(json.dumps(config))
 
 
-def _load_native(path: Path, module_cls):
+_NATIVE_MODULE_CLASSES: Dict[str, Callable[[], type]] = {
+    "PyanNet": lambda: PyanNet,
+    "XVectorSincNet": lambda: XVectorSincNet,
+    "EcapaTDNN": lambda: __import__(
+        "diart_tpu.models.ecapa", fromlist=["EcapaTDNN"]
+    ).EcapaTDNN,
+}
+
+
+def _load_native(path: Path, default_cls):
     from flax import serialization
 
     path = Path(path)
     config = json.loads(path.with_suffix(path.suffix + ".json").read_text())
+    # The saved config records the module class (save() below); fall back to
+    # the kind-implied default for files written before that field existed.
+    cls_name = config.get("module_class")
+    if cls_name is not None:
+        if cls_name not in _NATIVE_MODULE_CLASSES:
+            raise ValueError(
+                f"unknown serialized module class {cls_name!r}; "
+                f"known: {sorted(_NATIVE_MODULE_CLASSES)}"
+            )
+        module_cls = _NATIVE_MODULE_CLASSES[cls_name]()
+    else:
+        module_cls = default_cls
     module = module_cls(**_restore_module_config(config.get("module", {})))
     dummy = _init_params(module, 0, config.get("init_samples", 16000))
     params = serialization.from_bytes(dummy, path.read_bytes())
@@ -370,7 +395,10 @@ class SegmentationModel(LazyModel):
 
     def save(self, path: Union[str, Path]) -> None:
         self.load()
-        config = {"module": _module_config(self.module)}
+        config = {
+            "module": _module_config(self.module),
+            "module_class": type(self.module).__name__,
+        }
         if self._powerset is not None or self.meta.get("powerset"):
             config["powerset"] = list(self.powerset)
         _save_native(Path(path), self.params, config)
@@ -508,5 +536,8 @@ class EmbeddingModel(LazyModel):
 
     def save(self, path: Union[str, Path]) -> None:
         self.load()
-        config = {"module": _module_config(self.module)}
+        config = {
+            "module": _module_config(self.module),
+            "module_class": type(self.module).__name__,
+        }
         _save_native(Path(path), self.params, config)

@@ -176,10 +176,33 @@ def _to_jax(tree):
     return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype=jnp.float32), tree)
 
 
-def _load_torch_state_dict(path: Union[str, Path]) -> Dict[str, Any]:
+def _load_torch_state_dict(
+    path: Union[str, Path], trust_pickle: bool = False
+) -> Dict[str, Any]:
+    """Load a torch checkpoint's state dict.
+
+    Uses torch's safe ``weights_only=True`` path by default; arbitrary-pickle
+    checkpoints (which can execute code on load) require the explicit
+    ``trust_pickle=True`` opt-in, or ``DIART_TPU_TRUST_CHECKPOINTS=1``.
+    """
+    import os
+
     import torch
 
-    obj = torch.load(str(path), map_location="cpu", weights_only=False)
+    trust_pickle = trust_pickle or os.environ.get(
+        "DIART_TPU_TRUST_CHECKPOINTS"
+    ) == "1"
+    try:
+        obj = torch.load(str(path), map_location="cpu", weights_only=True)
+    except Exception as exc:
+        if not trust_pickle:
+            raise RuntimeError(
+                f"checkpoint {path} is not loadable with torch's safe "
+                "weights_only=True path. If you trust its origin, set "
+                "DIART_TPU_TRUST_CHECKPOINTS=1 to allow full unpickling "
+                "(which can execute arbitrary code)."
+            ) from exc
+        obj = torch.load(str(path), map_location="cpu", weights_only=False)
     if isinstance(obj, dict):
         for key in ("state_dict", "model_state_dict"):
             if key in obj:

@@ -52,6 +52,22 @@ long find_data(FILE* f, FmtChunk* fmt) {
   }
 }
 
+bool is_float_fmt(const FmtChunk& fmt) {
+  return fmt.format == 3 || (fmt.format == 0xFFFE && fmt.bits == 32);
+}
+
+// Guards against malformed headers: bits must be a whole number of bytes we
+// know how to decode (a bits value in 1..7 would make bytes-per-sample 0 and
+// divide by zero below), and IEEE-float data must be 32-bit (the decode loop
+// memcpy's 4 bytes per float sample).
+bool fmt_is_valid(const FmtChunk& fmt) {
+  if (fmt.channels == 0) return false;
+  if (fmt.bits != 8 && fmt.bits != 16 && fmt.bits != 24 && fmt.bits != 32)
+    return false;
+  if (is_float_fmt(fmt) && fmt.bits != 32) return false;
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -64,7 +80,7 @@ int wav_probe(const char* path, int* sample_rate, long* num_frames,
   FmtChunk fmt;
   long data_size = find_data(f, &fmt);
   fclose(f);
-  if (data_size < 0 || fmt.channels == 0 || fmt.bits == 0) return -2;
+  if (data_size < 0 || !fmt_is_valid(fmt)) return -2;
   *sample_rate = (int)fmt.sample_rate;
   *channels = (int)fmt.channels;
   *num_frames = data_size / (fmt.channels * (fmt.bits / 8));
@@ -78,7 +94,7 @@ long wav_decode_mono_f32(const char* path, float* out, long max_frames) {
   if (!f) return -1;
   FmtChunk fmt;
   long data_size = find_data(f, &fmt);
-  if (data_size < 0 || fmt.channels == 0 || fmt.bits == 0) {
+  if (data_size < 0 || !fmt_is_valid(fmt)) {
     fclose(f);
     return -2;
   }
@@ -92,7 +108,7 @@ long wav_decode_mono_f32(const char* path, float* out, long max_frames) {
   fclose(f);
   const long usable = (long)(got / (ch * bytes_per));
 
-  const bool is_float = fmt.format == 3 || (fmt.format == 0xFFFE && fmt.bits == 32);
+  const bool is_float = is_float_fmt(fmt);
   const float inv_ch = 1.0f / ch;
   for (long i = 0; i < usable; ++i) {
     float acc = 0.0f;

@@ -45,6 +45,7 @@ class RTTMWriter(Observer):
         self.uri = uri
         self.patch_collar = patch_collar
         self.path = Path(path).expanduser()
+        self.path.parent.mkdir(parents=True, exist_ok=True)
         if self.path.exists():
             self.path.unlink()
 

@@ -60,3 +60,40 @@ class TestNativeDecoder:
             pytest.skip("no compiler")
         path, _ = stereo_wav
         assert wav_probe(path) == (16000, 32000, 2)
+
+
+class TestMalformedWav:
+    """Malformed headers must be rejected, not crash the process
+    (SIGFPE on bits<8, OOB read on sub-32-bit float data)."""
+
+    @staticmethod
+    def _wav_bytes(fmt_code, bits, channels=1, data=b"\x00" * 64):
+        import struct
+
+        fmt = struct.pack(
+            "<HHIIHH", fmt_code, channels, 16000,
+            16000 * channels * max(bits // 8, 1), channels * max(bits // 8, 1),
+            bits,
+        )
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    @pytest.mark.parametrize("fmt_code,bits", [(1, 4), (1, 7), (1, 12), (3, 16), (3, 8)])
+    def test_native_rejects_bad_bits(self, tmp_path, fmt_code, bits):
+        if not native_available():
+            pytest.skip("no compiler")
+        path = tmp_path / "bad.wav"
+        path.write_bytes(self._wav_bytes(fmt_code, bits))
+        assert wav_probe(path) is None
+        assert wav_decode_mono(path) is None
+
+    def test_native_accepts_float32(self, tmp_path):
+        if not native_available():
+            pytest.skip("no compiler")
+        samples = np.linspace(-0.5, 0.5, 16, dtype=np.float32)
+        path = tmp_path / "f32.wav"
+        path.write_bytes(self._wav_bytes(3, 32, data=samples.tobytes()))
+        decoded, rate = wav_decode_mono(path)
+        assert rate == 16000
+        np.testing.assert_allclose(decoded[0], samples, atol=1e-7)

@@ -144,3 +144,38 @@ class TestFullPyanNetConversion:
         out = model.apply(params, wave)
         assert out.shape[0] == 1 and out.shape[2] == 3
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class _SneakyPayload:
+    """Module-level so torch.save can pickle it; weights_only=True must
+    still refuse to load it."""
+
+
+class TestSafeCheckpointLoading:
+    def test_plain_tensor_checkpoint_loads_safely(self, tmp_path):
+        import torch
+        from diart_tpu.models.convert import _load_torch_state_dict
+
+        path = tmp_path / "ok.pt"
+        torch.save({"state_dict": {"w": torch.ones(3)}}, path)
+        sd = _load_torch_state_dict(path)
+        assert "w" in sd
+
+    def test_arbitrary_pickle_requires_opt_in(self, tmp_path, monkeypatch):
+        """Checkpoints that need full unpickling (arbitrary code execution
+        risk) must be rejected unless explicitly trusted (ADVICE r1)."""
+        import torch
+        from diart_tpu.models.convert import _load_torch_state_dict
+
+        path = tmp_path / "sneaky.pt"
+        torch.save(
+            {"state_dict": {"w": torch.ones(2)}, "obj": _SneakyPayload()}, path
+        )
+        monkeypatch.delenv("DIART_TPU_TRUST_CHECKPOINTS", raising=False)
+        # Sneaky lives in this test module, so weights_only=True refuses it
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="DIART_TPU_TRUST_CHECKPOINTS"):
+            _load_torch_state_dict(path)
+        sd = _load_torch_state_dict(path, trust_pickle=True)
+        assert "w" in sd

@@ -169,3 +169,27 @@ class TestAnnotation:
         line = buf.getvalue().strip().split()
         assert line[0] == "SPEAKER" and line[1] == "u"
         assert float(line[3]) == 0.5 and float(line[4]) == 1.5
+
+
+class TestCenterCrop:
+    def test_center_uses_closest_frame(self):
+        """Center-mode crops pick the frame whose *center* is nearest the
+        focus bound (pyannote closest_frame / np.rint), not ceil/floor —
+        ceil would shift this crop right by one frame."""
+        from diart_tpu.core import Segment, SlidingWindow
+
+        sw = SlidingWindow(start=0.0, duration=2.0, step=1.0)
+        i, j = sw.crop_range(Segment(1.3, 3.2), mode="center")
+        assert (i, j) == (0, 3)
+        # fixed variant anchors at the same rounded start
+        i2, j2 = sw.crop_range(Segment(1.3, 3.2), mode="center", fixed=2.0)
+        assert i2 == 0 and j2 == i2 + sw.samples(2.0, mode="center")
+
+    def test_center_half_step_boundary(self):
+        from diart_tpu.core import Segment, SlidingWindow
+
+        sw = SlidingWindow(start=0.0, duration=1.0, step=0.5)
+        # focus.start exactly between two frame centers: np.rint rounds to
+        # even, matching pyannote
+        i, _ = sw.crop_range(Segment(0.75, 2.0), mode="center")
+        assert i == int(np.rint((0.75 - 0.5) / 0.5))

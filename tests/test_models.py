@@ -268,3 +268,42 @@ class TestNonDefaultSerialization:
             np.asarray(seg(x)), np.asarray(loaded(x)), atol=1e-6
         )
         assert loaded.num_speakers == 3
+
+    def test_ecapa_roundtrip(self, tmp_path):
+        """EmbeddingModel.save must record the module class so non-XVector
+        architectures reload (ADVICE r1: _load_native hardcoded the class)."""
+        emb = EmbeddingModel.from_pretrained(
+            "tpu/ecapa", embedding_dim=64, channels=128, init_samples=16000
+        )
+        emb.load()
+        path = tmp_path / "ecapa.msgpack"
+        emb.save(path)
+        loaded = EmbeddingModel.from_pretrained(str(path))
+        loaded.load()
+        assert type(loaded.module).__name__ == "EcapaTDNN"
+        assert loaded.embedding_dim == 64
+        x = np.random.default_rng(0).normal(scale=0.1, size=(1, 1, 16000)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(emb(x)), np.asarray(loaded(x)), atol=1e-5
+        )
+
+
+class TestSeedStability:
+    def test_seed_is_process_independent(self):
+        """Registry weights must be identical across spawn workers: the seed
+        cannot come from str.__hash__ (per-process randomized)."""
+        from diart_tpu.models.base import _seed_from_name
+        import subprocess, sys
+
+        here = _seed_from_name("tpu/pyannet")
+        code = (
+            "from diart_tpu.models.base import _seed_from_name;"
+            "print(_seed_from_name('tpu/pyannet'))"
+        )
+        for hashseed in ("0", "12345"):
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, check=True,
+                env={**__import__('os').environ, "PYTHONHASHSEED": hashseed},
+            )
+            assert int(out.stdout.strip()) == here
