@@ -214,9 +214,10 @@ def _load_torch_state_dict(
     return obj
 
 
-def load_pyannet_checkpoint(path: Union[str, Path]):
-    """Torch PyanNet checkpoint -> (module, params, meta)."""
-    sd = _load_torch_state_dict(path)
+def _pyannet_module_from_state_dict(sd: Dict[str, Any]) -> PyanNet:
+    """Derive the PyanNet architecture hyperparameters from a state dict so
+    non-default checkpoints (different LSTM width/depth, linear stack) build
+    the right module."""
     num_layers = (
         max(
             int(k.split("_l")[-1].replace("_reverse", ""))
@@ -225,9 +226,26 @@ def load_pyannet_checkpoint(path: Union[str, Path]):
         )
         + 1
     )
-    num_out = sd["classifier.weight"].shape[0]
-    module = PyanNet(num_speakers=int(num_out), lstm_layers=num_layers)
-    params = _to_jax(pyannet_params_from_state_dict(sd, num_layers))
+    hidden = int(_np(sd["lstm.weight_hh_l0"]).shape[1])
+    linear_dims = []
+    i = 0
+    while f"linear.{i}.weight" in sd:
+        linear_dims.append(int(_np(sd[f"linear.{i}.weight"]).shape[0]))
+        i += 1
+    num_out = int(_np(sd["classifier.weight"]).shape[0])
+    return PyanNet(
+        num_speakers=num_out,
+        lstm_hidden=hidden,
+        lstm_layers=num_layers,
+        linear_dims=tuple(linear_dims),
+    )
+
+
+def load_pyannet_checkpoint(path: Union[str, Path]):
+    """Torch PyanNet checkpoint -> (module, params, meta)."""
+    sd = _load_torch_state_dict(path)
+    module = _pyannet_module_from_state_dict(sd)
+    params = _to_jax(pyannet_params_from_state_dict(sd, module.lstm_layers))
     return module, params, {"sample_rate": 16000, "source": str(path)}
 
 
@@ -256,11 +274,11 @@ def load_pyannote_segmentation(model, use_hf_token=True):
     Model = _require_pyannote()
     net = Model.from_pretrained(model, use_auth_token=use_hf_token)
     sd = net.state_dict()
-    num_layers = net.hparams.lstm.get("num_layers", 4) if hasattr(net, "hparams") else 4
     specs = getattr(net, "specifications", None)
+    module = _pyannet_module_from_state_dict(sd)
     module, params, meta = (
-        PyanNet(num_speakers=sd["classifier.weight"].shape[0], lstm_layers=num_layers),
-        _to_jax(pyannet_params_from_state_dict(sd, num_layers)),
+        module,
+        _to_jax(pyannet_params_from_state_dict(sd, module.lstm_layers)),
         {"sample_rate": 16000, "source": str(model)},
     )
     if specs is not None and getattr(specs, "powerset", False):

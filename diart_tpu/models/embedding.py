@@ -47,9 +47,23 @@ def resample_weights(weights: jnp.ndarray, num_frames: int) -> jnp.ndarray:
 
 
 def weighted_stats_pool(
-    frames: jnp.ndarray, weights: jnp.ndarray, eps: float = 1e-10
+    frames: jnp.ndarray, weights: jnp.ndarray, eps: float = 1e-8
 ) -> jnp.ndarray:
-    """Weighted temporal mean + std pooling.
+    """Weighted temporal mean + std pooling, in pyannote ``StatsPool``
+    semantics (reliability-weighted *unbiased* variance):
+
+        mean = sum(w x) / (v1 + eps)
+        var  = sum(w (x - mean)^2) / (v1 - v2/v1 + eps),   v1 = sum w,
+                                                           v2 = sum w^2
+
+    (with uniform weights this reduces to torch's default unbiased std).
+    Pretrained pyannote embedding heads are trained on these statistics, so
+    the convention matters for checkpoint fidelity.
+
+    The per-speaker squared deviation is expanded algebraically
+    (sum w x^2 - 2 mean sum w x + mean^2 v1) so no (batch, speakers, time,
+    channels) intermediate is materialized — the TPU sees two einsum
+    contractions per chunk regardless of speaker count.
 
     Parameters
     ----------
@@ -60,16 +74,19 @@ def weighted_stats_pool(
     -------
     (batch, speakers, 2*channels) — concatenated weighted mean and std.
     """
-    total = jnp.sum(weights, axis=-1, keepdims=True)  # (B, S, 1)
-    norm_w = weights / jnp.maximum(total, eps)
-    mean = jnp.einsum(
-        "btc,bst->bsc", frames, norm_w, preferred_element_type=jnp.float32
+    v1 = jnp.sum(weights, axis=-1)  # (B, S)
+    v2 = jnp.sum(weights**2, axis=-1)
+    s1 = jnp.einsum(
+        "btc,bst->bsc", frames, weights, preferred_element_type=jnp.float32
     )
-    sq = jnp.einsum(
-        "btc,bst->bsc", frames**2, norm_w, preferred_element_type=jnp.float32
+    s2 = jnp.einsum(
+        "btc,bst->bsc", frames**2, weights, preferred_element_type=jnp.float32
     )
-    var = jnp.maximum(sq - mean**2, 0.0)
-    std = jnp.sqrt(var + eps)
+    mean = s1 / (v1 + eps)[..., None]
+    sq_dev = s2 - 2 * mean * s1 + mean**2 * v1[..., None]
+    denom = (v1 - v2 / jnp.maximum(v1, eps) + eps)[..., None]
+    var = jnp.maximum(sq_dev / denom, 0.0)
+    std = jnp.sqrt(var)
     return jnp.concatenate([mean, std], axis=-1).astype(frames.dtype)
 
 

@@ -46,7 +46,17 @@ def _mel_init(num_filters: int, sample_rate: int, min_low_hz: float, min_band_hz
 
 
 class SincConv(nn.Module):
-    """Conv1d whose kernels are parameterized band-pass sinc filters."""
+    """Conv1d whose kernels are parameterized band-pass sinc filters.
+
+    Matches asteroid-filterbanks' ``ParamSincFB`` (the filterbank inside
+    pyannote's SincNet, which the reference loads via pyannote.audio —
+    ``/root/reference/src/diart/models.py:42-59``): ``num_filters // 2``
+    learnable (low, band) cutoff pairs produce that many *cosine* (even,
+    band-pass) filters and as many *sine* (odd) filters, concatenated
+    [cos..., sin...] along the output-channel axis. Parameter shapes and the
+    exact window/normalization conventions follow ParamSincFB so pretrained
+    checkpoints convert bit-faithfully.
+    """
 
     num_filters: int = 80
     kernel_size: int = 251
@@ -58,8 +68,11 @@ class SincConv(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (batch, 1, samples) -> (batch, num_filters, frames)"""
+        assert self.num_filters % 2 == 0, "num_filters must be even (cos+sin pairs)"
+        assert self.kernel_size % 2 == 1, "kernel_size must be odd"
+        cutoff = self.num_filters // 2
         init_low, init_band = _mel_init(
-            self.num_filters, self.sample_rate, self.min_low_hz, self.min_band_hz
+            cutoff, self.sample_rate, self.min_low_hz, self.min_band_hz
         )
         low_hz = self.param("low_hz", lambda _: jnp.asarray(init_low))
         band_hz = self.param("band_hz", lambda _: jnp.asarray(init_band))
@@ -70,19 +83,36 @@ class SincConv(nn.Module):
             self.min_low_hz,
             self.sample_rate / 2,
         )
-        band = (high - low)[:, None]
+        band = (high - low)[:, None]  # (cutoff, 1)
 
-        # Left half of the symmetric filter (kernel_size odd).
-        half = (self.kernel_size - 1) // 2
-        n = jnp.arange(-half, 0, dtype=jnp.float32)[None, :] / self.sample_rate
-        window = jnp.hamming(self.kernel_size)[:half][None, :]
+        # Left half of the filters (kernel_size odd). ParamSincFB conventions:
+        # the Hamming window is sampled at linspace(0, k/2 - 1, k//2) — NOT
+        # the first half of hamming(k) — and the sinc denominator n_/2
+        # carries the 2*pi factor.
+        half = self.kernel_size // 2
+        n_lin = jnp.linspace(0.0, self.kernel_size / 2 - 1, half)
+        window = (0.54 - 0.46 * jnp.cos(2 * jnp.pi * n_lin / self.kernel_size))[None, :]
+        n_ = (
+            2
+            * jnp.pi
+            * jnp.arange(-((self.kernel_size - 1) / 2.0), 0.0)
+            / self.sample_rate
+        )[None, :]
 
-        f_low = 2 * jnp.pi * low[:, None] * n
-        f_high = 2 * jnp.pi * high[:, None] * n
-        left = ((jnp.sin(f_high) - jnp.sin(f_low)) / (n / 2)) * window
-        center = 2 * band
-        filters = jnp.concatenate([left, center, left[:, ::-1]], axis=1)
-        filters = filters / (2 * band)  # (num_filters, kernel)
+        f_low = low[:, None] * n_
+        f_high = high[:, None] * n_
+        denom = n_ / 2
+        cos_left = ((jnp.sin(f_high) - jnp.sin(f_low)) / denom) * window
+        cos_filters = jnp.concatenate(
+            [cos_left, 2 * band, cos_left[:, ::-1]], axis=1
+        )
+        sin_left = ((jnp.cos(f_low) - jnp.cos(f_high)) / denom) * window
+        sin_filters = jnp.concatenate(
+            [sin_left, jnp.zeros_like(band), -sin_left[:, ::-1]], axis=1
+        )
+        filters = jnp.concatenate(
+            [cos_filters / (2 * band), sin_filters / (2 * band)], axis=0
+        )  # (num_filters, kernel)
 
         return jax.lax.conv_general_dilated(
             x,

@@ -362,6 +362,42 @@ class Benchmark:
         return self.evaluate(predictions, metric)
 
 
+def _effective_platform() -> Optional[Text]:
+    """The JAX platform override to propagate into worker processes.
+
+    Resolution order: the ``DIART_TPU_PLATFORM`` env knob, then the parent's
+    in-process ``jax.config`` override (e.g. a test harness that forced the
+    CPU backend — spawn workers would otherwise re-initialize on the default
+    platform and, on remote-compile TPU tunnels, block for minutes per
+    worker).
+    """
+    import os
+    import sys
+
+    knob = os.environ.get("DIART_TPU_PLATFORM")
+    if knob:
+        return knob
+    if "jax" in sys.modules:
+        import jax
+
+        value = jax.config.jax_platforms
+        if value:
+            return value
+    return None
+
+
+def _parallel_worker_init(platform: Optional[Text]) -> None:
+    """Pool initializer: apply the parent's platform override before any JAX
+    backend use in the worker."""
+    if platform:
+        import os
+
+        os.environ["DIART_TPU_PLATFORM"] = platform
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 class Parallelize:
     """Process-level fan-out of a Benchmark (``inference.py:435-559``).
 
@@ -403,11 +439,12 @@ class Parallelize:
 
         audio_file_paths = self.benchmark.get_file_paths()
         num_files = len(audio_file_paths)
-        try:
-            mp.set_start_method("spawn")
-        except RuntimeError:
-            pass
-        with mp.Pool(processes=self.num_workers) as pool:
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(
+            processes=self.num_workers,
+            initializer=_parallel_worker_init,
+            initargs=(_effective_platform(),),
+        ) as pool:
             jobs = [
                 pool.apply_async(
                     self.run_single_job,

@@ -62,7 +62,8 @@ class TestPooling:
         out = np.asarray(weighted_stats_pool(frames, w))[0, 0]
         f = np.asarray(frames)[0]
         np.testing.assert_allclose(out[:4], f.mean(0), atol=1e-5)
-        np.testing.assert_allclose(out[4:], f.std(0), atol=1e-3)
+        # pyannote StatsPool semantics: unbiased std (torch default)
+        np.testing.assert_allclose(out[4:], f.std(0, ddof=1), atol=1e-3)
 
     def test_resample_weights_nearest(self):
         w = jnp.asarray(np.arange(10, dtype=np.float32))[None, None]

@@ -300,3 +300,54 @@ class TestPallasLSTM:
         finally:
             pallas_lstm.lstm_sweep = orig
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestLongStreamDrift:
+    def test_accumulated_der_divergence_bounded(self):
+        """500-chunk stream: tie-break differences between the device
+        clustering and the host oracle feed back through centroid state;
+        the *accumulated* disagreement must stay below a 0.5% DER budget
+        (VERDICT r1 item 10)."""
+        from diart_tpu.metrics import DiarizationErrorRate
+        from diart_tpu.core.annotation import Annotation
+
+        rng = np.random.default_rng(7)
+        num_chunks = 500
+        chunks = _simulate_stream(rng, num_chunks=num_chunks)
+        tau, rho, delta, max_spk = 0.5, 0.3, 1.0, 6
+
+        oracle = OnlineSpeakerClustering(tau, rho, delta, "cosine", max_spk)
+        params = ClusteringParams(tau, rho, delta)
+        state = init_state(max_spk, 16)
+        step = jax.jit(lambda s, seg, emb: cluster_step(s, seg, emb, params))
+
+        res = 0.01
+
+        def binarize_into(annotation, scores, t0, prefix):
+            active = scores > tau
+            for k in range(scores.shape[1]):
+                on = None
+                for f in range(scores.shape[0]):
+                    if active[f, k] and on is None:
+                        on = f
+                    elif not active[f, k] and on is not None:
+                        annotation[Segment(t0 + on * res, t0 + f * res), k] = f"{prefix}{k}"
+                        on = None
+                if on is not None:
+                    annotation[
+                        Segment(t0 + on * res, t0 + scores.shape[0] * res), k
+                    ] = f"{prefix}{k}"
+
+        ref_ann = Annotation("drift")
+        hyp_ann = Annotation("drift")
+        for t, (seg, emb) in enumerate(chunks):
+            sw = SlidingWindow(start=t * 0.5, duration=res, step=res)
+            want = oracle(SlidingWindowFeature(seg, sw), emb).data
+            state, permuted, _ = step(state, jnp.asarray(seg), jnp.asarray(emb))
+            got = np.asarray(permuted)
+            binarize_into(ref_ann, want, t * 0.5, "spk")
+            binarize_into(hyp_ann, got, t * 0.5, "spk")
+
+        der = DiarizationErrorRate()
+        drift = der(ref_ann.support(0.01), hyp_ann.support(0.01))
+        assert drift < 0.005, f"accumulated device-vs-oracle DER drift {drift:.4f}"

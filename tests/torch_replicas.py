@@ -1,0 +1,251 @@
+"""Faithful plain-torch replicas of the pretrained architectures the
+reference serves, used to prove checkpoint-conversion fidelity without
+network access.
+
+The reference wraps HF-hosted pyannote models
+(``/root/reference/src/diart/models.py:42-59``): ``pyannote/segmentation``
+(PyanNet: SincNet -> BiLSTM -> linear x2 -> sigmoid classifier) and
+``pyannote/embedding`` (XVectorSincNet: SincNet -> TDNN x5 -> weighted stats
+pooling -> linear). Their SincNet frontend is asteroid-filterbanks'
+``ParamSincFB`` inside an ``Encoder``. These replicas reproduce those
+modules' exact math and state-dict layout (parameter names match real
+checkpoints), so a random-init replica state dict converted through
+``diart_tpu.models.convert`` and compared full-forward against the torch
+forward is a true fidelity test for loading real pretrained weights.
+
+No pyannote/asteroid import — torch only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class ParamSincFB(nn.Module):
+    """asteroid_filterbanks.ParamSincFB: n_filters//2 learnable (low, band)
+    pairs -> [cos filters..., sin filters...] of odd length kernel_size."""
+
+    def __init__(
+        self,
+        n_filters: int = 80,
+        kernel_size: int = 251,
+        stride: int = 10,
+        sample_rate: float = 16000.0,
+        min_low_hz: float = 50.0,
+        min_band_hz: float = 50.0,
+    ):
+        super().__init__()
+        assert n_filters % 2 == 0 and kernel_size % 2 == 1
+        self.n_filters = n_filters
+        self.kernel_size = kernel_size
+        self.stride = stride
+        self.sample_rate = sample_rate
+        self.min_low_hz = min_low_hz
+        self.min_band_hz = min_band_hz
+        self.cutoff = n_filters // 2
+        self.half_kernel = kernel_size // 2
+
+        # mel-spaced initialization
+        low_hz = 30.0
+        high_hz = sample_rate / 2 - (min_low_hz + min_band_hz)
+        mel = np.linspace(
+            self._to_mel(low_hz), self._to_mel(high_hz), self.cutoff + 1
+        )
+        hz = self._to_hz(mel)
+        self.low_hz_ = nn.Parameter(torch.from_numpy(hz[:-1]).float().view(-1, 1))
+        self.band_hz_ = nn.Parameter(torch.from_numpy(np.diff(hz)).float().view(-1, 1))
+
+        n_lin = torch.linspace(0, self.kernel_size / 2 - 1, steps=self.half_kernel)
+        self.register_buffer(
+            "window_", 0.54 - 0.46 * torch.cos(2 * np.pi * n_lin / self.kernel_size)
+        )
+        n = (self.kernel_size - 1) / 2.0
+        self.register_buffer(
+            "n_", 2 * np.pi * torch.arange(-n, 0.0).view(1, -1) / self.sample_rate
+        )
+
+    @staticmethod
+    def _to_mel(hz):
+        return 2595 * np.log10(1 + hz / 700)
+
+    @staticmethod
+    def _to_hz(mel):
+        return 700 * (10 ** (mel / 2595) - 1)
+
+    def _make_filters(self, low, high, filt_type):
+        band = (high - low)[:, 0]
+        ft_low = torch.matmul(low, self.n_)
+        ft_high = torch.matmul(high, self.n_)
+        if filt_type == "cos":
+            bp_left = ((torch.sin(ft_high) - torch.sin(ft_low)) / (self.n_ / 2)) * self.window_
+            bp_center = 2 * band.view(-1, 1)
+            bp_right = torch.flip(bp_left, dims=[1])
+        else:
+            bp_left = ((torch.cos(ft_low) - torch.cos(ft_high)) / (self.n_ / 2)) * self.window_
+            bp_center = torch.zeros_like(band.view(-1, 1))
+            bp_right = -torch.flip(bp_left, dims=[1])
+        band_pass = torch.cat([bp_left, bp_center, bp_right], dim=1)
+        return (band_pass / (2 * band[:, None]))[:, None, :]
+
+    def filters(self) -> torch.Tensor:
+        low = self.min_low_hz + torch.abs(self.low_hz_)
+        high = torch.clamp(
+            low + self.min_band_hz + torch.abs(self.band_hz_),
+            self.min_low_hz,
+            self.sample_rate / 2,
+        )
+        return torch.cat(
+            [
+                self._make_filters(low, high, "cos"),
+                self._make_filters(low, high, "sin"),
+            ],
+            dim=0,
+        )
+
+
+class Encoder(nn.Module):
+    """asteroid_filterbanks.Encoder: conv1d with the filterbank's kernels."""
+
+    def __init__(self, filterbank: ParamSincFB):
+        super().__init__()
+        self.filterbank = filterbank
+
+    def forward(self, waveform: torch.Tensor) -> torch.Tensor:
+        return F.conv1d(waveform, self.filterbank.filters(), stride=self.filterbank.stride)
+
+
+class TorchSincNet(nn.Module):
+    """pyannote.audio SincNet block (models/blocks/sincnet.py)."""
+
+    def __init__(self, sample_rate: int = 16000, stride: int = 10):
+        super().__init__()
+        self.wav_norm1d = nn.InstanceNorm1d(1, affine=True)
+        self.conv1d = nn.ModuleList(
+            [
+                Encoder(ParamSincFB(80, 251, stride=stride, sample_rate=sample_rate)),
+                nn.Conv1d(80, 60, 5, stride=1),
+                nn.Conv1d(60, 60, 5, stride=1),
+            ]
+        )
+        self.pool1d = nn.ModuleList([nn.MaxPool1d(3, stride=3) for _ in range(3)])
+        self.norm1d = nn.ModuleList(
+            [
+                nn.InstanceNorm1d(80, affine=True),
+                nn.InstanceNorm1d(60, affine=True),
+                nn.InstanceNorm1d(60, affine=True),
+            ]
+        )
+
+    def forward(self, waveforms: torch.Tensor) -> torch.Tensor:
+        outputs = self.wav_norm1d(waveforms)
+        for c, (conv1d, pool1d, norm1d) in enumerate(
+            zip(self.conv1d, self.pool1d, self.norm1d)
+        ):
+            outputs = conv1d(outputs)
+            if c == 0:
+                outputs = torch.abs(outputs)
+            outputs = F.leaky_relu(norm1d(pool1d(outputs)))
+        return outputs
+
+
+class TorchPyanNet(nn.Module):
+    """pyannote.audio PyanNet (models/segmentation/PyanNet.py), monolithic
+    LSTM variant, multilabel sigmoid head."""
+
+    def __init__(
+        self,
+        num_speakers: int = 4,
+        lstm_hidden: int = 128,
+        lstm_layers: int = 4,
+        linear_dims=(128, 128),
+        sample_rate: int = 16000,
+    ):
+        super().__init__()
+        self.sincnet = TorchSincNet(sample_rate=sample_rate)
+        self.lstm = nn.LSTM(
+            60,
+            lstm_hidden,
+            num_layers=lstm_layers,
+            bidirectional=True,
+            batch_first=True,
+        )
+        dims = [2 * lstm_hidden, *linear_dims]
+        self.linear = nn.ModuleList(
+            [nn.Linear(i, o) for i, o in zip(dims[:-1], dims[1:])]
+        )
+        self.classifier = nn.Linear(dims[-1], num_speakers)
+        self.activation = nn.Sigmoid()
+
+    def forward(self, waveforms: torch.Tensor) -> torch.Tensor:
+        outputs = self.sincnet(waveforms)  # (B, 60, T)
+        outputs = outputs.transpose(1, 2)  # (B, T, 60)
+        outputs, _ = self.lstm(outputs)
+        for linear in self.linear:
+            outputs = F.leaky_relu(linear(outputs))
+        return self.activation(self.classifier(outputs))
+
+
+class TorchStatsPool(nn.Module):
+    """pyannote.audio StatsPool (models/blocks/pooling.py): weighted mean +
+    reliability-weighted unbiased std."""
+
+    def forward(self, sequences: torch.Tensor, weights=None) -> torch.Tensor:
+        # sequences: (B, C, T); weights: (B, T') or None
+        if weights is None:
+            mean = sequences.mean(dim=-1)
+            std = sequences.std(dim=-1, unbiased=True)
+            return torch.cat([mean, std], dim=-1)
+        weights = weights.unsqueeze(dim=1)  # (B, 1, T')
+        num_frames = sequences.shape[2]
+        if weights.shape[2] != num_frames:
+            weights = F.interpolate(weights, size=num_frames, mode="nearest")
+        v1 = weights.sum(dim=2)
+        mean = torch.sum(sequences * weights, dim=2) / (v1 + 1e-8)
+        dx2 = torch.square(sequences - mean.unsqueeze(2))
+        v2 = torch.square(weights).sum(dim=2)
+        var = torch.sum(dx2 * weights, dim=2) / (v1 - v2 / v1 + 1e-8)
+        std = torch.sqrt(var)
+        return torch.cat([mean, std], dim=-1)
+
+
+class TorchXVectorSincNet(nn.Module):
+    """pyannote.audio XVectorSincNet (models/embedding/xvector.py): SincNet
+    -> 5 dilated TDNN (Conv1d, LeakyReLU, BatchNorm1d) triples in one flat
+    ModuleList -> StatsPool -> Linear."""
+
+    def __init__(self, dimension: int = 512, sample_rate: int = 16000):
+        super().__init__()
+        self.sincnet = TorchSincNet(sample_rate=sample_rate)
+        in_channel = 60
+        out_channels = [512, 512, 512, 512, 1500]
+        kernel_sizes = [5, 3, 3, 1, 1]
+        dilations = [1, 2, 3, 1, 1]
+        self.tdnns = nn.ModuleList()
+        for out_channel, kernel_size, dilation in zip(
+            out_channels, kernel_sizes, dilations
+        ):
+            self.tdnns.extend(
+                [
+                    nn.Conv1d(
+                        in_channels=in_channel,
+                        out_channels=out_channel,
+                        kernel_size=kernel_size,
+                        dilation=dilation,
+                    ),
+                    nn.LeakyReLU(),
+                    nn.BatchNorm1d(out_channel),
+                ]
+            )
+            in_channel = out_channel
+        self.stats_pool = TorchStatsPool()
+        self.embedding = nn.Linear(3000, dimension)
+
+    def forward(self, waveforms: torch.Tensor, weights=None) -> torch.Tensor:
+        outputs = self.sincnet(waveforms)
+        for block in self.tdnns:
+            outputs = block(outputs)
+        outputs = self.stats_pool(outputs, weights=weights)
+        return self.embedding(outputs)
