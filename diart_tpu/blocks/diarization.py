@@ -117,9 +117,14 @@ class SpeakerDiarization(base.Pipeline):
         cfg = self._config
         cfg.segmentation.load()
         cfg.embedding.load()
-        self._seg_apply = cfg.segmentation.apply_fn()
-        self._trunk = cfg.embedding.trunk_fn()
-        self._head = cfg.embedding.head_fn()
+        # Host-only models (ONNX: params is None) can't join the jitted
+        # forward; they run eagerly through the wrapper __call__ instead,
+        # matching the reference's ONNX execution (models.py:62-109).
+        self._host_seg = cfg.segmentation.params is None
+        self._host_emb = cfg.embedding.params is None
+        self._seg_apply = None if self._host_seg else cfg.segmentation.apply_fn()
+        self._trunk = None if self._host_emb else cfg.embedding.trunk_fn()
+        self._head = None if self._host_emb else cfg.embedding.head_fn()
         self._cluster_params = ClusteringParams(
             cfg.tau_active, cfg.rho_update, cfg.delta_new
         )
@@ -132,7 +137,10 @@ class SpeakerDiarization(base.Pipeline):
         )
         self.binarize = Binarize(cfg.tau_active)
 
-        self._forward = jax.jit(self._forward_impl)
+        if self._host_seg or self._host_emb:
+            self._forward = self._forward_host
+        else:
+            self._forward = jax.jit(self._forward_impl)
         self._scan_cluster = jax.jit(self._scan_cluster_impl)
 
         # Internal state, handle with care (``diarization.py:121-125``).
@@ -182,6 +190,31 @@ class SpeakerDiarization(base.Pipeline):
         emb = self._head(emb_params, frames, jnp.swapaxes(weights, 1, 2))
         return seg, normalize_embeddings(emb, 1.0)
 
+    def _forward_host(self, seg_params, emb_params, batch: jnp.ndarray):
+        """Eager forward for host-only (ONNX) models. Same contract as
+        :meth:`_forward_impl`; the per-speaker waveform repetition mirrors
+        the reference's embedding batching (blocks/embedding.py:54-65)."""
+        wave = jnp.swapaxes(batch, 1, 2)  # (N, ch, samples)
+        if self._host_seg:
+            seg = jnp.asarray(self._config.segmentation(np.asarray(wave)))
+        else:
+            seg = self._seg_apply(seg_params, wave)
+        weights = overlapped_speech_penalty(
+            seg, self._config.gamma, self._config.beta
+        )
+        if self._config.normalize_embedding_weights:
+            weights = min_max_normalize(weights, axis=-2)
+        if self._host_emb:
+            n, k = seg.shape[0], seg.shape[2]
+            wave_rep = np.repeat(np.asarray(wave), k, axis=0)  # (N*K, ch, S)
+            w_flat = np.asarray(jnp.swapaxes(weights, 1, 2)).reshape(n * k, -1)
+            emb = np.asarray(self._config.embedding(wave_rep, w_flat))
+            emb = jnp.asarray(emb.reshape(n, k, -1))
+        else:
+            frames = self._trunk(emb_params, wave)
+            emb = self._head(emb_params, frames, jnp.swapaxes(weights, 1, 2))
+        return seg, normalize_embeddings(emb, 1.0)
+
     def _scan_cluster_impl(self, state, segs: jnp.ndarray, embs: jnp.ndarray):
         """Sequential clustering over the window axis, on device."""
 
@@ -212,6 +245,18 @@ class SpeakerDiarization(base.Pipeline):
         segmentations, embeddings = self._forward(
             self._config.segmentation.params, self._config.embedding.params, batch
         )
+        if embeddings.shape[-1] != self.clustering_state.centers.shape[-1]:
+            # Host-only (ONNX) embedding models don't expose their dim until
+            # the first call; rebuild the empty clustering state to match.
+            if bool(np.asarray(self.clustering_state.initialized).any()):
+                raise RuntimeError(
+                    f"embedding dim changed mid-stream: "
+                    f"{self.clustering_state.centers.shape[-1]} -> "
+                    f"{embeddings.shape[-1]}"
+                )
+            self.clustering_state = init_state(
+                self._config.max_speakers, int(embeddings.shape[-1])
+            )
         self.clustering_state, permuted = self._scan_cluster(
             self.clustering_state, segmentations, embeddings
         )

@@ -75,14 +75,25 @@ class VoiceActivityDetection(base.Pipeline):
         assert self._config.step <= self._config.latency <= self._config.duration, msg
 
         self._config.segmentation.load()
-        seg_apply = self._config.segmentation.apply_fn()
-        seg_params = self._config.segmentation.params
+        if self._config.segmentation.params is None:
+            # Host-only (ONNX) model: run eagerly through the wrapper,
+            # matching the reference's ONNX execution (models.py:62-109).
+            segmentation = self._config.segmentation
 
-        def forward(batch):  # (N, samples, ch) -> (N, frames, 1)
-            seg = seg_apply(seg_params, jnp.swapaxes(batch, 1, 2))
-            return jnp.max(seg, axis=-1, keepdims=True)
+            def forward(batch):  # (N, samples, ch) -> (N, frames, 1)
+                seg = np.asarray(segmentation(np.swapaxes(batch, 1, 2)))
+                return seg.max(axis=-1, keepdims=True)
 
-        self._forward = jax.jit(forward)
+            self._forward = forward
+        else:
+            seg_apply = self._config.segmentation.apply_fn()
+            seg_params = self._config.segmentation.params
+
+            def forward(batch):  # (N, samples, ch) -> (N, frames, 1)
+                seg = seg_apply(seg_params, jnp.swapaxes(batch, 1, 2))
+                return jnp.max(seg, axis=-1, keepdims=True)
+
+            self._forward = jax.jit(forward)
 
         self.pred_aggregation = DelayedAggregation(
             self._config.step, self._config.latency, strategy="hamming", cropping_mode="loose"

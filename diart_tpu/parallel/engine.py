@@ -99,6 +99,16 @@ class MultiStreamEngine:
         assert step <= self.latency <= duration, (
             f"latency must be within [{step}, {duration}]"
         )
+        # Ring geometry and warm-up counting assume whole numbers of hops per
+        # window; a non-integer ratio would silently mis-place the warm-up
+        # boundary and the aggregation focus.
+        for name, value in (("duration", duration), ("latency", self.latency)):
+            ratio = value / step
+            if abs(ratio - round(ratio)) > 1e-6:
+                raise ValueError(
+                    f"{name} ({value}) must be an integer multiple of step "
+                    f"({step}); got ratio {ratio:.4f}"
+                )
         self.sample_rate = sample_rate
         self.batch_size = batch_size
         self.max_speakers = max_speakers
@@ -111,11 +121,23 @@ class MultiStreamEngine:
         self.step_samples = int(round(step * sample_rate))
 
         segmentation.load()
+        if segmentation.params is None:
+            raise RuntimeError(
+                "MultiStreamEngine requires jittable models; host-only (ONNX) "
+                "models run through the SpeakerDiarization / "
+                "VoiceActivityDetection pipeline path instead"
+            )
         self._seg_apply = segmentation.apply_fn()
         self._seg_params = segmentation.params
         self.is_vad = embedding is None
         if not self.is_vad:
             embedding.load()
+            if embedding.params is None:
+                raise RuntimeError(
+                    "MultiStreamEngine requires jittable models; host-only "
+                    "(ONNX) embedding models run through the "
+                    "SpeakerDiarization pipeline path instead"
+                )
             self._trunk = embedding.trunk_fn()
             self._head = embedding.head_fn()
             self._emb_params = embedding.params

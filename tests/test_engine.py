@@ -321,3 +321,27 @@ class TestEngineSharding:
         for i in range(8):
             assert len(sharded[i]) == len(single[i])
         assert sharded[0] == single[0]
+
+
+class TestGeometryValidation:
+    def test_non_integer_ratios_rejected(self):
+        """duration/step and latency/step must be whole numbers of hops —
+        silently rounding mis-places warm-up and aggregation (VERDICT r1
+        item 9)."""
+        from diart_tpu.models import SegmentationModel
+        from diart_tpu.parallel import MultiStreamEngine
+
+        seg = SegmentationModel.from_registry(
+            "tpu/pyannet", lstm_hidden=8, lstm_layers=1, linear_dims=(8,),
+            init_samples=8000,
+        )
+        with pytest.raises(ValueError, match="integer multiple of step"):
+            MultiStreamEngine(
+                segmentation=seg, duration=5.0, step=0.4, latency=0.4,
+                sample_rate=16000, batch_size=1,
+            )
+        with pytest.raises(ValueError, match="integer multiple of step"):
+            MultiStreamEngine(
+                segmentation=seg, duration=5.0, step=0.5, latency=0.7,
+                sample_rate=16000, batch_size=1,
+            )
