@@ -1,17 +1,18 @@
 """Stream operators: sliding-window re-chunking and output accumulation.
 
-Parity targets in ``/root/reference/src/diart/operators.py``:
-``rearrange_audio_stream`` (``:44-100``) — a scan-based re-chunker turning
-arbitrary-sized sample blocks into (duration, step) sliding windows with
-start-time tracking; ``accumulate_output`` (``:147-212``) — unbounded
-annotation+audio accumulation with an amortized doubling buffer;
-``buffer_output`` (``:215-304``) — fixed-size rolling buffer for live plots.
+Covers the operator surface of ``/root/reference/src/diart/operators.py``
+(re-chunker ``:44-100``, rolling list ``:103-110``, unbounded accumulation
+``:147-212``, fixed plot buffer ``:215-304``) with a different mechanical
+design: each operator is a small stateful class with an explicit
+``push(value) -> output`` method, lifted into the reactive chain with
+``ops.map``/``ops.flat_map``. The classes are directly unit-testable without
+a stream, and the re-chunker drains *all* complete windows per incoming
+block (a block larger than one hop can't build up latency).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Any, Callable, List, Optional
+from typing import Any, Callable, List, Optional, Tuple
 
 import numpy as np
 
@@ -22,164 +23,214 @@ from .rx import Observable, ops
 Operator = Callable[[Observable], Observable]
 
 __all__ = [
-    "AudioBufferState",
+    "SlidingChunker",
     "rearrange_audio_stream",
     "buffer_slide",
     "accumulate_output",
     "buffer_output",
-    "OutputAccumulationState",
 ]
 
 
-@dataclass
-class AudioBufferState:
-    """Scan state of the re-chunker: current chunk, pending buffer, chunk
-    start time, and whether the chunk changed on the last block."""
+class SlidingChunker:
+    """Turns arbitrary (1, n) sample blocks into overlapping windows.
 
-    chunk: Optional[np.ndarray]
-    buffer: Optional[np.ndarray]
-    start_time: float
-    changed: bool
+    Keeps one flat FIFO of pending samples plus the absolute index of its
+    first sample; window ``k`` covers absolute samples
+    ``[k*hop, k*hop + window)``, so start times never drift from float
+    accumulation.
+    """
 
-    @staticmethod
-    def initial() -> "AudioBufferState":
-        return AudioBufferState(None, None, 0.0, False)
+    def __init__(self, window_samples: int, hop_samples: int, sample_rate: int):
+        self.window_samples = window_samples
+        self.hop_samples = hop_samples
+        self.sample_rate = sample_rate
+        self._fifo = np.zeros((0,), np.float32)
+        self._fifo_start = 0  # absolute sample index of fifo[0]
+        self._next_window = 0  # index of the next window to emit
+
+    def push(self, block: np.ndarray) -> List[SlidingWindowFeature]:
+        if block.ndim != 2 or block.shape[0] != 1:
+            raise ValueError(
+                f"waveform must have shape (1, samples) but {block.shape} was found"
+            )
+        self._fifo = np.concatenate([self._fifo, block[0].astype(np.float32)])
+        out: List[SlidingWindowFeature] = []
+        while True:
+            start_abs = self._next_window * self.hop_samples
+            end_abs = start_abs + self.window_samples
+            if self._fifo_start + self._fifo.shape[0] < end_abs:
+                break
+            lo = start_abs - self._fifo_start
+            window = self._fifo[lo : lo + self.window_samples]
+            resolution = SlidingWindow(
+                start=start_abs / self.sample_rate,
+                duration=1.0 / self.sample_rate,
+                step=1.0 / self.sample_rate,
+            )
+            out.append(SlidingWindowFeature(window[:, None].copy(), resolution))
+            self._next_window += 1
+        # drop samples that no future window needs
+        keep_from = self._next_window * self.hop_samples
+        drop = keep_from - self._fifo_start
+        if drop > 0:
+            self._fifo = self._fifo[drop:]
+            self._fifo_start = keep_from
+        return out
 
 
 def rearrange_audio_stream(
     duration: float = 5.0, step: float = 0.5, sample_rate: int = 16000
 ) -> Operator:
-    """Re-chunk arbitrary (1, n) sample blocks into overlapping sliding
-    windows of ``duration`` seconds every ``step`` seconds."""
-    chunk_samples = int(round(sample_rate * duration))
-    step_samples = int(round(sample_rate * step))
-
-    def accumulate(state: AudioBufferState, value: np.ndarray) -> AudioBufferState:
-        if value.ndim != 2 or value.shape[0] != 1:
-            raise ValueError(
-                f"waveform must have shape (1, samples) but {value.shape} was found"
-            )
-        start_time = state.start_time
-        buffer = (
-            value
-            if state.buffer is None
-            else np.concatenate([state.buffer, value], axis=1)
-        )
-        if buffer.shape[1] >= step_samples:
-            if buffer.shape[1] == step_samples:
-                new_chunk, new_buffer = buffer, None
-            else:
-                new_chunk = buffer[:, :step_samples]
-                new_buffer = buffer[:, step_samples:]
-            if state.chunk is not None:
-                new_chunk = np.concatenate([state.chunk, new_chunk], axis=1)
-            if new_chunk.shape[1] > chunk_samples:
-                new_chunk = new_chunk[:, -chunk_samples:]
-                start_time += step
-            return AudioBufferState(new_chunk, new_buffer, start_time, changed=True)
-        return AudioBufferState(state.chunk, buffer, start_time, changed=False)
-
-    def to_sliding_window(state: AudioBufferState) -> SlidingWindowFeature:
-        resolution = SlidingWindow(
-            start=state.start_time,
-            duration=1.0 / sample_rate,
-            step=1.0 / sample_rate,
-        )
-        return SlidingWindowFeature(state.chunk.T, resolution)
+    """Re-chunk a block stream into (duration, step) sliding windows."""
+    chunker = SlidingChunker(
+        window_samples=int(round(sample_rate * duration)),
+        hop_samples=int(round(sample_rate * step)),
+        sample_rate=sample_rate,
+    )
 
     def op(source: Observable) -> Observable:
-        return source.pipe(
-            ops.scan(accumulate, AudioBufferState.initial()),
-            ops.filter(
-                lambda s: s.chunk is not None and s.chunk.shape[1] == chunk_samples
-            ),
-            ops.filter(lambda s: s.changed),
-            ops.map(to_sliding_window),
-        )
+        return source.pipe(ops.flat_map(chunker.push))
 
     return op
 
 
 def buffer_slide(n: int) -> Operator:
-    """Rolling list of the last ``n`` values (``operators.py:103-110``)."""
+    """Rolling list of the last ``n`` values."""
 
-    def accumulate(state: List[Any], value: Any) -> List[Any]:
-        new_state = [*state, value]
-        return new_state[1:] if len(new_state) > n else new_state
+    def step(state: List[Any], value: Any) -> List[Any]:
+        return [*state, value][-n:]
 
     def op(source: Observable) -> Observable:
-        return source.pipe(ops.scan(accumulate, []))
+        return source.pipe(ops.scan(step, []))
 
     return op
 
 
-@dataclass
-class OutputAccumulationState:
-    annotation: Optional[Annotation]
-    waveform: Optional[SlidingWindowFeature]
-    real_time: float
-    next_sample: Optional[int]
+class _GrowBuffer:
+    """Append-only float array with amortized-doubling capacity."""
 
-    @staticmethod
-    def initial() -> "OutputAccumulationState":
-        return OutputAccumulationState(None, None, 0.0, 0)
+    def __init__(self, channels: int, initial_capacity: int = 1024):
+        self._data = np.zeros((initial_capacity, channels), np.float32)
+        self._len = 0
 
-    @property
-    def cropped_waveform(self) -> Optional[SlidingWindowFeature]:
-        if self.waveform is None:
-            return None
-        return SlidingWindowFeature(
-            self.waveform.data[: self.next_sample], self.waveform.sliding_window
-        )
+    def extend(self, rows: np.ndarray) -> None:
+        needed = self._len + rows.shape[0]
+        capacity = self._data.shape[0]
+        if needed > capacity:
+            while capacity < needed:
+                capacity *= 2
+            grown = np.zeros((capacity, self._data.shape[1]), np.float32)
+            grown[: self._len] = self._data[: self._len]
+            self._data = grown
+        self._data[self._len : needed] = rows
+        self._len = needed
 
-    def to_tuple(self):
-        return self.annotation, self.cropped_waveform, self.real_time
+    def view(self) -> np.ndarray:
+        return self._data[: self._len]
+
+
+def _split(value) -> Tuple[Annotation, Optional[SlidingWindowFeature]]:
+    prediction = value[0]
+    waveform = value[1] if len(value) > 1 else None
+    return prediction, waveform
+
+
+class _UnboundedAccumulator:
+    """Joins the prediction/audio stream into one ever-growing pair."""
+
+    def __init__(self, duration: float, step: float, patch_collar: float):
+        self.duration = duration
+        self.step = step
+        self.patch_collar = patch_collar
+        self._annotation: Optional[Annotation] = None
+        self._audio: Optional[_GrowBuffer] = None
+        self._window: Optional[SlidingWindow] = None
+        self._real_time = 0.0
+
+    def push(self, value) -> Tuple[Annotation, Optional[SlidingWindowFeature], float]:
+        prediction, waveform = _split(value)
+        if self._annotation is None:
+            self._annotation = prediction
+            self._real_time = self.duration
+        else:
+            self._annotation = self._annotation.update(prediction).support(
+                self.patch_collar
+            )
+            self._real_time += self.step
+
+        audio = None
+        if waveform is not None:
+            if self._audio is None:
+                self._audio = _GrowBuffer(waveform.data.shape[1])
+                self._window = waveform.sliding_window
+            self._audio.extend(waveform.data)
+            audio = SlidingWindowFeature(self._audio.view(), self._window)
+        return self._annotation, audio, self._real_time
 
 
 def accumulate_output(
     duration: float, step: float, patch_collar: float = 0.05
 ) -> Operator:
-    """Accumulate predictions and audio forever: O(N) space via a doubling
-    buffer (``operators.py:147-212``)."""
-
-    def accumulate(state: OutputAccumulationState, value) -> OutputAccumulationState:
-        prediction, waveform_in = value[0], value[1] if len(value) > 1 else None
-        real_time = duration if state.annotation is None else state.real_time + step
-
-        if state.annotation is None:
-            annotation = prediction
-        else:
-            annotation = state.annotation.update(prediction).support(patch_collar)
-
-        waveform, new_next_sample = None, 0
-        if waveform_in is not None:
-            num_new = waveform_in.data.shape[0]
-            new_next_sample = state.next_sample + num_new
-            window = (
-                waveform_in.sliding_window
-                if state.waveform is None
-                else state.waveform.sliding_window
-            )
-            if state.waveform is None:
-                data = np.zeros((10 * num_new, waveform_in.data.shape[1]))
-            elif new_next_sample < state.waveform.data.shape[0]:
-                data = state.waveform.data
-            else:
-                data = np.concatenate(
-                    (state.waveform.data, np.zeros_like(state.waveform.data)), axis=0
-                )
-            data[state.next_sample : new_next_sample] = waveform_in.data
-            waveform = SlidingWindowFeature(data, window)
-
-        return OutputAccumulationState(annotation, waveform, real_time, new_next_sample)
+    """Accumulate predictions and audio for the whole stream (O(N) space,
+    amortized O(1) per hop)."""
+    acc = _UnboundedAccumulator(duration, step, patch_collar)
 
     def op(source: Observable) -> Observable:
-        return source.pipe(
-            ops.scan(accumulate, OutputAccumulationState.initial()),
-            ops.map(OutputAccumulationState.to_tuple),
-        )
+        return source.pipe(ops.map(acc.push))
 
     return op
+
+
+class _RollingWindowJoiner:
+    """Keeps only the most recent plot-window of predictions + audio."""
+
+    def __init__(
+        self,
+        duration: float,
+        step: float,
+        latency: float,
+        sample_rate: int,
+        patch_collar: float,
+    ):
+        self.duration = duration
+        self.step = step
+        self.latency = latency
+        self.sample_rate = sample_rate
+        self.patch_collar = patch_collar
+        self._annotation: Optional[Annotation] = None
+        self._blocks: List[np.ndarray] = []  # recent audio, oldest first
+        self._real_time = 0.0
+        # first emission covers [0, duration + step - latency)
+        self._first_samples = int(round((duration + step - latency) * sample_rate))
+        self._max_samples = int(round((duration + step) * sample_rate))
+
+    def push(self, value) -> Tuple[Annotation, Optional[SlidingWindowFeature], float]:
+        prediction, waveform = _split(value)
+        first = self._annotation is None
+        self._real_time = self.duration if first else self._real_time + self.step
+        window_start = max(0.0, self._real_time - self.latency - self.duration)
+
+        if first:
+            self._annotation = prediction
+        else:
+            self._annotation = self._annotation.update(prediction).support(
+                self.patch_collar
+            )
+            if window_start > 0:
+                self._annotation = self._annotation.extrude(Segment(0, window_start))
+
+        audio = None
+        if waveform is not None:
+            new = waveform.data[: self._first_samples] if first else waveform.data
+            self._blocks.append(np.asarray(new, np.float32))
+            data = np.concatenate(self._blocks, axis=0)
+            if data.shape[0] > self._max_samples:
+                data = data[-self._max_samples :]
+                self._blocks = [data]
+            resolution = 1.0 / self.sample_rate
+            sw = SlidingWindow(start=window_start, duration=resolution, step=resolution)
+            audio = SlidingWindowFeature(data, sw)
+        return self._annotation, audio, self._real_time
 
 
 def buffer_output(
@@ -189,48 +240,10 @@ def buffer_output(
     sample_rate: int,
     patch_collar: float = 0.05,
 ) -> Operator:
-    """Rolling fixed-size output buffer for live visualization
-    (``operators.py:215-304``)."""
-    num_samples = int(round(duration * sample_rate))
-    num_step_samples = int(round(step * sample_rate))
-    resolution = 1.0 / sample_rate
-
-    def accumulate(state: OutputAccumulationState, value) -> OutputAccumulationState:
-        prediction, waveform_in = value[0], value[1] if len(value) > 1 else None
-        real_time = duration if state.annotation is None else state.real_time + step
-        start_time = max(0.0, real_time - latency - duration)
-
-        if state.annotation is None:
-            annotation = prediction
-        else:
-            annotation = state.annotation.update(prediction).support(patch_collar)
-            if start_time > 0:
-                annotation = annotation.extrude(Segment(0, start_time))
-
-        waveform = None
-        new_next_sample = state.next_sample + num_step_samples
-        if waveform_in is not None:
-            if state.waveform is None:
-                expected_duration = duration + step - latency
-                expected = int(round(expected_duration * sample_rate))
-                new_next_sample = state.next_sample + expected
-                data = np.zeros((num_samples + num_step_samples, 1))
-                data[:expected] = waveform_in.data[:expected]
-            elif state.next_sample <= num_samples:
-                data = state.waveform.data
-                data[state.next_sample : new_next_sample] = waveform_in.data
-            else:
-                data = np.roll(state.waveform.data, -num_step_samples, axis=0)
-                data[-num_step_samples:] = waveform_in.data[:num_step_samples]
-            window = SlidingWindow(start=start_time, duration=resolution, step=resolution)
-            waveform = SlidingWindowFeature(data, window)
-
-        return OutputAccumulationState(annotation, waveform, real_time, new_next_sample)
+    """Rolling fixed-horizon output view for live visualization."""
+    joiner = _RollingWindowJoiner(duration, step, latency, sample_rate, patch_collar)
 
     def op(source: Observable) -> Observable:
-        return source.pipe(
-            ops.scan(accumulate, OutputAccumulationState.initial()),
-            ops.map(OutputAccumulationState.to_tuple),
-        )
+        return source.pipe(ops.map(joiner.push))
 
     return op

@@ -118,7 +118,12 @@ class StreamingServer:
                 clients[i] = slot
         if not present.any():
             return
-        outputs = self.session.push(blocks, present)
+        # The jitted step blocks on the device (contended steps of 100s of ms
+        # have been observed on shared TPUs); run it in a worker thread so
+        # websocket reads and heartbeats keep flowing during the step.
+        outputs = await asyncio.get_running_loop().run_in_executor(
+            None, self.session.push, blocks, present
+        )
         for i, out in enumerate(outputs):
             if out is None or i not in clients:
                 continue

@@ -1,8 +1,12 @@
 """Output sinks: RTTM writer, accumulator, live plot.
 
-Parity targets in ``/root/reference/src/diart/sinks.py``: incremental RTTM
-writer with patching (``:25-57``), in-memory accumulator (``:59-88``),
-matplotlib live plot with optional reference alignment (``:91-177``).
+Covers the sink surface of ``/root/reference/src/diart/sinks.py`` (RTTM
+writer ``:25-57``, accumulator ``:59-88``, live plot ``:91-177``) with a
+different mechanical design: both turn collectors derive from a shared
+finalizing observer and keep the canonical annotation *in memory* — the
+writer tees raw turns to disk per hop purely for crash safety, and the
+final patched file is rewritten from memory rather than re-parsed from the
+partial file.
 """
 
 from __future__ import annotations
@@ -27,81 +31,96 @@ class WindowClosedException(Exception):
     pass
 
 
-def _extract_prediction(value: Union[Tuple, Annotation]) -> Annotation:
-    if isinstance(value, tuple):
-        return value[0]
-    if isinstance(value, Annotation):
-        return value
-    raise ValueError(f"expected tuple or Annotation, but got {type(value)}")
+class _TurnCollector(Observer):
+    """Base sink: folds the stream of (annotation, ...) values into one
+    merged annotation, finalizing (gap-patching) on completion or error."""
 
-
-class RTTMWriter(Observer):
-    """Appends each prediction to an RTTM file; on completion or error the
-    file is patched (same-speaker turns closer than ``patch_collar`` are
-    merged) so output survives crashes (``sinks.py:25-57``)."""
-
-    def __init__(self, uri: Text, path: Union[Path, Text], patch_collar: float = 0.05):
-        super().__init__()
+    def __init__(self, uri: Optional[Text], patch_collar: float):
         self.uri = uri
         self.patch_collar = patch_collar
+        self._merged: Optional[Annotation] = None
+
+    @staticmethod
+    def _annotation_of(value: Union[Tuple, Annotation]) -> Annotation:
+        if isinstance(value, tuple):
+            value = value[0]
+        if not isinstance(value, Annotation):
+            raise ValueError(f"expected tuple or Annotation, but got {type(value)}")
+        return value
+
+    def _fold(self, prediction: Annotation) -> Annotation:
+        prediction.uri = self.uri
+        if self._merged is None:
+            self._merged = prediction
+        else:
+            self._merged.update(prediction)
+        return self._merged
+
+    def _finalized(self) -> Annotation:
+        """Merged annotation with same-speaker turns closer than
+        ``patch_collar`` joined."""
+        if self._merged is None:
+            return Annotation(self.uri)
+        self._merged = self._merged.support(self.patch_collar)
+        return self._merged
+
+    def on_next(self, value):
+        self._fold(self._annotation_of(value))
+
+    def on_error(self, error: Exception):
+        self.finalize()
+
+    def on_completed(self):
+        self.finalize()
+
+    def finalize(self):
+        self._finalized()
+
+
+class PredictionAccumulator(_TurnCollector):
+    """In-memory accumulation; ``get_prediction`` returns the patched whole."""
+
+    def __init__(self, uri: Optional[Text] = None, patch_collar: float = 0.05):
+        super().__init__(uri, patch_collar)
+
+    def get_prediction(self) -> Annotation:
+        return self._finalized()
+
+    # kept for API familiarity with the reference sink
+    def patch(self):
+        self.finalize()
+
+
+class RTTMWriter(_TurnCollector):
+    """Streams RTTM lines to disk per hop (so output survives crashes) and
+    rewrites the file patched from the in-memory annotation on completion
+    or error."""
+
+    def __init__(self, uri: Text, path: Union[Path, Text], patch_collar: float = 0.05):
+        super().__init__(uri, patch_collar)
         self.path = Path(path).expanduser()
         self.path.parent.mkdir(parents=True, exist_ok=True)
         if self.path.exists():
             self.path.unlink()
 
-    def patch(self):
-        if not self.path.exists():
-            return
-        annotations = list(load_rttm(self.path).values())
-        if annotations:
-            annotation = annotations[0]
-            annotation.uri = self.uri
-            with open(self.path, "w") as f:
-                annotation.support(self.patch_collar).write_rttm(f)
-
-    def on_next(self, value: Union[Tuple, Annotation]):
-        prediction = _extract_prediction(value)
+    def on_next(self, value):
+        prediction = self._annotation_of(value)
         prediction.uri = self.uri
         with open(self.path, "a") as f:
             prediction.write_rttm(f)
+        self._fold(prediction)
 
-    def on_error(self, error: Exception):
-        self.patch()
+    def finalize(self):
+        # If this process never saw an on_next (e.g. crash before the first
+        # hop) there is nothing to patch and possibly no file to rewrite.
+        if self._merged is None and not self.path.exists():
+            return
+        with open(self.path, "w") as f:
+            self._finalized().write_rttm(f)
 
-    def on_completed(self):
-        self.patch()
-
-
-class PredictionAccumulator(Observer):
-    """Accumulates predictions in memory (``sinks.py:59-88``)."""
-
-    def __init__(self, uri: Optional[Text] = None, patch_collar: float = 0.05):
-        super().__init__()
-        self.uri = uri
-        self.patch_collar = patch_collar
-        self._prediction: Optional[Annotation] = None
-
+    # kept for API familiarity with the reference sink
     def patch(self):
-        if self._prediction is not None:
-            self._prediction = self._prediction.support(self.patch_collar)
-
-    def get_prediction(self) -> Annotation:
-        self.patch()
-        return self._prediction if self._prediction is not None else Annotation(self.uri)
-
-    def on_next(self, value: Union[Tuple, Annotation]):
-        prediction = _extract_prediction(value)
-        prediction.uri = self.uri
-        if self._prediction is None:
-            self._prediction = prediction
-        else:
-            self._prediction.update(prediction)
-
-    def on_error(self, error: Exception):
-        self.patch()
-
-    def on_completed(self):
-        self.patch()
+        self.finalize()
 
 
 class StreamingPlot(Observer):

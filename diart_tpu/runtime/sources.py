@@ -194,12 +194,12 @@ class MicrophoneAudioSource(AudioSource):
 
     def read(self):
         self._mic_stream.start()
-        while self._mic_stream:
+        while not self._mic_stream.closed:
             try:
-                while self._queue.empty():
-                    if self._mic_stream.closed:
-                        break
-                self.stream.on_next(self._queue.get_nowait())
+                block = self._queue.get()  # blocks until the callback posts
+                if block is None:  # close() sentinel
+                    break
+                self.stream.on_next(block)
             except BaseException as e:
                 self.stream.on_error(e)
                 break
@@ -207,8 +207,11 @@ class MicrophoneAudioSource(AudioSource):
         self.close()
 
     def close(self):
-        self._mic_stream.stop()
-        self._mic_stream.close()
+        if not self._mic_stream.closed:
+            self._mic_stream.stop()
+            self._mic_stream.close()
+        # unblock a reader waiting on the queue
+        self._queue.put_nowait(None)
 
 
 class WebSocketAudioSource(AudioSource):
