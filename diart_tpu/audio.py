@@ -18,7 +18,31 @@ import numpy as np
 
 FilePath = Union[str, Path]
 
-__all__ = ["AudioLoader", "FilePath", "read_wav", "write_wav"]
+__all__ = ["AudioLoader", "FilePath", "read_wav", "write_wav", "WavBlockReader"]
+
+
+def _decode_pcm(raw: bytes, audio_format: int, bits: int) -> np.ndarray:
+    """Raw WAV sample bytes -> interleaved float32 in [-1, 1]."""
+    if audio_format == 3 or (audio_format == 0xFFFE and bits == 32):
+        return np.frombuffer(raw, dtype="<f4").astype(np.float32)
+    if audio_format in (1, 0xFFFE):
+        if bits == 16:
+            return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        if bits == 8:
+            return (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        if bits == 24:
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            ints = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints)
+            return ints.astype(np.float32) / float(1 << 23)
+        if bits == 32:
+            return np.frombuffer(raw, dtype="<i4").astype(np.float32) / float(1 << 31)
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    raise ValueError(f"unsupported WAV format code {audio_format}")
 
 
 def read_wav(filepath: FilePath) -> Tuple[np.ndarray, int]:
@@ -49,30 +73,78 @@ def read_wav(filepath: FilePath) -> Tuple[np.ndarray, int]:
             raise ValueError(f"{filepath}: zero channels in fmt chunk")
         if audio_format == 3 and bits != 32:
             raise ValueError(f"{filepath}: IEEE-float WAV must be 32-bit, got {bits}")
-        if audio_format == 3 or (audio_format == 0xFFFE and bits == 32):
-            data = np.frombuffer(raw, dtype="<f4").astype(np.float32)
-        elif audio_format in (1, 0xFFFE):
-            if bits == 16:
-                data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-            elif bits == 8:
-                data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
-            elif bits == 24:
-                b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
-                ints = (
-                    b[:, 0].astype(np.int32)
-                    | (b[:, 1].astype(np.int32) << 8)
-                    | (b[:, 2].astype(np.int32) << 16)
-                )
-                ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints)
-                data = ints.astype(np.float32) / float(1 << 23)
-            elif bits == 32:
-                data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / float(1 << 31)
-            else:
-                raise ValueError(f"unsupported PCM bit depth {bits}")
-        else:
-            raise ValueError(f"unsupported WAV format code {audio_format}")
+        data = _decode_pcm(raw, audio_format, bits)
     usable = (len(data) // channels) * channels
     return data[:usable].reshape(-1, channels).T, rate
+
+
+class WavBlockReader:
+    """Streams mono float32 blocks from a WAV file without loading it fully.
+
+    Used by ``Benchmark(multi_stream=True)`` so corpus-scale batches (dozens
+    of 90-minute meetings) never materialize all waveforms in host memory at
+    once. Only WAV is streamable; other containers go through the full
+    :class:`AudioLoader` decode.
+    """
+
+    def __init__(self, path: FilePath):
+        self.path = Path(path)
+        self._file = open(self.path, "rb")
+        riff, _, wave_id = struct.unpack("<4sI4s", self._file.read(12))
+        if riff != b"RIFF" or wave_id != b"WAVE":
+            self._file.close()
+            raise ValueError(f"{path} is not a RIFF/WAVE file")
+        fmt = None
+        while True:
+            header = self._file.read(8)
+            if len(header) < 8:
+                self._file.close()
+                raise ValueError(f"{path}: no data chunk found")
+            chunk_id, size = struct.unpack("<4sI", header)
+            if chunk_id == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", self._file.read(16)[:16])
+                if size > 16:
+                    self._file.read(size - 16)
+            elif chunk_id == b"data":
+                self._data_bytes = size
+                break
+            else:
+                self._file.read(size + (size & 1))
+        if fmt is None:
+            self._file.close()
+            raise ValueError(f"{path}: missing fmt chunk")
+        self.format, self.channels, self.sample_rate, _, _, self.bits = fmt
+        if (
+            self.channels == 0
+            or self.bits not in (8, 16, 24, 32)
+            or (self.format == 3 and self.bits != 32)
+        ):
+            self._file.close()
+            raise ValueError(f"{path}: malformed WAV header")
+        self._frame_bytes = self.channels * (self.bits // 8)
+        self.num_frames = self._data_bytes // self._frame_bytes
+        self._read_frames = 0
+
+    def read_block(self, num_frames: int) -> np.ndarray:
+        """Next <=num_frames mono samples; empty array at end of file."""
+        todo = min(num_frames, self.num_frames - self._read_frames)
+        if todo <= 0:
+            return np.zeros((0,), np.float32)
+        raw = self._file.read(todo * self._frame_bytes)
+        self._read_frames += todo
+        data = _decode_pcm(raw, self.format, self.bits)
+        usable = (len(data) // self.channels) * self.channels
+        frames = data[:usable].reshape(-1, self.channels)
+        return frames.mean(axis=1) if self.channels > 1 else frames[:, 0]
+
+    def close(self):
+        self._file.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def write_wav(filepath: FilePath, waveform: np.ndarray, sample_rate: int) -> None:

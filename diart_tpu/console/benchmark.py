@@ -42,7 +42,23 @@ def run():
         "(TPU-native replacement for --num-workers)",
     )
     parser.add_argument("--output", type=Path, help=f"{argdoc.OUTPUT}")
+    parser.add_argument(
+        "--score-against",
+        type=Path,
+        help="Score existing RTTMs in `root` against this reference RTTM "
+        "file/directory and exit (no audio is processed); supports the "
+        "reference repo's multi-URI corpus goldens (expected_outputs/)",
+    )
     args = parser.parse_args()
+
+    if args.score_against is not None:
+        from ..metrics.parity import score_rttm
+
+        report = score_rttm(args.root, args.score_against, display=True)
+        if args.output is not None:
+            args.output.mkdir(parents=True, exist_ok=True)
+            report.to_csv(args.output / "parity_report.csv")
+        return
 
     if args.cpu:
         import jax

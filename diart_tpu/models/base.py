@@ -139,9 +139,9 @@ class _FileLoader:
 
             return load_pyannet_checkpoint(self.args[0])
         if self.kind == "torch_emb":
-            from .convert import load_xvector_checkpoint
+            from .convert import load_embedding_checkpoint
 
-            return load_xvector_checkpoint(self.args[0])
+            return load_embedding_checkpoint(self.args[0])
         if self.kind == "pyannote_seg":
             from .convert import load_pyannote_segmentation
 

@@ -42,8 +42,11 @@ from .segmentation import PyanNet
 __all__ = [
     "pyannet_params_from_state_dict",
     "xvector_params_from_state_dict",
+    "ecapa_params_from_state_dict",
     "load_pyannet_checkpoint",
     "load_xvector_checkpoint",
+    "load_ecapa_checkpoint",
+    "load_embedding_checkpoint",
     "load_pyannote_segmentation",
     "load_pyannote_embedding",
 ]
@@ -172,6 +175,105 @@ def xvector_params_from_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": params}
 
 
+def _conv1x1_dense(sd: Dict[str, Any], key: str) -> Dict[str, np.ndarray]:
+    """torch Conv1d(in, out, 1) -> flax Dense: weight (out, in, 1)."""
+    out = {"kernel": _get(sd, f"{key}.weight")[:, :, 0].T}
+    if f"{key}.bias" in sd:
+        out["bias"] = _get(sd, f"{key}.bias")
+    return out
+
+
+def _sb_bn(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    """speechbrain BatchNorm1d wrapper (``<prefix>.norm.*``) -> _BatchNorm."""
+    return {
+        "scale": _get(sd, f"{prefix}.weight"),
+        "bias": _get(sd, f"{prefix}.bias"),
+        "mean": _get(sd, f"{prefix}.running_mean"),
+        "var": _get(sd, f"{prefix}.running_var"),
+    }
+
+
+def _sb_tdnn(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    """speechbrain TDNNBlock (Conv1d wrapper + BatchNorm1d wrapper)."""
+    w = _get(sd, f"{prefix}.conv.conv.weight")  # (out, in, k)
+    return {
+        "conv": {
+            "kernel": w.transpose(2, 1, 0),
+            "bias": _get(sd, f"{prefix}.conv.conv.bias"),
+        },
+        "bn": _sb_bn(sd, f"{prefix}.norm.norm"),
+    }
+
+
+def ecapa_params_from_state_dict(sd: Dict[str, Any], res2_scale: int = 8) -> Dict[str, Any]:
+    """Map a speechbrain ``ECAPA_TDNN`` state dict (the ``embedding_model``
+    of ``speechbrain/spkrec-ecapa-voxceleb``) onto our
+    :class:`diart_tpu.models.ecapa.EcapaTDNN` parameter tree."""
+    params: Dict[str, Any] = {"stem": _sb_tdnn(sd, "blocks.0")}
+    for i in (1, 2, 3):
+        block = {
+            "tdnn1": _sb_tdnn(sd, f"blocks.{i}.tdnn1"),
+            "tdnn2": _sb_tdnn(sd, f"blocks.{i}.tdnn2"),
+            "res2net": {
+                f"block{j}": _sb_tdnn(sd, f"blocks.{i}.res2net_block.blocks.{j}")
+                for j in range(res2_scale - 1)
+            },
+            "se": {
+                "conv1": _conv1x1_dense(sd, f"blocks.{i}.se_block.conv1.conv"),
+                "conv2": _conv1x1_dense(sd, f"blocks.{i}.se_block.conv2.conv"),
+            },
+        }
+        params[f"block{i}"] = block
+    params["mfa"] = _sb_tdnn(sd, "mfa")
+    # ASP attention: TDNNBlock over [x; mean; std] (9C -> bottleneck) is
+    # split into local (first 3C inputs) and global (remaining 6C) matmuls.
+    att_w = _get(sd, "asp.tdnn.conv.conv.weight")[:, :, 0]  # (bottleneck, 9C)
+    channels3 = att_w.shape[1] // 3
+    params["att_local"] = {
+        "kernel": att_w[:, :channels3].T,
+        "bias": _get(sd, "asp.tdnn.conv.conv.bias"),
+    }
+    params["att_global"] = {"kernel": att_w[:, channels3:].T}
+    params["att_bn"] = _sb_bn(sd, "asp.tdnn.norm.norm")
+    params["att2"] = _conv1x1_dense(sd, "asp.conv.conv")
+    params["asp_bn"] = _sb_bn(sd, "asp_bn.norm")
+    params["embedding"] = _conv1x1_dense(sd, "fc.conv")
+    return {"params": params}
+
+
+def load_ecapa_checkpoint(path: Union[str, Path]):
+    """speechbrain ECAPA-TDNN checkpoint -> (module, params, meta)."""
+    from .ecapa import EcapaTDNN
+
+    sd = _load_torch_state_dict(path)
+    dim = int(_np(sd["fc.conv.weight"]).shape[0])
+    channels = int(_np(sd["blocks.0.conv.conv.weight"]).shape[0])
+    num_mels = int(_np(sd["blocks.0.conv.conv.weight"]).shape[1])
+    module = EcapaTDNN(embedding_dim=dim, channels=channels, num_mels=num_mels)
+    params = _to_jax(ecapa_params_from_state_dict(sd))
+    return module, params, {"sample_rate": 16000, "source": str(path)}
+
+
+def load_embedding_checkpoint(path: Union[str, Path]):
+    """Torch embedding checkpoint -> (module, params, meta); the layout is
+    sniffed from the state-dict keys (pyannote XVectorSincNet vs speechbrain
+    ECAPA-TDNN)."""
+    sd = _load_torch_state_dict(path)
+    if "fc.conv.weight" in sd or "blocks.0.conv.conv.weight" in sd:
+        from .ecapa import EcapaTDNN
+
+        dim = int(_np(sd["fc.conv.weight"]).shape[0])
+        channels = int(_np(sd["blocks.0.conv.conv.weight"]).shape[0])
+        num_mels = int(_np(sd["blocks.0.conv.conv.weight"]).shape[1])
+        module = EcapaTDNN(embedding_dim=dim, channels=channels, num_mels=num_mels)
+        return (
+            module,
+            _to_jax(ecapa_params_from_state_dict(sd)),
+            {"sample_rate": 16000, "source": str(path)},
+        )
+    return load_xvector_checkpoint_from_sd(sd, source=str(path))
+
+
 def _to_jax(tree):
     return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype=jnp.float32), tree)
 
@@ -249,12 +351,16 @@ def load_pyannet_checkpoint(path: Union[str, Path]):
     return module, params, {"sample_rate": 16000, "source": str(path)}
 
 
-def load_xvector_checkpoint(path: Union[str, Path]):
-    sd = _load_torch_state_dict(path)
+def load_xvector_checkpoint_from_sd(sd: Dict[str, Any], source: str = ""):
     dim = sd["embedding.weight"].shape[0]
     module = XVectorSincNet(embedding_dim=int(dim))
     params = _to_jax(xvector_params_from_state_dict(sd))
-    return module, params, {"sample_rate": 16000, "source": str(path)}
+    return module, params, {"sample_rate": 16000, "source": source}
+
+
+def load_xvector_checkpoint(path: Union[str, Path]):
+    sd = _load_torch_state_dict(path)
+    return load_xvector_checkpoint_from_sd(sd, source=str(path))
 
 
 def _require_pyannote():

@@ -3,16 +3,22 @@
 Native equivalent of the ``speechbrain/spkrec-ecapa-voxceleb`` family the
 reference supports through pyannote's ``PretrainedSpeakerEmbedding``
 (``/root/reference/src/diart/models.py:59``; latency table
-``README.md:175``): log-mel frontend, TDNN stem, three SE-Res2Blocks with
-increasing dilation, multi-layer feature aggregation, and channel- and
-context-dependent attentive statistics pooling.
+``README.md:175``). The compute graph follows speechbrain's
+``lobes.models.ECAPA_TDNN`` exactly (verified against a faithful torch
+replica in ``tests/test_convert.py``): log-mel frontend + per-utterance mean
+normalization, TDNN stem, three SE-Res2Blocks (dilation 2/3/4), multi-layer
+feature aggregation, channel- and context-dependent attentive statistics
+pooling with a BN'd attention bottleneck, post-pooling BatchNorm, and a
+linear projection to the embedding space — so real speechbrain checkpoints
+convert weight-for-weight (:func:`diart_tpu.models.convert.
+ecapa_params_from_state_dict`).
 
 Trunk/head split as in :mod:`diart_tpu.models.embedding`: the convolutional
 trunk runs once per chunk, the attentive-pooling head fans out per speaker.
 External per-speaker frame weights multiply the attention scores — models of
 this family have no weighted pooling natively, which is why the reference
-exposes ``normalize_embedding_weights`` for them (``README.md`` note,
-``blocks/embedding.py:87-90``).
+exposes ``normalize_embedding_weights`` for them (``blocks/embedding.py:
+87-90``).
 """
 
 from __future__ import annotations
@@ -23,12 +29,29 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .fbank import log_mel_filterbank
+from .fbank import speechbrain_log_mel
 
 __all__ = ["EcapaTDNN"]
 
 
-class _Conv1dBnRelu(nn.Module):
+class _BatchNorm(nn.Module):
+    """Inference-form batch norm: running statistics live as parameters so
+    converted torch checkpoints drop in directly."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        return scale * (x - mean) * jax.lax.rsqrt(var + 1e-5) + bias
+
+
+class _TDNNBlock(nn.Module):
+    """speechbrain TDNNBlock: Conv1d -> ReLU -> BatchNorm1d."""
+
     features: int
     kernel: int = 1
     dilation: int = 1
@@ -41,20 +64,15 @@ class _Conv1dBnRelu(nn.Module):
             kernel_size=(self.kernel,),
             kernel_dilation=(self.dilation,),
             padding=[(pad, pad)],
+            name="conv",
         )(x)
-        x = nn.relu(x)
-        # inference-form batch norm (running stats as params)
-        scale = self.param("bn_scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bn_bias", nn.initializers.zeros, (self.features,))
-        mean = self.param("bn_mean", nn.initializers.zeros, (self.features,))
-        var = self.param("bn_var", nn.initializers.ones, (self.features,))
-        return scale * (x - mean) * jax.lax.rsqrt(var + 1e-5) + bias
+        return _BatchNorm(self.features, name="bn")(nn.relu(x))
 
 
 class _Res2Block(nn.Module):
-    """Res2Net multi-scale convolution: split channels into `scale` groups,
-    each group's conv sees the previous group's output (hierarchical
-    receptive field growth at constant FLOPs)."""
+    """speechbrain Res2NetBlock: channels split into ``scale`` groups; group
+    i >= 2 sees the previous group's output added to its input; each group
+    conv is a full TDNNBlock (conv+relu+BN)."""
 
     features: int
     kernel: int
@@ -67,23 +85,15 @@ class _Res2Block(nn.Module):
         chunks = jnp.split(x, self.scale, axis=-1)
         outputs = [chunks[0]]
         y = None
-        pad = (self.kernel - 1) * self.dilation // 2
         for i in range(1, self.scale):
             inp = chunks[i] if y is None else chunks[i] + y
-            y = nn.Conv(
-                width,
-                kernel_size=(self.kernel,),
-                kernel_dilation=(self.dilation,),
-                padding=[(pad, pad)],
-                name=f"conv{i}",
-            )(inp)
-            y = nn.relu(y)
+            y = _TDNNBlock(width, self.kernel, self.dilation, name=f"block{i - 1}")(inp)
             outputs.append(y)
         return jnp.concatenate(outputs, axis=-1)
 
 
 class _SEBlock(nn.Module):
-    """Squeeze-and-excitation over channels."""
+    """Squeeze-and-excitation over channels (1x1 convs as in speechbrain)."""
 
     features: int
     bottleneck: int = 128
@@ -91,8 +101,8 @@ class _SEBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         s = jnp.mean(x, axis=1, keepdims=True)  # (B, 1, C)
-        s = nn.relu(nn.Dense(self.bottleneck)(s))
-        s = nn.sigmoid(nn.Dense(self.features)(s))
+        s = nn.relu(nn.Dense(self.bottleneck, name="conv1")(s))
+        s = nn.sigmoid(nn.Dense(self.features, name="conv2")(s))
         return x * s
 
 
@@ -100,14 +110,19 @@ class _SERes2Block(nn.Module):
     features: int
     kernel: int
     dilation: int
+    res2_scale: int = 8
+    se_bottleneck: int = 128
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         residual = x
-        x = _Conv1dBnRelu(self.features, 1)(x)
-        x = _Res2Block(self.features, self.kernel, self.dilation)(x)
-        x = _Conv1dBnRelu(self.features, 1)(x)
-        x = _SEBlock(self.features)(x)
+        x = _TDNNBlock(self.features, 1, 1, name="tdnn1")(x)
+        x = _Res2Block(
+            self.features, self.kernel, self.dilation, self.res2_scale,
+            name="res2net",
+        )(x)
+        x = _TDNNBlock(self.features, 1, 1, name="tdnn2")(x)
+        x = _SEBlock(self.features, self.se_bottleneck, name="se")(x)
         return x + residual
 
 
@@ -123,21 +138,27 @@ class EcapaTDNN(nn.Module):
     num_mels: int = 80
     sample_rate: int = 16000
     attention_bottleneck: int = 128
+    res2_scale: int = 8
+    se_bottleneck: int = 128
 
     def setup(self):
-        self.stem = _Conv1dBnRelu(self.channels, 5, name="stem")
-        self.block1 = _SERes2Block(self.channels, 3, 2, name="block1")
-        self.block2 = _SERes2Block(self.channels, 3, 3, name="block2")
-        self.block3 = _SERes2Block(self.channels, 3, 4, name="block3")
-        self.mfa = _Conv1dBnRelu(3 * self.channels, 1, name="mfa")
-        # attention bottleneck split into local (per frame) and global
-        # (context stats) parts: Dense([f, mean, std]) == Dense_l(f) +
-        # Dense_g([mean, std]), avoiding a (B, T, 3C) concat in memory
+        c = self.channels
+        self.stem = _TDNNBlock(c, 5, 1, name="stem")
+        self.block1 = _SERes2Block(c, 3, 2, self.res2_scale, self.se_bottleneck, name="block1")
+        self.block2 = _SERes2Block(c, 3, 3, self.res2_scale, self.se_bottleneck, name="block2")
+        self.block3 = _SERes2Block(c, 3, 4, self.res2_scale, self.se_bottleneck, name="block3")
+        self.mfa = _TDNNBlock(3 * c, 1, 1, name="mfa")
+        # speechbrain ASP: TDNNBlock(9C -> bottleneck) on [x; mean; std],
+        # tanh, 1x1 conv -> per-channel attention logits. The TDNNBlock's
+        # conv over the concat is computed as split local/global matmuls so
+        # no (B, T, 9C) tensor is materialized.
         self.att_local = nn.Dense(self.attention_bottleneck, name="att_local")
         self.att_global = nn.Dense(
             self.attention_bottleneck, use_bias=False, name="att_global"
         )
-        self.att_scores = nn.Dense(3 * self.channels, name="att2")
+        self.att_bn = _BatchNorm(self.attention_bottleneck, name="att_bn")
+        self.att_scores = nn.Dense(3 * c, name="att2")
+        self.asp_bn = _BatchNorm(6 * c, name="asp_bn")
         self.embedding = nn.Dense(self.embedding_dim, name="embedding")
 
     def __call__(
@@ -145,19 +166,26 @@ class EcapaTDNN(nn.Module):
     ) -> jnp.ndarray:
         return self.head(self.trunk(waveform), weights)
 
-    def trunk(self, waveform: jnp.ndarray) -> jnp.ndarray:
-        """(batch, 1, samples) -> (batch, frames, 3*channels)."""
-        feats = log_mel_filterbank(
+    def features(self, waveform: jnp.ndarray) -> jnp.ndarray:
+        """(batch, 1, samples) -> (batch, frames, num_mels) normalized fbanks
+        (speechbrain Fbank + per-utterance mean InputNormalization)."""
+        feats = speechbrain_log_mel(
             waveform[:, 0, :], num_mels=self.num_mels, sample_rate=self.sample_rate
         )
-        # per-utterance mean normalization (speechbrain's input norm)
-        feats = feats - jnp.mean(feats, axis=1, keepdims=True)
+        return feats - jnp.mean(feats, axis=1, keepdims=True)
+
+    def trunk(self, waveform: jnp.ndarray) -> jnp.ndarray:
+        """(batch, 1, samples) -> (batch, frames, 3*channels)."""
+        return self.trunk_from_features(self.features(waveform))
+
+    def trunk_from_features(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """(batch, frames, num_mels) -> (batch, frames, 3*channels)."""
         x = self.stem(feats)
         b1 = self.block1(x)
         b2 = self.block2(b1)
         b3 = self.block3(b2)
         cat = jnp.concatenate([b1, b2, b3], axis=-1)
-        return nn.relu(self.mfa(cat))
+        return self.mfa(cat)
 
     def head(
         self, frames: jnp.ndarray, weights: Optional[jnp.ndarray] = None
@@ -174,13 +202,15 @@ class EcapaTDNN(nn.Module):
             weights = jnp.take(weights, idx, axis=-1)
 
         # Channel- and context-dependent attention, computed ONCE per chunk
-        # (no speaker axis): hidden = tanh(W_l f_t + W_g [mean; std] + b).
+        # (no speaker axis): speechbrain's tanh(BN(relu(W [x; mean; std])))
+        # with biased global std (eps=1e-12 clamp).
         gmean = jnp.mean(frames, axis=1, keepdims=True)
-        gstd = jnp.std(frames, axis=1, keepdims=True)
-        hidden = jnp.tanh(
-            self.att_local(frames)
-            + self.att_global(jnp.concatenate([gmean, gstd], axis=-1))
-        )  # (B, T, bottleneck)
+        gvar = jnp.mean((frames - gmean) ** 2, axis=1, keepdims=True)
+        gstd = jnp.sqrt(jnp.maximum(gvar, 1e-12))
+        hidden = self.att_local(frames) + self.att_global(
+            jnp.concatenate([gmean, gstd], axis=-1)
+        )
+        hidden = jnp.tanh(self.att_bn(nn.relu(hidden)))  # (B, T, bottleneck)
         alpha = jax.nn.softmax(self.att_scores(hidden), axis=1)  # (B, T, C)
 
         # Per-speaker pooling: external weights re-normalize the shared
@@ -189,10 +219,10 @@ class EcapaTDNN(nn.Module):
         # (B, S, T, C) tensor is ever materialized.
         af = alpha * frames
         af2 = alpha * frames**2
-        den = jnp.maximum(jnp.einsum("btc,bst->bsc", alpha, weights), 1e-8)
+        den = jnp.maximum(jnp.einsum("btc,bst->bsc", alpha, weights), 1e-12)
         mu = jnp.einsum("btc,bst->bsc", af, weights) / den
         var = jnp.einsum("btc,bst->bsc", af2, weights) / den - mu**2
-        sg = jnp.sqrt(jnp.maximum(var, 1e-8))
+        sg = jnp.sqrt(jnp.maximum(var, 1e-12))
         pooled = jnp.concatenate([mu, sg], axis=-1)  # (B, S, 2C)
-        emb = self.embedding(pooled)
+        emb = self.embedding(self.asp_bn(pooled))
         return emb[:, 0] if squeeze else emb

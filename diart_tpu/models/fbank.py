@@ -13,7 +13,13 @@ from functools import lru_cache
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["log_mel_filterbank", "mel_filter_matrix", "num_fbank_frames"]
+__all__ = [
+    "log_mel_filterbank",
+    "mel_filter_matrix",
+    "num_fbank_frames",
+    "speechbrain_log_mel",
+    "speechbrain_mel_matrix",
+]
 
 
 def _hz_to_mel(hz):
@@ -75,3 +81,64 @@ def log_mel_filterbank(
         jnp.asarray(mel_filter_matrix(num_mels, n_fft, sample_rate)),
     )
     return jnp.log(mel + eps)
+
+
+@lru_cache(maxsize=None)
+def speechbrain_mel_matrix(
+    num_mels: int = 80,
+    n_fft: int = 400,
+    sample_rate: int = 16000,
+    f_min: float = 0.0,
+    f_max: float = 8000.0,
+) -> np.ndarray:
+    """Triangular mel filterbank in speechbrain's convention
+    (``speechbrain.processing.features.Filterbank``): smooth triangles on the
+    linear frequency grid, both slopes normalized by the *left* bandwidth,
+    peak amplitude 1. (num_mels, n_fft // 2 + 1)."""
+    all_freqs = np.linspace(0, sample_rate / 2, n_fft // 2 + 1)
+    mel = np.linspace(_hz_to_mel(f_min), _hz_to_mel(f_max), num_mels + 2)
+    hz = _mel_to_hz(mel)
+    band = (hz[1:] - hz[:-1])[:-1]  # left bandwidth per filter
+    f_central = hz[1:-1]
+    slope = (all_freqs[None, :] - f_central[:, None]) / band[:, None]
+    left_side = slope + 1.0
+    right_side = -slope + 1.0
+    return np.maximum(0.0, np.minimum(left_side, right_side)).astype(np.float32)
+
+
+def speechbrain_log_mel(
+    waveform: jnp.ndarray,
+    num_mels: int = 80,
+    n_fft: int = 400,
+    hop: int = 160,
+    sample_rate: int = 16000,
+    f_min: float = 0.0,
+    f_max: float = 8000.0,
+    amin: float = 1e-10,
+    top_db: float = 80.0,
+) -> jnp.ndarray:
+    """(batch, samples) -> (batch, frames, num_mels) log-mel fbanks in
+    speechbrain's ``Fbank`` convention (the frontend of the speechbrain
+    ECAPA/x-vector recipes): centered STFT with constant padding and a
+    periodic Hamming window, power spectrum, speechbrain mel triangles, and
+    torchaudio-style amplitude_to_DB (10*log10, per-utterance top_db floor).
+    """
+    batch, samples = waveform.shape
+    pad = n_fft // 2
+    padded = jnp.pad(waveform, ((0, 0), (pad, pad)))
+    num_frames = samples // hop + 1
+    idx = np.arange(num_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    frames = padded[:, idx]  # (batch, frames, n_fft)
+    # torch.hamming_window(periodic=True)
+    n = np.arange(n_fft)
+    window = jnp.asarray((0.54 - 0.46 * np.cos(2 * np.pi * n / n_fft)).astype(np.float32))
+    spec = jnp.fft.rfft(frames * window, axis=-1)
+    power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2).astype(jnp.float32)
+    fbanks = jnp.einsum(
+        "btf,mf->btm",
+        power,
+        jnp.asarray(speechbrain_mel_matrix(num_mels, n_fft, sample_rate, f_min, f_max)),
+    )
+    x_db = 10.0 * jnp.log10(jnp.maximum(fbanks, amin))
+    floor = jnp.max(x_db, axis=(1, 2), keepdims=True) - top_db
+    return jnp.maximum(x_db, floor)

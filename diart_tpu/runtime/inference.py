@@ -254,54 +254,106 @@ class Benchmark:
             metric(ref, hyp)
         return metric.report(display=self.show_report)
 
+    @staticmethod
+    def _padded_block_stream(path, sample_rate, left, right, n):
+        """Generator of n-sample float32 blocks of
+        ``[left-pad zeros | file audio | right-pad zeros]``.
+
+        WAV files at the target rate stream from disk block by block (a
+        corpus of 90-minute meetings never fully materializes in host
+        memory); other containers/rates fall back to one full decode.
+        The final partial block is zero-padded to n.
+        """
+        from ..audio import AudioLoader, WavBlockReader
+
+        def pieces():
+            yield np.zeros(int(np.rint(left * sample_rate)), np.float32)
+            reader = None
+            if str(path).lower().endswith(".wav"):
+                try:
+                    candidate = WavBlockReader(path)
+                    if candidate.sample_rate == sample_rate:
+                        reader = candidate
+                    else:
+                        candidate.close()
+                except ValueError:
+                    reader = None
+            if reader is not None:
+                with reader:
+                    while True:
+                        piece = reader.read_block(max(n, 65536))
+                        if piece.size == 0:
+                            break
+                        yield piece
+            else:
+                yield AudioLoader(sample_rate, mono=True).load(path)[0]
+            yield np.zeros(int(np.rint(right * sample_rate)), np.float32)
+
+        pending: List[np.ndarray] = []
+        pending_len = 0
+        for piece in pieces():
+            pending.append(piece)
+            pending_len += piece.shape[0]
+            while pending_len >= n:
+                flat = np.concatenate(pending) if len(pending) > 1 else pending[0]
+                yield flat[:n]
+                pending = [flat[n:]]
+                pending_len = flat.shape[0] - n
+        if pending_len > 0:
+            tail = np.zeros(n, np.float32)
+            flat = np.concatenate(pending) if len(pending) > 1 else pending[0]
+            tail[:pending_len] = flat
+            yield tail
+
     def run_multi_stream(
         self, pipeline_class: type, config: blocks.PipelineConfig
     ) -> List[Annotation]:
         """Run ALL files as one batched engine session: files become the
         stream dimension of a fused :class:`MultiStreamEngine` step — the
         on-chip replacement for the reference's per-file loop and process
-        pool (``inference.py:435-559``)."""
+        pool (``inference.py:435-559``). Supports SpeakerDiarization and
+        VoiceActivityDetection (the engine's VAD mode skips embedding and
+        clustering entirely)."""
         from ..parallel.engine import MultiStreamEngine
         from ..parallel.session import MultiStreamSession
         from ..audio import AudioLoader
         from .sinks import PredictionAccumulator
 
-        assert pipeline_class is blocks.SpeakerDiarization, (
-            "multi_stream benchmarking currently supports SpeakerDiarization"
+        is_vad = pipeline_class is blocks.VoiceActivityDetection
+        assert is_vad or pipeline_class is blocks.SpeakerDiarization, (
+            "multi_stream benchmarking supports SpeakerDiarization and "
+            "VoiceActivityDetection"
         )
         paths = self.get_file_paths()
         b = len(paths)
         engine = MultiStreamEngine(
             segmentation=config.segmentation,
-            embedding=config.embedding,
+            embedding=None if is_vad else config.embedding,
             duration=config.duration,
             step=config.step,
             latency=config.latency,
             sample_rate=config.sample_rate,
             tau_active=config.tau_active,
-            rho_update=config.rho_update,
-            delta_new=config.delta_new,
-            gamma=config.gamma,
-            beta=config.beta,
-            max_speakers=config.max_speakers,
-            normalize_embedding_weights=config.normalize_embedding_weights,
+            rho_update=getattr(config, "rho_update", 0.3),
+            delta_new=getattr(config, "delta_new", 1.0),
+            gamma=getattr(config, "gamma", 3.0),
+            beta=getattr(config, "beta", 10.0),
+            max_speakers=getattr(config, "max_speakers", 20),
+            normalize_embedding_weights=getattr(
+                config, "normalize_embedding_weights", False
+            ),
             batch_size=b,
         )
-        loader = AudioLoader(config.sample_rate, mono=True)
-        waveforms, shifts = [], []
+        sr = config.sample_rate
+        n = engine.step_samples
+        loader = AudioLoader(sr, mono=True)
+        streams, shifts, blocks_left = [], [], []
         for path in paths:
             left, right = config.get_file_padding(path)
-            wave = loader.load(path)[0]
-            sr = config.sample_rate
-            wave = np.concatenate(
-                [
-                    np.zeros(int(np.rint(left * sr)), np.float32),
-                    wave,
-                    np.zeros(int(np.rint(right * sr)), np.float32),
-                ]
-            )
-            waveforms.append(wave)
+            total = left + loader.get_duration(path) + right
+            streams.append(self._padded_block_stream(path, sr, left, right, n))
             shifts.append(-left)
+            blocks_left.append(int(np.ceil(total * sr / n)))
 
         session = MultiStreamSession(
             engine,
@@ -311,20 +363,23 @@ class Benchmark:
             collect_audio=False,
         )
         accumulators = [PredictionAccumulator(p.stem) for p in paths]
-        n = engine.step_samples
-        num_blocks = max(int(np.ceil(len(w) / n)) for w in waveforms)
-        for blk in range(num_blocks):
+        for _ in range(max(blocks_left)):
             present = np.zeros(b, bool)
             batch = np.zeros((b, n), np.float32)
-            for i, wave in enumerate(waveforms):
-                piece = wave[blk * n : (blk + 1) * n]
-                if piece.shape[0] > 0:
-                    batch[i, : piece.shape[0]] = piece
+            for i, stream in enumerate(streams):
+                block = next(stream, None)
+                if block is not None:
+                    batch[i] = block
                     present[i] = True
             outputs = session.push(batch, present)
             for i, out in enumerate(outputs):
                 if out is not None:
-                    accumulators[i].on_next(out[0])
+                    annotation = out[0]
+                    if is_vad:
+                        annotation = annotation.rename_labels(
+                            {l: "speech" for l in annotation.labels()}
+                        )
+                    accumulators[i].on_next(annotation)
 
         predictions = []
         for i, path in enumerate(paths):

@@ -97,3 +97,30 @@ class TestMalformedWav:
         decoded, rate = wav_decode_mono(path)
         assert rate == 16000
         np.testing.assert_allclose(decoded[0], samples, atol=1e-7)
+
+
+class TestWavBlockReader:
+    def test_streams_match_full_decode(self, stereo_wav):
+        from diart_tpu.audio import WavBlockReader
+
+        path, wave = stereo_wav
+        with WavBlockReader(path) as reader:
+            assert reader.sample_rate == 16000
+            assert reader.num_frames == 32000
+            blocks = []
+            while True:
+                block = reader.read_block(7000)  # deliberately odd size
+                if block.size == 0:
+                    break
+                blocks.append(block)
+        streamed = np.concatenate(blocks)
+        full, _ = read_wav(path)
+        np.testing.assert_allclose(streamed, full.mean(axis=0), atol=1e-6)
+
+    def test_rejects_malformed(self, tmp_path):
+        from diart_tpu.audio import WavBlockReader
+
+        path = tmp_path / "bad.wav"
+        path.write_bytes(b"RIFF\x00\x00\x00\x00WAVEjunk")
+        with pytest.raises(ValueError):
+            WavBlockReader(path)

@@ -248,3 +248,53 @@ class TestPretrainedArchitectureFidelity:
         out = np.asarray(emb(wave))
         scale = np.abs(ref).max()
         np.testing.assert_allclose(out, ref, atol=1e-4 * max(scale, 1.0))
+
+
+class TestEcapaConversionFidelity:
+    """Full-forward equivalence against a faithful torch replica of
+    speechbrain's ECAPA_TDNN (state-dict layout of spkrec-ecapa-voxceleb)."""
+
+    def _converted(self, tmp_path, torch_net):
+        from diart_tpu.models import EmbeddingModel
+
+        path = tmp_path / "ecapa_sb.pt"
+        torch.save(torch_net.state_dict(), path)
+        emb = EmbeddingModel.from_pretrained(str(path))
+        emb.load()
+        return emb
+
+    def test_feature_level_full_forward(self, tmp_path):
+        from torch_replicas import SBEcapaTDNN
+
+        torch.manual_seed(21)
+        net = SBEcapaTDNN(lin_neurons=192).eval()
+        emb = self._converted(tmp_path, net)
+        assert type(emb.module).__name__ == "EcapaTDNN"
+        assert emb.embedding_dim == 192
+
+        rng = np.random.default_rng(2)
+        feats = rng.normal(scale=1.0, size=(2, 120, 80)).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.from_numpy(feats)).numpy()
+        frames = emb.module.apply(
+            emb.params, jnp.asarray(feats), method="trunk_from_features"
+        )
+        out = np.asarray(emb.module.apply(emb.params, frames, method="head"))
+        scale = max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(out, ref, atol=2e-4 * scale)
+
+    def test_waveform_level_with_fbank(self, tmp_path):
+        from torch_replicas import SBEcapaTDNN, sb_fbank
+
+        torch.manual_seed(22)
+        net = SBEcapaTDNN(lin_neurons=64).eval()
+        emb = self._converted(tmp_path, net)
+        rng = np.random.default_rng(3)
+        wave = rng.normal(scale=0.2, size=(1, 1, 32000)).astype(np.float32)
+        with torch.no_grad():
+            feats = sb_fbank(torch.from_numpy(wave[:, 0]))
+            feats = feats - feats.mean(dim=1, keepdim=True)
+            ref = net(feats).numpy()
+        out = np.asarray(emb(wave))
+        scale = max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(out, ref, atol=2e-4 * scale)

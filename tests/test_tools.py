@@ -314,3 +314,37 @@ class TestParallelize:
         assert seq.loc["TOTAL", name]["%"] == pytest.approx(
             par.loc["TOTAL", name]["%"], abs=0.5
         )
+
+
+class TestMultiStreamVad:
+    def test_multi_stream_vad_matches_sequential(self, corpus, tmp_path):
+        """Benchmark(multi_stream=True) over VoiceActivityDetection must
+        produce the same detection report as the per-file loop."""
+        from diart_tpu import VoiceActivityDetection, VoiceActivityDetectionConfig
+
+        audio_dir, rttm_dir = corpus
+        params = {
+            k: v
+            for k, v in PIPELINE_PARAMS.items()
+            if k in ("duration", "step", "latency", "tau_active", "sample_rate")
+        }
+
+        def config():
+            return VoiceActivityDetectionConfig(
+                segmentation=fake_segmentation(), **params
+            )
+
+        name = VoiceActivityDetection.suggest_metric().name
+        seq = Benchmark(
+            audio_dir, rttm_dir, show_progress=False, show_report=False, batch_size=8
+        )(VoiceActivityDetection, config())
+        multi = Benchmark(
+            audio_dir,
+            rttm_dir,
+            show_progress=False,
+            show_report=False,
+            multi_stream=True,
+        )(VoiceActivityDetection, config())
+        assert seq.loc["TOTAL", name]["%"] == pytest.approx(
+            multi.loc["TOTAL", name]["%"], abs=1.0
+        )

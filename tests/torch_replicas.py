@@ -249,3 +249,204 @@ class TorchXVectorSincNet(nn.Module):
             outputs = block(outputs)
         outputs = self.stats_pool(outputs, weights=weights)
         return self.embedding(outputs)
+
+
+# --------------------------------------------------------------------- #
+# speechbrain ECAPA-TDNN replica (lobes/models/ECAPA_TDNN.py), including
+# the wrapper-module nesting (.conv.conv / .norm.norm) so the state dict
+# has the exact key layout of speechbrain/spkrec-ecapa-voxceleb.
+# --------------------------------------------------------------------- #
+
+
+class _SBConv1d(nn.Module):
+    """speechbrain.nnet.CNN.Conv1d: inner .conv, 'same' padding."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, dilation=1):
+        super().__init__()
+        self.conv = nn.Conv1d(
+            in_channels,
+            out_channels,
+            kernel_size,
+            dilation=dilation,
+            padding=(kernel_size - 1) * dilation // 2,
+        )
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class _SBBatchNorm1d(nn.Module):
+    """speechbrain.nnet.normalization.BatchNorm1d: inner .norm."""
+
+    def __init__(self, channels):
+        super().__init__()
+        self.norm = nn.BatchNorm1d(channels)
+
+    def forward(self, x):
+        return self.norm(x)
+
+
+class SBTDNNBlock(nn.Module):
+    def __init__(self, in_channels, out_channels, kernel_size, dilation):
+        super().__init__()
+        self.conv = _SBConv1d(in_channels, out_channels, kernel_size, dilation)
+        self.activation = nn.ReLU()
+        self.norm = _SBBatchNorm1d(out_channels)
+
+    def forward(self, x):
+        return self.norm(self.activation(self.conv(x)))
+
+
+class SBRes2NetBlock(nn.Module):
+    def __init__(self, channels, kernel_size, dilation, scale=8):
+        super().__init__()
+        width = channels // scale
+        self.scale = scale
+        self.blocks = nn.ModuleList(
+            [SBTDNNBlock(width, width, kernel_size, dilation) for _ in range(scale - 1)]
+        )
+
+    def forward(self, x):
+        y = []
+        for i, x_i in enumerate(torch.chunk(x, self.scale, dim=1)):
+            if i == 0:
+                y_i = x_i
+            elif i == 1:
+                y_i = self.blocks[i - 1](x_i)
+            else:
+                y_i = self.blocks[i - 1](x_i + y_i)
+            y.append(y_i)
+        return torch.cat(y, dim=1)
+
+
+class SBSEBlock(nn.Module):
+    def __init__(self, in_channels, se_channels, out_channels):
+        super().__init__()
+        self.conv1 = _SBConv1d(in_channels, se_channels, 1)
+        self.relu = nn.ReLU(inplace=True)
+        self.conv2 = _SBConv1d(se_channels, out_channels, 1)
+        self.sigmoid = nn.Sigmoid()
+
+    def forward(self, x):
+        s = x.mean(dim=2, keepdim=True)
+        s = self.relu(self.conv1(s))
+        s = self.sigmoid(self.conv2(s))
+        return s * x
+
+
+class SBSERes2NetBlock(nn.Module):
+    def __init__(self, in_channels, out_channels, res2net_scale, se_channels, kernel_size, dilation):
+        super().__init__()
+        self.tdnn1 = SBTDNNBlock(in_channels, out_channels, 1, 1)
+        self.res2net_block = SBRes2NetBlock(out_channels, kernel_size, dilation, res2net_scale)
+        self.tdnn2 = SBTDNNBlock(out_channels, out_channels, 1, 1)
+        self.se_block = SBSEBlock(out_channels, se_channels, out_channels)
+
+    def forward(self, x):
+        residual = x
+        x = self.tdnn1(x)
+        x = self.res2net_block(x)
+        x = self.tdnn2(x)
+        x = self.se_block(x)
+        return x + residual
+
+
+class SBAttentiveStatisticsPooling(nn.Module):
+    def __init__(self, channels, attention_channels=128):
+        super().__init__()
+        self.eps = 1e-12
+        self.tdnn = SBTDNNBlock(channels * 3, attention_channels, 1, 1)
+        self.tanh = nn.Tanh()
+        self.conv = _SBConv1d(attention_channels, channels, 1)
+
+    @staticmethod
+    def _stats(x, m, dim=2, eps=1e-12):
+        mean = (m * x).sum(dim)
+        std = torch.sqrt((m * (x - mean.unsqueeze(dim)).pow(2)).sum(dim).clamp(eps))
+        return mean, std
+
+    def forward(self, x):
+        L = x.shape[-1]
+        mean, std = self._stats(x, 1.0 / L, eps=self.eps)
+        attn = torch.cat(
+            [x, mean.unsqueeze(2).repeat(1, 1, L), std.unsqueeze(2).repeat(1, 1, L)],
+            dim=1,
+        )
+        attn = self.conv(self.tanh(self.tdnn(attn)))
+        attn = torch.softmax(attn, dim=2)
+        mean, std = self._stats(x, attn, eps=self.eps)
+        return torch.cat((mean, std), dim=1).unsqueeze(2)  # (B, 2C, 1)
+
+
+class SBEcapaTDNN(nn.Module):
+    """speechbrain ECAPA_TDNN over fbank features (B, T, mels)."""
+
+    def __init__(
+        self,
+        input_size=80,
+        lin_neurons=192,
+        channels=(512, 512, 512, 512, 1536),
+        kernel_sizes=(5, 3, 3, 3, 1),
+        dilations=(1, 2, 3, 4, 1),
+        attention_channels=128,
+        res2net_scale=8,
+        se_channels=128,
+    ):
+        super().__init__()
+        self.blocks = nn.ModuleList()
+        self.blocks.append(SBTDNNBlock(input_size, channels[0], kernel_sizes[0], dilations[0]))
+        for i in range(1, len(channels) - 1):
+            self.blocks.append(
+                SBSERes2NetBlock(
+                    channels[i - 1], channels[i], res2net_scale, se_channels,
+                    kernel_sizes[i], dilations[i],
+                )
+            )
+        self.mfa = SBTDNNBlock(channels[-1], channels[-1], kernel_sizes[-1], dilations[-1])
+        self.asp = SBAttentiveStatisticsPooling(channels[-1], attention_channels)
+        self.asp_bn = _SBBatchNorm1d(channels[-1] * 2)
+        self.fc = _SBConv1d(channels[-1] * 2, lin_neurons, 1)
+
+    def forward(self, feats):
+        # feats: (B, T, mels) -> speechbrain transposes to (B, C, T)
+        x = feats.transpose(1, 2)
+        xl = []
+        for layer in self.blocks:
+            x = layer(x)
+            xl.append(x)
+        x = torch.cat(xl[1:], dim=1)
+        x = self.mfa(x)
+        x = self.asp(x)
+        x = self.asp_bn(x)
+        x = self.fc(x)
+        return x.squeeze(2)  # (B, dim)
+
+
+def sb_fbank(waveform: torch.Tensor, n_mels=80, n_fft=400, hop=160, sample_rate=16000):
+    """speechbrain Fbank replica: centered constant-padded STFT with a
+    periodic Hamming window, power spectrum, speechbrain mel triangles,
+    amplitude_to_DB with per-utterance top_db=80 floor. (B, S) -> (B, T, M)."""
+    spec = torch.stft(
+        waveform,
+        n_fft=n_fft,
+        hop_length=hop,
+        win_length=n_fft,
+        window=torch.hamming_window(n_fft, periodic=True),
+        center=True,
+        pad_mode="constant",
+        return_complex=True,
+    )  # (B, F, T)
+    power = spec.real**2 + spec.imag**2
+    all_freqs = np.linspace(0, sample_rate / 2, n_fft // 2 + 1)
+    mel = np.linspace(
+        2595 * np.log10(1 + 0.0 / 700), 2595 * np.log10(1 + 8000.0 / 700), n_mels + 2
+    )
+    hz = 700 * (10 ** (mel / 2595) - 1)
+    band = (hz[1:] - hz[:-1])[:-1]
+    f_central = hz[1:-1]
+    slope = (all_freqs[None, :] - f_central[:, None]) / band[:, None]
+    fb = np.maximum(0.0, np.minimum(slope + 1.0, -slope + 1.0)).astype(np.float32)
+    fbanks = torch.einsum("bft,mf->btm", power.float(), torch.from_numpy(fb))
+    x_db = 10.0 * torch.log10(torch.clamp(fbanks, min=1e-10))
+    floor = x_db.amax(dim=(1, 2), keepdim=True) - 80.0
+    return torch.maximum(x_db, floor)
