@@ -53,15 +53,24 @@ def _init_params(module, seed: int, samples: int):
     tunnel); the CPU backend does it in seconds and the arrays migrate to the
     accelerator lazily on first use.
     """
+    import os
+
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
         cpu = None
     dummy = jnp.zeros((1, 1, samples))
-    if cpu is None:
-        return module.init(jax.random.PRNGKey(seed), dummy)
-    with jax.default_device(cpu):
-        return module.init(jax.random.PRNGKey(seed), dummy)
+    # Pallas kernels can't lower for the CPU backend; the init computation
+    # only produces shapes/weights, so force the portable scan path here.
+    pallas_env = os.environ.pop("DIART_TPU_PALLAS_LSTM", None)
+    try:
+        if cpu is None:
+            return module.init(jax.random.PRNGKey(seed), dummy)
+        with jax.default_device(cpu):
+            return module.init(jax.random.PRNGKey(seed), dummy)
+    finally:
+        if pallas_env is not None:
+            os.environ["DIART_TPU_PALLAS_LSTM"] = pallas_env
 
 
 

@@ -30,8 +30,13 @@ __all__ = ["BiLSTM"]
 
 def _use_pallas_default() -> bool:
     """The Pallas sweep kernel is opt-in via DIART_TPU_PALLAS_LSTM=1
-    (bit-equivalent to the scan path; see ops/pallas_lstm.py)."""
-    return os.environ.get("DIART_TPU_PALLAS_LSTM", "0") == "1"
+    (bit-equivalent to the scan path; see ops/pallas_lstm.py). Compiled
+    Pallas requires a TPU backend, so the opt-in is ignored on CPU (e.g.
+    hermetic tests, CPU-backend param initialization)."""
+    return (
+        os.environ.get("DIART_TPU_PALLAS_LSTM", "0") == "1"
+        and jax.default_backend() == "tpu"
+    )
 
 
 def _bidirectional_scan(proj: jnp.ndarray, w_hh: jnp.ndarray, hidden: int) -> jnp.ndarray:

@@ -32,19 +32,22 @@ __all__ = ["lstm_sweep"]
 
 
 def _lstm_kernel(proj_ref, w_hh_ref, out_ref, h_scr, c_scr, x_scr, sem):
-    """proj_ref: (2, B, T, 4H) in ANY/HBM; w_hh_ref: (2, 4H, H) VMEM;
-    out_ref: (2, B, T, H) in ANY/HBM; scratch: h/c (2, B, H) VMEM,
-    x (2 slots, 2, B, 4H) VMEM, sem: 2 DMA + 1 out semaphore."""
-    _, batch, time, gates4 = proj_ref.shape
+    """proj_ref: (T, 2, B, 4H) in ANY/HBM; w_hh_ref: (2, 4H, H) VMEM;
+    out_ref: (T, 2, B, H) in ANY/HBM; scratch: h/c (2, B, H) VMEM,
+    x (2 slots, 2, B, 4H) VMEM, sem: 2 DMA + 1 out semaphore.
+
+    Time is the MAJOR axis of the HBM buffers: Mosaic requires slices along
+    the (sublane, lane)-tiled trailing dims to be tile-aligned, so a
+    1-timestep slice must cut an untiled leading axis.
+    """
+    time, _, batch, gates4 = proj_ref.shape
     hidden = gates4 // 4
 
     h_scr[...] = jnp.zeros_like(h_scr)
     c_scr[...] = jnp.zeros_like(c_scr)
 
     def fetch(slot, t):
-        return pltpu.make_async_copy(
-            proj_ref.at[:, :, t], x_scr.at[slot], sem.at[slot]
-        )
+        return pltpu.make_async_copy(proj_ref.at[t], x_scr.at[slot], sem.at[slot])
 
     # warm-up: start the first timestep's DMA
     fetch(0, 0).start()
@@ -78,7 +81,7 @@ def _lstm_kernel(proj_ref, w_hh_ref, out_ref, h_scr, c_scr, x_scr, sem):
 
         # write h back to HBM (async; the next iteration's state lives in
         # VMEM so we only need the copy to finish by kernel end)
-        out_copy = pltpu.make_async_copy(h_scr, out_ref.at[:, :, t], sem.at[2])
+        out_copy = pltpu.make_async_copy(h_scr, out_ref.at[t], sem.at[2])
         out_copy.start()
         out_copy.wait()
         return 0
@@ -104,9 +107,11 @@ def lstm_sweep(
     """
     dirs, batch, time, gates4 = proj.shape
     hidden = gates4 // 4
-    return pl.pallas_call(
+    # time-major HBM layout so per-timestep DMA slices cut an untiled axis
+    proj_t = jnp.moveaxis(proj, 2, 0)  # (T, 2, B, 4H)
+    out_t = pl.pallas_call(
         _lstm_kernel,
-        out_shape=jax.ShapeDtypeStruct((dirs, batch, time, hidden), proj.dtype),
+        out_shape=jax.ShapeDtypeStruct((time, dirs, batch, hidden), proj.dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # proj streams via DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w_hh resident
@@ -122,4 +127,5 @@ def lstm_sweep(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(1.2e8),
         ),
-    )(proj, w_hh)
+    )(proj_t, w_hh)
+    return jnp.moveaxis(out_t, 0, 2)  # (2, B, T, H)
