@@ -2,7 +2,14 @@ from .base import EmbeddingModel, LazyModel, SegmentationModel
 from .segmentation import PyanNet
 from .embedding import XVectorSincNet, weighted_stats_pool, resample_weights
 from .ecapa import EcapaTDNN
-from .fbank import log_mel_filterbank, mel_filter_matrix, num_fbank_frames
+from .resnet import ResNet34
+from .fbank import (
+    kaldi_log_mel,
+    log_mel_filterbank,
+    mel_filter_matrix,
+    num_fbank_frames,
+    speechbrain_log_mel,
+)
 from .sincnet import SincNet, SincConv, num_sincnet_frames
 from .lstm import BiLSTM
 from .powerset import num_powerset_classes, powerset_mapping, to_multilabel
@@ -14,6 +21,9 @@ __all__ = [
     "PyanNet",
     "XVectorSincNet",
     "EcapaTDNN",
+    "ResNet34",
+    "kaldi_log_mel",
+    "speechbrain_log_mel",
     "log_mel_filterbank",
     "mel_filter_matrix",
     "num_fbank_frames",

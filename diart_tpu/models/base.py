@@ -119,6 +119,13 @@ class _EmbRegistryLoader:
                 embedding_dim=kwargs.get("embedding_dim", 192),
                 channels=kwargs.get("channels", 512),
             )
+        elif name == "tpu/resnet34":
+            from .resnet import ResNet34
+
+            module = ResNet34(
+                embedding_dim=kwargs.get("embedding_dim", 256),
+                base_channels=kwargs.get("base_channels", 32),
+            )
         else:
             module = XVectorSincNet(
                 embedding_dim=kwargs.get("embedding_dim", 512),
@@ -247,6 +254,9 @@ _NATIVE_MODULE_CLASSES: Dict[str, Callable[[], type]] = {
     "EcapaTDNN": lambda: __import__(
         "diart_tpu.models.ecapa", fromlist=["EcapaTDNN"]
     ).EcapaTDNN,
+    "ResNet34": lambda: __import__(
+        "diart_tpu.models.resnet", fromlist=["ResNet34"]
+    ).ResNet34,
 }
 
 

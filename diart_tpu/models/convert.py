@@ -43,9 +43,11 @@ __all__ = [
     "pyannet_params_from_state_dict",
     "xvector_params_from_state_dict",
     "ecapa_params_from_state_dict",
+    "resnet_params_from_state_dict",
     "load_pyannet_checkpoint",
     "load_xvector_checkpoint",
     "load_ecapa_checkpoint",
+    "load_resnet_checkpoint",
     "load_embedding_checkpoint",
     "load_pyannote_segmentation",
     "load_pyannote_embedding",
@@ -254,11 +256,90 @@ def load_ecapa_checkpoint(path: Union[str, Path]):
     return module, params, {"sample_rate": 16000, "source": str(path)}
 
 
+def _conv2d(sd: Dict[str, Any], key: str, transpose_hw: bool) -> Dict[str, np.ndarray]:
+    """torch Conv2d weight (O, I, kH, kW) -> flax (kH, kW, I, O); with
+    ``transpose_hw`` the two spatial dims swap (wespeaker lays the fbank
+    image as (freq, time) while our trunk uses (time, freq))."""
+    w = _get(sd, f"{key}.weight")
+    kernel = w.transpose(3, 2, 1, 0) if transpose_hw else w.transpose(2, 3, 1, 0)
+    out = {"kernel": kernel}
+    if f"{key}.bias" in sd:
+        out["bias"] = _get(sd, f"{key}.bias")
+    return out
+
+
+def _plain_bn(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        "scale": _get(sd, f"{prefix}.weight"),
+        "bias": _get(sd, f"{prefix}.bias"),
+        "mean": _get(sd, f"{prefix}.running_mean"),
+        "var": _get(sd, f"{prefix}.running_var"),
+    }
+
+
+def resnet_params_from_state_dict(
+    sd: Dict[str, Any], depths=(3, 4, 6, 3)
+) -> Dict[str, Any]:
+    """Map a wespeaker ResNet state dict (e.g. the torch side of
+    ``wespeaker-voxceleb-resnet34-LM``) onto our
+    :class:`diart_tpu.models.resnet.ResNet34` parameter tree."""
+    if any(k.startswith("resnet.") for k in sd):
+        sd = {k[len("resnet."):]: v for k, v in sd.items() if k.startswith("resnet.")}
+    params: Dict[str, Any] = {
+        "conv1": _conv2d(sd, "conv1", transpose_hw=True),
+        "bn1": _plain_bn(sd, "bn1"),
+    }
+    for stage, depth in enumerate(depths):
+        for i in range(depth):
+            prefix = f"layer{stage + 1}.{i}"
+            block = {
+                "conv1": _conv2d(sd, f"{prefix}.conv1", transpose_hw=True),
+                "bn1": _plain_bn(sd, f"{prefix}.bn1"),
+                "conv2": _conv2d(sd, f"{prefix}.conv2", transpose_hw=True),
+                "bn2": _plain_bn(sd, f"{prefix}.bn2"),
+            }
+            if f"{prefix}.downsample.0.weight" in sd:
+                block["downsample_conv"] = _conv2d(
+                    sd, f"{prefix}.downsample.0", transpose_hw=True
+                )
+                block["downsample_bn"] = _plain_bn(sd, f"{prefix}.downsample.1")
+            params[f"layer{stage + 1}_{i}"] = block
+    params["embedding"] = _dense(sd, "seg_1")
+    return {"params": params}
+
+
+def load_resnet_checkpoint(path: Union[str, Path]):
+    """WeSpeaker ResNet34 checkpoint -> (module, params, meta)."""
+    from .resnet import ResNet34
+
+    sd = _load_torch_state_dict(path)
+    return _load_resnet_from_sd(sd, source=str(path))
+
+
+def _load_resnet_from_sd(sd: Dict[str, Any], source: str = ""):
+    from .resnet import ResNet34
+
+    if any(k.startswith("resnet.") for k in sd):
+        flat = {k[len("resnet."):]: v for k, v in sd.items() if k.startswith("resnet.")}
+    else:
+        flat = sd
+    dim = int(_np(flat["seg_1.weight"]).shape[0])
+    base = int(_np(flat["conv1.weight"]).shape[0])
+    module = ResNet34(embedding_dim=dim, base_channels=base)
+    return (
+        module,
+        _to_jax(resnet_params_from_state_dict(sd)),
+        {"sample_rate": 16000, "source": source},
+    )
+
+
 def load_embedding_checkpoint(path: Union[str, Path]):
     """Torch embedding checkpoint -> (module, params, meta); the layout is
-    sniffed from the state-dict keys (pyannote XVectorSincNet vs speechbrain
-    ECAPA-TDNN)."""
+    sniffed from the state-dict keys (pyannote XVectorSincNet, speechbrain
+    ECAPA-TDNN, or wespeaker ResNet)."""
     sd = _load_torch_state_dict(path)
+    if "seg_1.weight" in sd or "resnet.seg_1.weight" in sd:
+        return _load_resnet_from_sd(sd, source=str(path))
     if "fc.conv.weight" in sd or "blocks.0.conv.conv.weight" in sd:
         from .ecapa import EcapaTDNN
 

@@ -19,6 +19,8 @@ __all__ = [
     "num_fbank_frames",
     "speechbrain_log_mel",
     "speechbrain_mel_matrix",
+    "kaldi_log_mel",
+    "kaldi_mel_matrix",
 ]
 
 
@@ -142,3 +144,78 @@ def speechbrain_log_mel(
     x_db = 10.0 * jnp.log10(jnp.maximum(fbanks, amin))
     floor = jnp.max(x_db, axis=(1, 2), keepdims=True) - top_db
     return jnp.maximum(x_db, floor)
+
+
+@lru_cache(maxsize=None)
+def kaldi_mel_matrix(
+    num_mels: int = 80,
+    padded_window: int = 512,
+    sample_rate: int = 16000,
+    low_freq: float = 20.0,
+    high_freq: float = 0.0,
+) -> np.ndarray:
+    """Kaldi-convention mel filterbank (as in torchaudio.compliance.kaldi):
+    triangles in *mel* space over the first ``padded_window // 2`` FFT bins
+    (nyquist excluded). (num_mels, padded_window // 2)."""
+
+    def to_mel(hz):
+        return 1127.0 * np.log(1.0 + np.asarray(hz) / 700.0)
+
+    nyquist = sample_rate / 2
+    high = high_freq if high_freq > 0 else nyquist + high_freq
+    num_bins = padded_window // 2
+    fft_freqs = np.arange(num_bins) * sample_rate / padded_window
+    mel_freqs = to_mel(fft_freqs)
+    mel_low, mel_high = to_mel(low_freq), to_mel(high)
+    delta = (mel_high - mel_low) / (num_mels + 1)
+    filters = np.zeros((num_mels, num_bins), np.float32)
+    for i in range(num_mels):
+        left = mel_low + i * delta
+        center = left + delta
+        right = center + delta
+        up = (mel_freqs - left) / (center - left)
+        down = (right - mel_freqs) / (right - center)
+        filters[i] = np.clip(np.minimum(up, down), 0.0, None)
+    return filters
+
+
+def kaldi_log_mel(
+    waveform: jnp.ndarray,
+    num_mels: int = 80,
+    frame_length: int = 400,
+    hop: int = 160,
+    sample_rate: int = 16000,
+    preemphasis: float = 0.97,
+    remove_dc: bool = True,
+) -> jnp.ndarray:
+    """(batch, samples) -> (batch, frames, num_mels) log-mel fbanks in Kaldi
+    conventions (torchaudio.compliance.kaldi.fbank with dither=0): snip-edges
+    framing, per-frame DC removal, pre-emphasis, povey window, power
+    spectrum on a pow2-padded FFT, mel triangles in mel space, natural log
+    with the float32-epsilon floor. The WeSpeaker recipes consume exactly
+    these features (followed by per-utterance mean normalization).
+    """
+    batch, samples = waveform.shape
+    num_frames = 1 + (samples - frame_length) // hop
+    idx = np.arange(num_frames)[:, None] * hop + np.arange(frame_length)[None, :]
+    frames = waveform[:, idx]  # (batch, frames, flen)
+    if remove_dc:
+        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    if preemphasis:
+        first = frames[..., :1] - preemphasis * frames[..., :1]
+        rest = frames[..., 1:] - preemphasis * frames[..., :-1]
+        frames = jnp.concatenate([first, rest], axis=-1)
+    n = np.arange(frame_length)
+    povey = ((0.5 - 0.5 * np.cos(2 * np.pi * n / (frame_length - 1))) ** 0.85).astype(
+        np.float32
+    )
+    frames = frames * jnp.asarray(povey)
+    padded = 1 << (frame_length - 1).bit_length()  # next pow2
+    spec = jnp.fft.rfft(frames, n=padded, axis=-1)
+    power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2).astype(jnp.float32)
+    mel = jnp.einsum(
+        "btf,mf->btm",
+        power[..., : padded // 2],
+        jnp.asarray(kaldi_mel_matrix(num_mels, padded, sample_rate)),
+    )
+    return jnp.log(jnp.maximum(mel, np.finfo(np.float32).eps))

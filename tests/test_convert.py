@@ -298,3 +298,67 @@ class TestEcapaConversionFidelity:
         out = np.asarray(emb(wave))
         scale = max(np.abs(ref).max(), 1.0)
         np.testing.assert_allclose(out, ref, atol=2e-4 * scale)
+
+
+class TestResNetConversionFidelity:
+    """Full-forward equivalence against a faithful torch replica of
+    wespeaker's ResNet34 (state-dict layout of wespeaker-voxceleb-resnet34)."""
+
+    def test_feature_level_full_forward(self, tmp_path):
+        from torch_replicas import WSResNet34
+        from diart_tpu.models import EmbeddingModel
+
+        torch.manual_seed(31)
+        net = WSResNet34(embed_dim=256).eval()
+        path = tmp_path / "resnet34.pt"
+        torch.save(net.state_dict(), path)
+        emb = EmbeddingModel.from_pretrained(str(path))
+        emb.load()
+        assert type(emb.module).__name__ == "ResNet34"
+        assert emb.embedding_dim == 256
+
+        rng = np.random.default_rng(7)
+        feats = rng.normal(scale=1.0, size=(2, 96, 80)).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.from_numpy(feats)).numpy()
+        frames = emb.module.apply(
+            emb.params, jnp.asarray(feats), method="trunk_from_features"
+        )
+        out = np.asarray(emb.module.apply(emb.params, frames, method="head"))
+        scale = max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(out, ref, atol=2e-4 * scale)
+
+    def test_waveform_level_with_kaldi_fbank(self, tmp_path):
+        from torch_replicas import WSResNet34, kaldi_fbank
+        from diart_tpu.models import EmbeddingModel
+
+        torch.manual_seed(32)
+        net = WSResNet34(embed_dim=64).eval()
+        path = tmp_path / "rn64.pt"
+        torch.save(net.state_dict(), path)
+        emb = EmbeddingModel.from_pretrained(str(path))
+        rng = np.random.default_rng(8)
+        wave = rng.normal(scale=0.2, size=(1, 1, 32000)).astype(np.float32)
+        with torch.no_grad():
+            feats = kaldi_fbank(torch.from_numpy(wave[:, 0]))
+            feats = feats - feats.mean(dim=1, keepdim=True)  # wespeaker CMN
+            ref = net(feats).numpy()
+        out = np.asarray(emb(wave))
+        scale = max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(out, ref, atol=2e-4 * scale)
+
+    def test_prefixed_checkpoint(self, tmp_path):
+        """pyannote-wrapped wespeaker checkpoints prefix keys with
+        'resnet.'; the sniffing loader must handle it."""
+        from torch_replicas import WSResNet34
+        from diart_tpu.models import EmbeddingModel
+
+        torch.manual_seed(33)
+        net = WSResNet34(embed_dim=64).eval()
+        sd = {f"resnet.{k}": v for k, v in net.state_dict().items()}
+        path = tmp_path / "wrapped.pt"
+        torch.save(sd, path)
+        emb = EmbeddingModel.from_pretrained(str(path))
+        emb.load()
+        assert type(emb.module).__name__ == "ResNet34"
+        assert emb.embedding_dim == 64

@@ -450,3 +450,121 @@ def sb_fbank(waveform: torch.Tensor, n_mels=80, n_fft=400, hop=160, sample_rate=
     x_db = 10.0 * torch.log10(torch.clamp(fbanks, min=1e-10))
     floor = x_db.amax(dim=(1, 2), keepdim=True) - 80.0
     return torch.maximum(x_db, floor)
+
+
+# --------------------------------------------------------------------- #
+# wespeaker ResNet34 replica (wespeaker/models/resnet.py), state-dict
+# layout of wespeaker-voxceleb-resnet34-LM.
+# --------------------------------------------------------------------- #
+
+
+class WSBasicBlock(nn.Module):
+    expansion = 1
+
+    def __init__(self, in_planes, planes, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_planes, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=1, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.downsample = None
+        if stride != 1 or in_planes != planes:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(in_planes, planes, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(planes),
+            )
+
+    def forward(self, x):
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        residual = x if self.downsample is None else self.downsample(x)
+        return F.relu(out + residual)
+
+
+class WSTSTP(nn.Module):
+    """wespeaker temporal statistics pooling: mean + std over time of the
+    flattened (channel, freq) maps."""
+
+    def forward(self, x):
+        # x: (B, C, F, T)
+        x = x.reshape(x.shape[0], -1, x.shape[-1])  # (B, C*F, T)
+        mean = x.mean(dim=-1)
+        std = torch.sqrt(torch.var(x, dim=-1) + 1e-7)
+        return torch.cat([mean, std], dim=-1)
+
+
+class WSResNet34(nn.Module):
+    """wespeaker ResNet34 over fbank features (B, T, mels); TSTP + seg_1."""
+
+    def __init__(self, feat_dim=80, embed_dim=256, m_channels=32, depths=(3, 4, 6, 3)):
+        super().__init__()
+        self.conv1 = nn.Conv2d(1, m_channels, 3, stride=1, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(m_channels)
+
+        def make_layer(in_planes, planes, depth, stride):
+            blocks = [WSBasicBlock(in_planes, planes, stride)]
+            for _ in range(depth - 1):
+                blocks.append(WSBasicBlock(planes, planes, 1))
+            return nn.Sequential(*blocks)
+
+        self.layer1 = make_layer(m_channels, m_channels, depths[0], 1)
+        self.layer2 = make_layer(m_channels, 2 * m_channels, depths[1], 2)
+        self.layer3 = make_layer(2 * m_channels, 4 * m_channels, depths[2], 2)
+        self.layer4 = make_layer(4 * m_channels, 8 * m_channels, depths[3], 2)
+        self.pool = WSTSTP()
+        stats_dim = (feat_dim // 8) * m_channels * 8
+        self.seg_1 = nn.Linear(stats_dim * 2, embed_dim)
+
+    def forward(self, feats):
+        # feats: (B, T, F) -> image (B, 1, F, T) (wespeaker convention)
+        x = feats.permute(0, 2, 1).unsqueeze(1)
+        x = F.relu(self.bn1(self.conv1(x)))
+        x = self.layer1(x)
+        x = self.layer2(x)
+        x = self.layer3(x)
+        x = self.layer4(x)
+        return self.seg_1(self.pool(x))
+
+
+def kaldi_fbank(
+    waveform: torch.Tensor,
+    num_mels=80,
+    frame_length=400,
+    hop=160,
+    sample_rate=16000,
+    preemph=0.97,
+) -> torch.Tensor:
+    """torchaudio.compliance.kaldi.fbank replica (dither=0): snip-edges,
+    per-frame DC removal, pre-emphasis, povey window, pow2-padded power
+    spectrum, mel triangles in kaldi mel space, ln with float-eps floor.
+    (B, S) -> (B, T, M)."""
+    b, samples = waveform.shape
+    m = 1 + (samples - frame_length) // hop
+    idx = torch.arange(m)[:, None] * hop + torch.arange(frame_length)[None, :]
+    frames = waveform[:, idx]  # (B, m, flen)
+    frames = frames - frames.mean(dim=-1, keepdim=True)
+    first = frames[..., :1] - preemph * frames[..., :1]
+    rest = frames[..., 1:] - preemph * frames[..., :-1]
+    frames = torch.cat([first, rest], dim=-1)
+    n = torch.arange(frame_length, dtype=torch.float64)
+    povey = (0.5 - 0.5 * torch.cos(2 * np.pi * n / (frame_length - 1))) ** 0.85
+    frames = frames * povey.float()
+    padded = 1 << (frame_length - 1).bit_length()
+    spec = torch.fft.rfft(frames, n=padded)
+    power = spec.real**2 + spec.imag**2
+
+    def to_mel(hz):
+        return 1127.0 * np.log(1.0 + np.asarray(hz) / 700.0)
+
+    num_bins = padded // 2
+    fft_freqs = to_mel(np.arange(num_bins) * sample_rate / padded)
+    mel_low, mel_high = to_mel(20.0), to_mel(sample_rate / 2)
+    delta = (mel_high - mel_low) / (num_mels + 1)
+    filters = np.zeros((num_mels, num_bins), np.float32)
+    for i in range(num_mels):
+        left = mel_low + i * delta
+        up = (fft_freqs - left) / delta
+        down = (left + 2 * delta - fft_freqs) / delta
+        filters[i] = np.clip(np.minimum(up, down), 0.0, None)
+    mel = torch.einsum("btf,mf->btm", power[..., :num_bins].float(), torch.from_numpy(filters))
+    return torch.log(torch.clamp(mel, min=float(np.finfo(np.float32).eps)))
