@@ -42,6 +42,12 @@ def run():
     )
     parser.add_argument("--num-iter", default=100, type=int, help="Number of trials")
     parser.add_argument(
+        "--multi-stream",
+        action="store_true",
+        help="Run each trial as one batched on-device engine session; all "
+        "trials share a single compiled step (no per-trial recompilation)",
+    )
+    parser.add_argument(
         "--storage",
         type=str,
         help="Optional path to a study database to create or join (e.g. for distributed tuning)",
@@ -77,6 +83,7 @@ def run():
         batch_size=args.batch_size,
         hparams=hparams,
         base_config=config,
+        multi_stream=args.multi_stream,
     )
     optimizer(num_iter=args.num_iter, show_progress=True)
     print(f"Best hyper-parameters: {optimizer.best_hparams}")

@@ -208,6 +208,7 @@ class Optimizer:
         do_kickstart_hparams: bool = True,
         metric: Optional[BaseMetric] = None,
         direction: str = "minimize",
+        multi_stream: bool = False,
     ):
         self.pipeline_class = pipeline_class
         self.benchmark = Benchmark(
@@ -216,6 +217,10 @@ class Optimizer:
             show_progress=True,
             show_report=False,
             batch_size=batch_size,
+            # multi_stream trials reuse ONE compiled engine across the whole
+            # study (hyper-parameters are dynamic step inputs), so each trial
+            # costs device steps only — no per-trial recompilation
+            multi_stream=multi_stream,
         )
         self.metric = metric
         self.direction = direction

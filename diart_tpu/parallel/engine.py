@@ -112,9 +112,17 @@ class MultiStreamEngine:
         self.sample_rate = sample_rate
         self.batch_size = batch_size
         self.max_speakers = max_speakers
-        self.gamma, self.beta = gamma, beta
         self.normalize_weights = normalize_embedding_weights
-        self.cluster_params = ClusteringParams(tau_active, rho_update, delta_new)
+        # Hyper-parameters are DYNAMIC inputs of the compiled step (they only
+        # appear in elementwise comparisons), so tuning sweeps re-use one
+        # executable instead of recompiling per trial.
+        self.set_hyperparameters(
+            tau_active=tau_active,
+            rho_update=rho_update,
+            delta_new=delta_new,
+            gamma=gamma,
+            beta=beta,
+        )
         self.mesh = mesh
 
         self.chunk_samples = int(round(duration * sample_rate))
@@ -188,6 +196,7 @@ class MultiStreamEngine:
                     stream_sharding,
                     stream_sharding,
                     stream_sharding,
+                    replicated,  # hparams
                 ),
                 out_shardings=out_shardings,
             )
@@ -199,6 +208,40 @@ class MultiStreamEngine:
             if not self.is_vad
             else (self._seg_params,)
         )
+
+    # ------------------------------------------------------------------ #
+    def set_hyperparameters(
+        self,
+        tau_active: Optional[float] = None,
+        rho_update: Optional[float] = None,
+        delta_new: Optional[float] = None,
+        gamma: Optional[float] = None,
+        beta: Optional[float] = None,
+    ) -> None:
+        """Update tunable hyper-parameters WITHOUT recompiling the step."""
+        old = getattr(self, "_hparams", None)
+        get = lambda new, i: (
+            jnp.float32(new) if new is not None else old[i]
+        )
+        self._hparams = (
+            get(tau_active, 0),
+            get(rho_update, 1),
+            get(delta_new, 2),
+            get(gamma, 3),
+            get(beta, 4),
+        )
+
+    @property
+    def cluster_params(self) -> ClusteringParams:
+        return ClusteringParams(*self._hparams[:3])
+
+    @property
+    def gamma(self) -> float:
+        return float(self._hparams[3])
+
+    @property
+    def beta(self) -> float:
+        return float(self._hparams[4])
 
     # ------------------------------------------------------------------ #
     def init_state(self, batch_size: Optional[int] = None) -> StreamState:
@@ -233,13 +276,15 @@ class MultiStreamEngine:
         )
 
     # ------------------------------------------------------------------ #
-    def _frame_scores(self, audio: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def _frame_scores(
+        self, audio: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(B, samples) -> (segmentation (B, F, K), embeddings (B, K, E))."""
         wave = audio[:, None, :]
         seg = self._seg_apply(self._seg_params, wave)  # (B, F, K)
         if self.is_vad:
             return seg, jnp.zeros((audio.shape[0], 1, 1), seg.dtype)
-        weights = overlapped_speech_penalty(seg, self.gamma, self.beta)
+        weights = overlapped_speech_penalty(seg, gamma, beta)
         if self.normalize_weights:
             weights = min_max_normalize(weights, axis=-2)
         frames = self._trunk(self._emb_params, wave)  # (B, T, C) once per chunk
@@ -256,19 +301,26 @@ class MultiStreamEngine:
         blocks: jnp.ndarray,
         audio_mask: jnp.ndarray,
         run_mask: jnp.ndarray,
+        hparams=None,
     ) -> Tuple[StreamState, StepOutput]:
         """audio_mask: streams that received a new block (ring advances);
         run_mask: streams whose 5 s window is full (chunk is processed).
         During the first duration/step - 1 hops a stream warms up with
         audio_mask=True, run_mask=False — matching the reference re-chunker,
         which only emits once a full chunk accumulated (operators.py:92-99).
+        hparams: (tau, rho, delta, gamma, beta) scalars — dynamic so tuning
+        sweeps share one executable.
         """
         del params  # bound via self; placed here for sharding annotations
+        if hparams is None:
+            hparams = self._hparams
+        tau, rho, delta, gamma, beta = hparams
+        cluster_params = ClusteringParams(tau, rho, delta)
         rolled = jnp.concatenate(
             [state.audio[:, self.step_samples :], blocks], axis=1
         )
         audio = jnp.where(audio_mask[:, None], rolled, state.audio)
-        seg, emb = self._frame_scores(audio)
+        seg, emb = self._frame_scores(audio, gamma, beta)
 
         if self.is_vad:
             # (blocks/vad.py:146-148): speech score = max over speakers
@@ -283,7 +335,7 @@ class MultiStreamEngine:
                 initialized=state.initialized,
             )
             new_cstate, permuted, _ = jax.vmap(
-                lambda cs, s, e: cluster_step(cs, s, e, self.cluster_params)
+                lambda cs, s, e: cluster_step(cs, s, e, cluster_params)
             )(cstate, seg, emb)
             # streams not running this step keep their clustering state
             keep = lambda new, old: jnp.where(
@@ -338,6 +390,7 @@ class MultiStreamEngine:
             jnp.asarray(blocks, jnp.float32),
             jnp.asarray(audio_mask),
             jnp.asarray(run_mask),
+            self._hparams,
         )
 
     # ------------------------------------------------------------------ #

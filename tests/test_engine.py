@@ -345,3 +345,48 @@ class TestGeometryValidation:
                 segmentation=seg, duration=5.0, step=0.5, latency=0.7,
                 sample_rate=16000, batch_size=1,
             )
+
+
+class TestDynamicHyperparameters:
+    def test_set_hyperparameters_no_recompile(self):
+        """tau/rho/delta/gamma/beta are dynamic step inputs: retuning them
+        must not recompile, and must match a freshly built engine."""
+        from diart_tpu.models import EmbeddingModel, SegmentationModel
+        from diart_tpu.parallel import MultiStreamEngine
+
+        def build(**hp):
+            return MultiStreamEngine(
+                segmentation=SegmentationModel.from_registry(
+                    "tpu/pyannet", num_speakers=3, lstm_hidden=8, lstm_layers=1,
+                    linear_dims=(8,), init_samples=8000,
+                ),
+                embedding=EmbeddingModel.from_registry(
+                    "tpu/xvector", embedding_dim=16, init_samples=8000
+                ),
+                duration=0.5, step=0.25, latency=0.25, sample_rate=16000,
+                max_speakers=4, batch_size=2, **hp,
+            )
+
+        rng = np.random.default_rng(0)
+        blocks = rng.normal(scale=0.1, size=(6, 2, 4000)).astype(np.float32)
+
+        def run(engine):
+            state = engine.init_state()
+            outs = []
+            for i, blk in enumerate(blocks):
+                run_mask = np.full((2,), i + 1 >= 2)
+                state, out = engine.step(state, blk, run_mask=run_mask)
+                outs.append(np.asarray(out.aggregated))
+            return np.stack(outs)
+
+        tuned = dict(tau_active=0.4, rho_update=0.05, delta_new=0.8, gamma=2.0, beta=5.0)
+        engine = build(tau_active=0.6, rho_update=0.3, delta_new=1.0)
+        base = run(engine)
+        engine.set_hyperparameters(**tuned)
+        retuned = run(engine)
+        assert engine._step._cache_size() == 1, "hyper-parameter change recompiled"
+
+        fresh = build(**tuned)
+        expected = run(fresh)
+        np.testing.assert_allclose(retuned, expected, atol=1e-5)
+        assert not np.allclose(base, retuned)  # hparams actually changed behavior

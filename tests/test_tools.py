@@ -348,3 +348,28 @@ class TestMultiStreamVad:
         assert seq.loc["TOTAL", name]["%"] == pytest.approx(
             multi.loc["TOTAL", name]["%"], abs=1.0
         )
+
+
+class TestMultiStreamTuning:
+    def test_trials_share_one_compiled_engine(self, corpus, tmp_path):
+        """Tuning over the batched engine: every trial varies the
+        hyper-parameters yet reuses ONE compiled step (the r1 design would
+        have recompiled per trial), and results stay equivalent to the
+        per-file pipeline path."""
+        audio_dir, rttm_dir = corpus
+        optimizer = Optimizer(
+            SpeakerDiarization,
+            audio_dir,
+            rttm_dir,
+            tmp_path,
+            base_config=make_config(),
+            multi_stream=True,
+        )
+        optimizer.benchmark.show_progress = False
+        optimizer(num_iter=5, show_progress=False)
+        assert 0 <= optimizer.best_performance < 40.0
+        assert set(optimizer.best_hparams) == {"tau_active", "rho_update", "delta_new"}
+        # all 5 trials (different tau/rho/delta) reused one engine and one
+        # compiled executable
+        _, engine = optimizer.benchmark._engine_cache
+        assert engine._step._cache_size() == 1
