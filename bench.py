@@ -81,20 +81,21 @@ def main():
 
     import jax
 
-    # Persistent compilation cache: the remote TPU compile service has high
-    # latency variance (observed 1-30 min for the same program); cached
-    # executables make reruns deterministic and fast.
-    cache_dir = Path(__file__).resolve().parent / ".jax_cache"
-    cache_dir.mkdir(exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-    # only cache the big TPU programs: small CPU executables are AOT-compiled
-    # for the exact host CPU and are not portable between machines
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-
     batch, steps = args.batch, args.steps
     if args.mesh and batch % args.mesh:
         sys.exit(f"batch ({batch}) must be divisible by --mesh ({args.mesh})")
     engine = _build_engine(batch, args.mesh)
+
+    # Persistent compilation cache: the remote TPU compile service has high
+    # latency variance (observed 1-30 min for the same program); cached
+    # executables make reruns deterministic and fast. Enabled AFTER model
+    # construction so the CPU-backend init programs never enter the cache —
+    # CPU executables are AOT-compiled for the exact host CPU, and a foreign
+    # entry fails to load (or worse) on other machines.
+    cache_dir = Path(__file__).resolve().parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     rng = np.random.default_rng(0)
     state = engine.init_state()

@@ -476,9 +476,19 @@ def _effective_platform() -> Optional[Text]:
     return None
 
 
-def _parallel_worker_init(platform: Optional[Text]) -> None:
-    """Pool initializer: apply the parent's platform override before any JAX
-    backend use in the worker."""
+def _parent_cache_dir() -> Optional[Text]:
+    import sys
+
+    if "jax" in sys.modules:
+        import jax
+
+        return jax.config.jax_compilation_cache_dir
+    return None
+
+
+def _parallel_worker_init(platform: Optional[Text], cache_dir: Optional[Text]) -> None:
+    """Pool initializer: apply the parent's platform override and persistent
+    compilation cache before any JAX backend use in the worker."""
     if platform:
         import os
 
@@ -486,6 +496,11 @@ def _parallel_worker_init(platform: Optional[Text]) -> None:
         import jax
 
         jax.config.update("jax_platforms", platform)
+    if cache_dir:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 class Parallelize:
@@ -533,7 +548,7 @@ class Parallelize:
         with ctx.Pool(
             processes=self.num_workers,
             initializer=_parallel_worker_init,
-            initargs=(_effective_platform(),),
+            initargs=(_effective_platform(), _parent_cache_dir()),
         ) as pool:
             jobs = [
                 pool.apply_async(

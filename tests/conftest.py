@@ -21,6 +21,18 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache for the CPU test programs: repeated suite
+# runs (and Parallelize spawn workers — the pool initializer propagates the
+# cache dir) skip recompiling the larger jitted programs. Machine-local
+# (CPU executables are AOT-compiled for the exact host, hence NOT in the
+# repo's .jax_cache).
+_cache = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), f"diart_tpu_test_cache_{os.uname().nodename}"
+)
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np
 import pytest
 
