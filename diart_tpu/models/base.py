@@ -153,7 +153,7 @@ class _FileLoader:
         if self.kind == "torch_seg":
             from .convert import load_pyannet_checkpoint
 
-            return load_pyannet_checkpoint(self.args[0])
+            return load_pyannet_checkpoint(*self.args)
         if self.kind == "torch_emb":
             from .convert import load_embedding_checkpoint
 
@@ -305,7 +305,7 @@ class SegmentationModel(LazyModel):
         if name.endswith((".msgpack", ".npz")):
             return SegmentationModel(_FileLoader("native_seg", model))
         if name.endswith((".bin", ".pt", ".ckpt", ".safetensors")):
-            return SegmentationModel.from_torch(model)
+            return SegmentationModel.from_torch(model, powerset=kwargs.get("powerset"))
         if name.startswith("tpu/"):
             return SegmentationModel.from_registry(name, **kwargs)
         return SegmentationModel.from_pyannote(model, use_hf_token)
@@ -345,8 +345,13 @@ class SegmentationModel(LazyModel):
         return SegmentationModel(loader, powerset=powerset)
 
     @staticmethod
-    def from_torch(path: Union[str, Path]) -> "SegmentationModel":
-        return SegmentationModel(_FileLoader("torch_seg", path))
+    def from_torch(
+        path: Union[str, Path], powerset: Optional[Tuple[int, int]] = None
+    ) -> "SegmentationModel":
+        """powerset: (num_speakers, max_simultaneous) for checkpoints whose
+        classifier emits powerset classes (pyannote/segmentation-3.0 style) —
+        undetectable from a raw state dict, so it must be declared."""
+        return SegmentationModel(_FileLoader("torch_seg", path, powerset))
 
     @staticmethod
     def from_pyannote(model, use_hf_token=True) -> "SegmentationModel":

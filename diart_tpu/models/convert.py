@@ -424,12 +424,38 @@ def _pyannet_module_from_state_dict(sd: Dict[str, Any]) -> PyanNet:
     )
 
 
-def load_pyannet_checkpoint(path: Union[str, Path]):
-    """Torch PyanNet checkpoint -> (module, params, meta)."""
+def load_pyannet_checkpoint(path: Union[str, Path], powerset=None):
+    """Torch PyanNet checkpoint -> (module, params, meta).
+
+    powerset: optional (num_speakers, max_simultaneous) for checkpoints whose
+    classifier emits powerset classes (e.g. pyannote/segmentation-3.0): the
+    raw state dict cannot reveal the encoding, so it must be declared. The
+    classifier width is validated against the implied class count.
+    """
     sd = _load_torch_state_dict(path)
     module = _pyannet_module_from_state_dict(sd)
+    meta: Dict[str, Any] = {"sample_rate": 16000, "source": str(path)}
+    if powerset is not None:
+        from .powerset import num_powerset_classes
+
+        num_speakers, max_simultaneous = powerset
+        classes = num_powerset_classes(num_speakers, max_simultaneous)
+        if module.num_speakers != classes:
+            raise ValueError(
+                f"checkpoint classifier emits {module.num_speakers} outputs "
+                f"but powerset({num_speakers}, {max_simultaneous}) implies "
+                f"{classes} classes"
+            )
+        module = PyanNet(
+            num_speakers=num_speakers,
+            lstm_hidden=module.lstm_hidden,
+            lstm_layers=module.lstm_layers,
+            linear_dims=module.linear_dims,
+            powerset_classes=classes,
+        )
+        meta["powerset"] = (num_speakers, max_simultaneous)
     params = _to_jax(pyannet_params_from_state_dict(sd, module.lstm_layers))
-    return module, params, {"sample_rate": 16000, "source": str(path)}
+    return module, params, meta
 
 
 def load_xvector_checkpoint_from_sd(sd: Dict[str, Any], source: str = ""):

@@ -362,3 +362,48 @@ class TestResNetConversionFidelity:
         emb.load()
         assert type(emb.module).__name__ == "ResNet34"
         assert emb.embedding_dim == 64
+
+
+class TestPowersetCheckpoint:
+    def test_powerset_declaration(self, tmp_path):
+        """A raw 7-output checkpoint loaded with powerset=(3, 2) must decode
+        to 3-speaker multilabel output matching the torch log-softmax path."""
+        from torch_replicas import TorchPyanNet
+        from diart_tpu.models import SegmentationModel
+        from diart_tpu.models.powerset import powerset_mapping
+
+        torch.manual_seed(41)
+        net = TorchPyanNet(
+            num_speakers=7, lstm_hidden=32, lstm_layers=2, linear_dims=(32,)
+        ).eval()
+        path = tmp_path / "ps.pt"
+        torch.save(net.state_dict(), path)
+
+        seg = SegmentationModel.from_pretrained(str(path), powerset=(3, 2))
+        wave = np.random.default_rng(1).normal(scale=0.2, size=(1, 1, 32000)).astype(
+            np.float32
+        )
+        out = np.asarray(seg(wave))
+        assert out.shape[-1] == 3
+        assert seg.num_speakers == 3
+        # decode the torch side by argmax over powerset classes
+        with torch.no_grad():
+            x = net.sincnet(torch.from_numpy(wave)).transpose(1, 2)
+            x, _ = net.lstm(x)
+            for lin in net.linear:
+                x = torch.nn.functional.leaky_relu(lin(x))
+            logits = net.classifier(x).numpy()  # (1, T, 7) pre-activation
+        mapping = np.asarray(powerset_mapping(3, 2))
+        expected = mapping[logits.argmax(-1)]
+        np.testing.assert_array_equal(out, expected)
+
+    def test_powerset_class_mismatch_raises(self, tmp_path):
+        from torch_replicas import TorchPyanNet
+        from diart_tpu.models import SegmentationModel
+
+        torch.manual_seed(42)
+        net = TorchPyanNet(num_speakers=4, lstm_hidden=16, lstm_layers=1).eval()
+        path = tmp_path / "bad_ps.pt"
+        torch.save(net.state_dict(), path)
+        with pytest.raises(ValueError, match="implies 7 classes"):
+            SegmentationModel.from_pretrained(str(path), powerset=(3, 2)).load()
