@@ -274,7 +274,7 @@ class TestNonDefaultSerialization:
         """EmbeddingModel.save must record the module class so non-XVector
         architectures reload (ADVICE r1: _load_native hardcoded the class)."""
         emb = EmbeddingModel.from_pretrained(
-            "tpu/ecapa", embedding_dim=64, channels=128, init_samples=16000
+            "tpu/ecapa", embedding_dim=64, channels=64, init_samples=8000
         )
         emb.load()
         path = tmp_path / "ecapa.msgpack"
@@ -283,7 +283,7 @@ class TestNonDefaultSerialization:
         loaded.load()
         assert type(loaded.module).__name__ == "EcapaTDNN"
         assert loaded.embedding_dim == 64
-        x = np.random.default_rng(0).normal(scale=0.1, size=(1, 1, 16000)).astype(np.float32)
+        x = np.random.default_rng(0).normal(scale=0.1, size=(1, 1, 8000)).astype(np.float32)
         np.testing.assert_allclose(
             np.asarray(emb(x)), np.asarray(loaded(x)), atol=1e-5
         )
@@ -313,12 +313,12 @@ class TestSeedStability:
 class TestResNet34:
     def test_registry_shapes_and_weighted_head(self, rng):
         emb = EmbeddingModel.from_pretrained(
-            "tpu/resnet34", embedding_dim=64, base_channels=16, init_samples=16000
+            "tpu/resnet34", embedding_dim=64, base_channels=8, init_samples=8000
         )
         emb.load()
-        wave = jnp.asarray(rng.normal(scale=0.1, size=(2, 1, 16000)).astype(np.float32))
+        wave = jnp.asarray(rng.normal(scale=0.1, size=(2, 1, 8000)).astype(np.float32))
         frames = emb.trunk_fn()(emb.params, wave)
-        assert frames.shape[0] == 2 and frames.shape[2] == (80 // 8) * 16 * 8
+        assert frames.shape[0] == 2 and frames.shape[2] == (80 // 8) * 8 * 8
         w = jnp.asarray(rng.uniform(0, 1, (2, 3, 100)).astype(np.float32))
         out = np.asarray(emb.head_fn()(emb.params, frames, w))
         assert out.shape == (2, 3, 64)
@@ -326,7 +326,7 @@ class TestResNet34:
 
     def test_native_roundtrip(self, tmp_path):
         emb = EmbeddingModel.from_pretrained(
-            "tpu/resnet34", embedding_dim=32, base_channels=8, init_samples=16000
+            "tpu/resnet34", embedding_dim=32, base_channels=8, init_samples=8000
         )
         emb.load()
         path = tmp_path / "rn.msgpack"
@@ -334,5 +334,5 @@ class TestResNet34:
         loaded = EmbeddingModel.from_pretrained(str(path))
         loaded.load()
         assert type(loaded.module).__name__ == "ResNet34"
-        x = np.random.default_rng(0).normal(scale=0.1, size=(1, 1, 16000)).astype(np.float32)
+        x = np.random.default_rng(0).normal(scale=0.1, size=(1, 1, 8000)).astype(np.float32)
         np.testing.assert_allclose(np.asarray(emb(x)), np.asarray(loaded(x)), atol=1e-5)
