@@ -66,7 +66,10 @@ def run():
         jax.config.update("jax_platforms", "cpu")
 
     hf_token = utils.parse_hf_token_arg(args.hf_token)
-    args.segmentation = m.SegmentationModel.from_pretrained(args.segmentation, hf_token)
+    args.segmentation = m.SegmentationModel.from_pretrained(
+        args.segmentation, hf_token,
+        powerset=tuple(args.powerset) if args.powerset else None,
+    )
     args.embedding = m.EmbeddingModel.from_pretrained(args.embedding, hf_token)
 
     pipeline_class = utils.get_pipeline_class(args.pipeline)

@@ -35,7 +35,10 @@ def run():
         jax.config.update("jax_platforms", "cpu")
 
     hf_token = utils.parse_hf_token_arg(args.hf_token)
-    segmentation = m.SegmentationModel.from_pretrained(args.segmentation, hf_token)
+    segmentation = m.SegmentationModel.from_pretrained(
+        args.segmentation, hf_token,
+        powerset=tuple(args.powerset) if args.powerset else None,
+    )
     embedding = m.EmbeddingModel.from_pretrained(args.embedding, hf_token)
 
     engine = MultiStreamEngine(

@@ -19,6 +19,15 @@ def add_common_model_args(parser: argparse.ArgumentParser, embedding: bool = Tru
         type=str,
         help=f"{argdoc.SEGMENTATION}. Defaults to tpu/pyannet",
     )
+    parser.add_argument(
+        "--powerset",
+        nargs=2,
+        type=int,
+        metavar=("SPEAKERS", "MAX_SIMULTANEOUS"),
+        help="Declare a raw torch segmentation checkpoint as powerset-encoded "
+        "(e.g. --powerset 3 2 for segmentation-3.0-style models); ignored for "
+        "registry/pyannote models (auto-detected there)",
+    )
     if embedding:
         parser.add_argument(
             "--embedding",
@@ -73,7 +82,10 @@ def run():
         jax.config.update("jax_platforms", "cpu")
 
     hf_token = utils.parse_hf_token_arg(args.hf_token)
-    args.segmentation = m.SegmentationModel.from_pretrained(args.segmentation, hf_token)
+    args.segmentation = m.SegmentationModel.from_pretrained(
+        args.segmentation, hf_token,
+        powerset=tuple(args.powerset) if args.powerset else None,
+    )
     args.embedding = m.EmbeddingModel.from_pretrained(args.embedding, hf_token)
 
     pipeline_class = utils.get_pipeline_class(args.pipeline)

@@ -210,3 +210,43 @@ class TestDiarizationEndToEnd:
             preds.append(inference())
         der = DiarizationErrorRate()
         assert der(preds[0], preds[1]) == pytest.approx(0.0, abs=1e-6)
+
+
+class TestStreamingPlot:
+    def test_headless_render(self, tmp_path):
+        """StreamingPlot renders under the Agg backend: figure + axes built,
+        prediction/audio/reference panels populated, optimal mapping applied."""
+        import matplotlib
+
+        matplotlib.use("Agg", force=True)
+        import matplotlib.pyplot as plt
+
+        from diart_tpu.core.annotation import Annotation
+        from diart_tpu.core.segment import Segment, SlidingWindow, SlidingWindowFeature
+        from diart_tpu.runtime.sinks import StreamingPlot
+
+        ref = Annotation("u")
+        ref[Segment(0.0, 2.0), 0] = "alice"
+        ref_path = tmp_path / "ref.rttm"
+        with open(ref_path, "w") as f:
+            ref.write_rttm(f)
+
+        plot = StreamingPlot(duration=2.0, latency=0.5, reference=ref_path)
+        pred = Annotation("u")
+        pred[Segment(0.0, 1.5), 0] = "speaker0"
+        sr = 16000
+        audio = SlidingWindowFeature(
+            np.zeros((2 * sr, 1), np.float32),
+            SlidingWindow(start=0.0, duration=1.0 / sr, step=1.0 / sr),
+        )
+        # interactive pause is a no-op under Agg; patch it out for speed
+        plt.pause = lambda *_: None
+        plot.on_next((pred, audio, 2.0))
+        plot.on_next((pred, audio, 2.5))
+        assert plot.figure is not None
+        assert plot.num_axs == 3  # output, audio, reference
+        titles = [ax.get_title() for ax in plot.axs]
+        assert titles == ["Output", "Audio", "Reference"]
+        # prediction was aligned to the reference labels via optimal mapping
+        assert "alice" in [t.get_text() for t in plot.axs[0].get_yticklabels()]
+        plt.close(plot.figure)
