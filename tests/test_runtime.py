@@ -250,3 +250,63 @@ class TestStreamingPlot:
         # prediction was aligned to the reference labels via optimal mapping
         assert "alice" in [t.get_text() for t in plot.axs[0].get_yticklabels()]
         plt.close(plot.figure)
+
+
+class TestFeatureFormatter:
+    def test_container_roundtrip(self):
+        """SWF / numpy / jax inputs cast to (batch, frames, dims) and restore
+        their original container (reference features.py semantics)."""
+        import jax.numpy as jnp
+
+        from diart_tpu.core.segment import SlidingWindow, SlidingWindowFeature
+        from diart_tpu.features import TemporalFeatureFormatter
+
+        fmt = TemporalFeatureFormatter()
+        res = 0.01
+        swf = SlidingWindowFeature(
+            np.arange(20, dtype=np.float32).reshape(10, 2),
+            SlidingWindow(start=3.0, duration=res, step=res),
+        )
+        cast = fmt.cast(swf)
+        assert cast.shape == (1, 10, 2)
+        out = fmt.restore_type(cast * 2)
+        assert isinstance(out, SlidingWindowFeature)
+        assert out.sliding_window.start == 3.0
+        np.testing.assert_allclose(out.data, swf.data * 2)
+
+        arr = np.ones((4, 3), np.float32)
+        cast = fmt.cast(arr)
+        assert cast.shape == (1, 4, 3)
+        assert isinstance(fmt.restore_type(cast), np.ndarray)
+
+        jarr = jnp.ones((2, 4, 3))
+        assert fmt.cast(jarr).shape == (2, 4, 3)
+
+    def test_unequal_window_rejected(self):
+        from diart_tpu.core.segment import SlidingWindow, SlidingWindowFeature
+        from diart_tpu.features import TemporalFeatureFormatter
+
+        swf = SlidingWindowFeature(
+            np.zeros((5, 1), np.float32),
+            SlidingWindow(start=0.0, duration=0.02, step=0.01),
+        )
+        with pytest.raises(AssertionError, match="duration and step"):
+            TemporalFeatureFormatter().cast(swf)
+
+
+class TestAdjustVolume:
+    def test_normalizes_to_target_db(self):
+        from diart_tpu.blocks import AdjustVolume
+
+        rng = np.random.default_rng(0)
+        quiet = (0.01 * rng.normal(size=(1, 16000, 1))).astype(np.float32)
+        out = np.asarray(AdjustVolume(-20.0)(quiet))
+        db = 10 * np.log10(np.mean(out**2))
+        assert db == pytest.approx(-20.0, abs=0.5)
+
+    def test_clipping_guard(self):
+        from diart_tpu.blocks import AdjustVolume
+
+        loud = np.sin(2 * np.pi * 440 * np.arange(16000) / 16000).astype(np.float32)
+        out = np.asarray(AdjustVolume(6.0)(loud[None, :, None]))
+        assert np.abs(out).max() <= 1.0 + 1e-6
