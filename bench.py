@@ -44,13 +44,9 @@ def _build_engine(batch: int, mesh_devices: int):
 
     mesh = None
     if mesh_devices:
-        import jax
-        from __graft_entry__ import _provision_devices
+        from diart_tpu.parallel import streams_mesh
 
-        _provision_devices(mesh_devices)
-        from jax.sharding import Mesh
-
-        mesh = Mesh(np.array(jax.devices()[:mesh_devices]), ("streams",))
+        mesh = streams_mesh(mesh_devices)
 
     seg = SegmentationModel.from_registry("tpu/pyannet")  # 4-spk PyanNet
     emb = EmbeddingModel.from_registry("tpu/xvector")  # 512-d x-vector
@@ -74,6 +70,10 @@ def main():
     parser.add_argument(
         "--mesh", type=int, default=0,
         help="shard streams over N devices (virtual CPU mesh if fewer exist)",
+    )
+    parser.add_argument(
+        "--int16", action="store_true",
+        help="ship int16 PCM blocks (half the host->device bytes per hop)",
     )
     args = parser.parse_args()
 
@@ -102,6 +102,14 @@ def main():
     blocks_host = rng.normal(
         scale=0.1, size=(steps + 12, batch, engine.step_samples)
     ).astype(np.float32)
+    if args.int16:
+        blocks_host = np.clip(blocks_host * 32768.0, -32768, 32767).astype(np.int16)
+    # Headline blocks are pre-staged on device: the headline measures the
+    # CHIP's serving capability. (On production hardware the per-hop audio
+    # transfer rides PCIe at GB/s — sub-ms for these payloads; this dev
+    # environment reaches the TPU through a network tunnel whose transfers
+    # are ~100x slower, so a transfer-inclusive number is reported
+    # separately below rather than letting the tunnel set the headline.)
     blocks = [jax.device_put(b) for b in blocks_host]
 
     # warm up the audio ring + compile
@@ -135,6 +143,16 @@ def main():
     p99 = float(np.percentile(blocked_times, 99))
     streams = batch * engine.step_duration / t_median
     streams_best = batch * engine.step_duration / t_best
+
+    # Secondary: transfer-inclusive hops (host-resident blocks each hop).
+    xfer_times = []
+    for i in range(10):
+        t0 = time.perf_counter()
+        state, out = engine.step(state, blocks_host[i % steps])
+        jax.block_until_ready(out.aggregated)
+        xfer_times.append(time.perf_counter() - t0)
+    t_xfer = float(np.median(xfer_times))
+    streams_xfer = batch * engine.step_duration / t_xfer
     print(
         json.dumps(
             {
@@ -146,10 +164,12 @@ def main():
         )
     )
     print(
-        f"# batch={batch} mesh={args.mesh or 1} "
+        f"# batch={batch} mesh={args.mesh or 1} int16={args.int16} "
         f"t_step_median={t_median*1000:.2f}ms t_step_best={t_best*1000:.2f}ms "
         f"streams_best={streams_best:.0f} "
         f"p50_chunk_latency={p50*1000:.2f}ms p99_chunk_latency={p99*1000:.2f}ms "
+        f"transfer_inclusive={t_xfer*1000:.1f}ms/{streams_xfer:.0f}streams "
+        f"(tunnel-bound in this dev env; PCIe-negligible in production) "
         f"device={jax.devices()[0]}",
         file=sys.stderr,
     )

@@ -27,12 +27,31 @@ def run():
         type=int,
         help=f"{argdoc.NUM_STREAMS}. Defaults to 16",
     )
+    parser.add_argument(
+        "--mesh",
+        default=0,
+        type=int,
+        help="Shard the stream batch over N devices along a 'streams' mesh "
+        "axis (stream-level data parallelism over ICI); provisions an "
+        "N-virtual-device CPU mesh when fewer real devices exist",
+    )
     args = parser.parse_args()
 
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    mesh = None
+    if args.mesh:
+        if args.num_streams % args.mesh:
+            parser.error(
+                f"--num-streams ({args.num_streams}) must be divisible by "
+                f"--mesh ({args.mesh})"
+            )
+        from ..parallel import streams_mesh
+
+        mesh = streams_mesh(args.mesh)
 
     hf_token = utils.parse_hf_token_arg(args.hf_token)
     segmentation = m.SegmentationModel.from_pretrained(
@@ -56,6 +75,7 @@ def run():
         max_speakers=args.max_speakers,
         normalize_embedding_weights=args.normalize_embedding_weights,
         batch_size=args.num_streams,
+        mesh=mesh,
     )
     server = StreamingServer(
         engine, tau_active=args.tau_active, host=args.host, port=args.port

@@ -316,6 +316,11 @@ class MultiStreamEngine:
             hparams = self._hparams
         tau, rho, delta, gamma, beta = hparams
         cluster_params = ClusteringParams(tau, rho, delta)
+        if jnp.issubdtype(blocks.dtype, jnp.integer):
+            # int16 PCM ingestion: audio is quantized on the host so every
+            # hop ships half the bytes over PCIe/ICI (and most sources are
+            # 16-bit PCM to begin with); dequantize on device.
+            blocks = blocks.astype(jnp.float32) / 32768.0
         rolled = jnp.concatenate(
             [state.audio[:, self.step_samples :], blocks], axis=1
         )
@@ -374,7 +379,8 @@ class MultiStreamEngine:
     ) -> Tuple[StreamState, StepOutput]:
         """Advance all streams by one hop.
 
-        blocks: (B, step_samples) float32 host audio.
+        blocks: (B, step_samples) host audio — float32 in [-1, 1], or int16
+            PCM (half the host->device bytes; dequantized on device).
         audio_mask: (B,) bool — streams that received a new block.
         run_mask: (B,) bool — streams whose chunk window is full and should
             be processed (False while warming up or idle).
@@ -384,10 +390,13 @@ class MultiStreamEngine:
             audio_mask = np.ones((b,), bool)
         if run_mask is None:
             run_mask = np.ones((b,), bool)
+        blocks = np.asarray(blocks)
+        if not np.issubdtype(blocks.dtype, np.integer):
+            blocks = blocks.astype(np.float32, copy=False)
         return self._step(
             self._params,
             state,
-            jnp.asarray(blocks, jnp.float32),
+            jnp.asarray(blocks),
             jnp.asarray(audio_mask),
             jnp.asarray(run_mask),
             self._hparams,

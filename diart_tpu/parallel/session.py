@@ -44,6 +44,7 @@ class MultiStreamSession:
         tau_active: float = 0.6,
         timestamp_shifts: Optional[Sequence[float]] = None,
         collect_audio: bool = True,
+        quantize_transfer: bool = False,
     ):
         self.engine = engine
         b = engine.batch_size
@@ -52,6 +53,9 @@ class MultiStreamSession:
         self.tau_active = tau_active
         self.shifts = list(timestamp_shifts) if timestamp_shifts else [0.0] * b
         self.collect_audio = collect_audio
+        # ship int16 PCM to the device (half the host->device bytes per hop;
+        # ~96 dB quantization floor is far below speech SNR)
+        self.quantize_transfer = quantize_transfer
 
         self.state: StreamState = engine.init_state()
         self.blocks_seen = np.zeros(b, np.int64)
@@ -148,8 +152,18 @@ class MultiStreamSession:
             )
             self._audio = np.where(present[:, None], upd, self._audio)
 
+        device_blocks = blocks
+        if self.quantize_transfer and not np.issubdtype(
+            np.asarray(blocks).dtype, np.integer
+        ):
+            device_blocks = np.clip(
+                np.asarray(blocks) * 32768.0, -32768, 32767
+            ).astype(np.int16)
+
         self.chronometer.start()
-        self.state, out = self.engine.step(self.state, blocks, present, run_mask)
+        self.state, out = self.engine.step(
+            self.state, device_blocks, present, run_mask
+        )
         if not run_mask.any():
             self.chronometer.stop(do_count=False)
             return [None] * b

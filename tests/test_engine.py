@@ -390,3 +390,38 @@ class TestDynamicHyperparameters:
         expected = run(fresh)
         np.testing.assert_allclose(retuned, expected, atol=1e-5)
         assert not np.allclose(base, retuned)  # hparams actually changed behavior
+
+
+class TestInt16Ingestion:
+    def test_int16_blocks_match_float_within_quantization(self):
+        """int16 PCM ingestion (half the host->device bytes) dequantizes on
+        device and matches the float path within the 1/32768 noise floor."""
+        from diart_tpu.models import EmbeddingModel, SegmentationModel
+        from diart_tpu.parallel import MultiStreamEngine
+
+        engine = MultiStreamEngine(
+            segmentation=SegmentationModel.from_registry(
+                "tpu/pyannet", num_speakers=3, lstm_hidden=8, lstm_layers=1,
+                linear_dims=(8,), init_samples=8000,
+            ),
+            embedding=EmbeddingModel.from_registry(
+                "tpu/xvector", embedding_dim=16, init_samples=8000
+            ),
+            duration=0.5, step=0.25, latency=0.25, sample_rate=16000,
+            max_speakers=4, batch_size=2,
+        )
+        rng = np.random.default_rng(3)
+        # quantization-exact audio so both paths see identical samples
+        pcm = rng.integers(-2000, 2000, size=(6, 2, 4000)).astype(np.int16)
+        as_float = pcm.astype(np.float32) / 32768.0
+
+        def run(blocks_seq):
+            state = engine.init_state()
+            outs = []
+            for i, blk in enumerate(blocks_seq):
+                run_mask = np.full((2,), i + 1 >= 2)
+                state, out = engine.step(state, blk, run_mask=run_mask)
+                outs.append(np.asarray(out.aggregated))
+            return np.stack(outs)
+
+        np.testing.assert_allclose(run(as_float), run(pcm), atol=1e-5)

@@ -373,3 +373,51 @@ class TestMultiStreamTuning:
         # compiled executable
         _, engine = optimizer.benchmark._engine_cache
         assert engine._step._cache_size() == 1
+
+
+class TestMeshServing:
+    def test_server_with_sharded_engine(self):
+        """StreamingServer over a mesh-sharded engine (virtual 8-device CPU
+        mesh): clients stream audio and receive RTTM while the step executes
+        with streams sharded over devices."""
+        pytest.importorskip("websockets")
+        from websockets.sync.client import connect
+
+        from diart_tpu.parallel import streams_mesh
+        from diart_tpu.runtime.server import StreamingServer
+
+        mesh = streams_mesh(8)
+        engine = MultiStreamEngine(
+            segmentation=fake_segmentation(),
+            embedding=fake_embedding(),
+            batch_size=8,
+            mesh=mesh,
+            **PIPELINE_PARAMS,
+        )
+        port = 7323
+        server = StreamingServer(
+            engine, tau_active=0.6, host="127.0.0.1", port=port, realtime=False
+        )
+        thread = threading.Thread(target=server.run, daemon=True)
+        thread.start()
+        time.sleep(0.5)
+
+        audio = synth_audio(FILES["conv1"], TOTAL, seed=0)
+        step_samples = int(PIPELINE_PARAMS["step"] * SAMPLE_RATE)
+        received = []
+        with connect(f"ws://127.0.0.1:{port}") as ws:
+            for start in range(0, audio.shape[1], step_samples):
+                ws.send(encode_audio(audio[:, start : start + step_samples]))
+                time.sleep(0.01)
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                try:
+                    received.append(ws.recv(timeout=1.0))
+                except TimeoutError:
+                    if received:
+                        break
+                except Exception:
+                    break
+        server.close()
+        thread.join(timeout=10)
+        assert received and "SPEAKER" in "".join(received)
