@@ -86,7 +86,11 @@ def weighted_stats_pool(
     sq_dev = s2 - 2 * mean * s1 + mean**2 * v1[..., None]
     denom = (v1 - v2 / jnp.maximum(v1, eps) + eps)[..., None]
     var = jnp.maximum(sq_dev / denom, 0.0)
-    std = jnp.sqrt(var)
+    # sqrt with a finite gradient at var == 0 (reachable through the clamp;
+    # sqrt'(0) = inf would NaN training) while keeping the forward exactly
+    # sqrt(var), matching pyannote StatsPool
+    positive = var > 0
+    std = jnp.where(positive, jnp.sqrt(jnp.where(positive, var, 1.0)), 0.0)
     return jnp.concatenate([mean, std], axis=-1).astype(frames.dtype)
 
 
@@ -162,9 +166,23 @@ class XVectorSincNet(nn.Module):
         x = self.sincnet(waveform)
         x = jnp.swapaxes(x, 1, 2).astype(self.compute_dtype)  # (B, T, 60)
         for conv, norm in zip(self.tdnns, self.tdnn_norms):
+            if x.shape[1] < 1:
+                # shapes are static under jit, so this raises at trace time
+                raise ValueError(
+                    f"waveform too short for the x-vector receptive field: "
+                    f"{waveform.shape[-1]} samples leave no frames after the "
+                    f"dilated TDNN stack (zero-size frames would silently "
+                    f"produce empty statistics and NaN gradients)"
+                )
             x = conv(x)
             x = nn.leaky_relu(x, negative_slope=0.01)
             x = norm(x.astype(jnp.float32)).astype(self.compute_dtype)
+        if x.shape[1] < 1:
+            raise ValueError(
+                f"waveform too short for the x-vector receptive field: "
+                f"{waveform.shape[-1]} samples leave no frames after the "
+                f"dilated TDNN stack"
+            )
         return x.astype(jnp.float32)
 
     def head(

@@ -169,10 +169,12 @@ class ResNet34(nn.Module):
         )
         mean = s1 / jnp.maximum(v1, 1e-8)[..., None]
         sq_dev = s2 - 2 * mean * s1 + mean**2 * v1[..., None]
-        # unbiased denominator (torch.var default), reliability-weighted
+        # unbiased denominator (torch.var default), reliability-weighted;
+        # the 1e-7 epsilon (wespeaker TSTP) also keeps the sqrt gradient
+        # finite at var == 0
         denom = (v1 - v2 / jnp.maximum(v1, 1e-8))[..., None]
         var = jnp.maximum(sq_dev / jnp.maximum(denom, 1e-8), 0.0)
-        std = jnp.sqrt(var + 1e-7)  # wespeaker TSTP epsilon
+        std = jnp.sqrt(var + 1e-7)
         pooled = jnp.concatenate([mean, std], axis=-1)
         emb = self.embedding(pooled)
         return emb[:, 0] if squeeze else emb

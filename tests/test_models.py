@@ -336,3 +336,112 @@ class TestResNet34:
         assert type(loaded.module).__name__ == "ResNet34"
         x = np.random.default_rng(0).normal(scale=0.1, size=(1, 1, 8000)).astype(np.float32)
         np.testing.assert_allclose(np.asarray(emb(x)), np.asarray(loaded(x)), atol=1e-5)
+
+
+class TestEmbeddingTraining:
+    def test_aam_margin_penalizes_target(self, rng):
+        """With a margin, the loss for a correctly-classified sample is
+        strictly larger than plain softmax (margin tightens the decision)."""
+        from diart_tpu.train import aam_softmax_loss
+
+        emb = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+        protos = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+        labels = jnp.asarray([0, 1, 2, 3])
+        plain = float(aam_softmax_loss(emb, labels, protos, margin=0.0))
+        margined = float(aam_softmax_loss(emb, labels, protos, margin=0.3))
+        assert margined > plain
+
+    def test_train_step_separates_speakers(self):
+        """A few AAM steps on two synthetic tone speakers must reduce the
+        loss and pull the embeddings of same-speaker chunks together."""
+        from diart_tpu.models import EmbeddingModel
+        from diart_tpu.train import embedding_train_step, make_embedding_train_state
+
+        emb_model = EmbeddingModel.from_pretrained(
+            "tpu/xvector", embedding_dim=16, init_samples=8000
+        )
+        emb_model.load()
+        module, model_params = emb_model.module, emb_model.params
+
+        def embed_fn(params, waves):
+            return module.apply(params, waves)
+
+        rng = np.random.default_rng(0)
+        t = np.arange(8000) / 16000.0
+        waves, labels = [], []
+        for i in range(8):
+            spk = i % 2
+            f0 = 500.0 if spk == 0 else 1800.0
+            waves.append(
+                (0.3 * np.sin(2 * np.pi * f0 * t) + 0.01 * rng.normal(size=8000)).astype(np.float32)
+            )
+            labels.append(spk)
+        waves = jnp.asarray(np.stack(waves))[:, None, :]
+        labels = jnp.asarray(labels)
+
+        state, tx = make_embedding_train_state(
+            model_params, num_classes=2, embedding_dim=16, learning_rate=1e-3
+        )
+        step = jax.jit(
+            lambda s, w, l: embedding_train_step(embed_fn, tx, s, w, l)
+        )
+        losses = []
+        for _ in range(12):
+            state, loss = step(state, waves, labels)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+
+        out = np.asarray(embed_fn(state.params["model"], waves))
+        out = out / np.linalg.norm(out, axis=1, keepdims=True)
+        same = np.mean([out[0] @ out[2], out[1] @ out[3]])
+        cross = np.mean([out[0] @ out[1], out[2] @ out[3]])
+        assert same > cross
+
+    def test_sharded_step_matches_single_device(self):
+        """Data-parallel embedding training over the virtual mesh produces
+        the same loss as unsharded."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from diart_tpu.models import EmbeddingModel
+        from diart_tpu.train import embedding_train_step, make_embedding_train_state
+
+        emb_model = EmbeddingModel.from_pretrained(
+            "tpu/xvector", embedding_dim=8, init_samples=8000
+        )
+        emb_model.load()
+        module, model_params = emb_model.module, emb_model.params
+        embed_fn = lambda p, w: module.apply(p, w)
+
+        rng = np.random.default_rng(1)
+        waves = jnp.asarray(rng.normal(scale=0.1, size=(8, 1, 8000)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 4, size=(8,)))
+
+        state, tx = make_embedding_train_state(model_params, 4, 8, seed=3)
+        _, plain_loss = jax.jit(
+            lambda s, w, l: embedding_train_step(embed_fn, tx, s, w, l)
+        )(state, waves, labels)
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+        dp = NamedSharding(mesh, P("dp"))
+        rep = NamedSharding(mesh, P())
+        sharded_step = jax.jit(
+            lambda s, w, l: embedding_train_step(embed_fn, tx, s, w, l),
+            in_shardings=(rep, dp, dp),
+            out_shardings=(rep, rep),
+        )
+        state2, _ = make_embedding_train_state(model_params, 4, 8, seed=3)
+        _, sharded_loss = sharded_step(
+            jax.device_put(state, rep), jax.device_put(waves, dp), jax.device_put(labels, dp)
+        )
+        np.testing.assert_allclose(float(plain_loss), float(sharded_loss), rtol=1e-5)
+
+
+    def test_too_short_waveform_raises(self):
+        from diart_tpu.models import EmbeddingModel
+
+        emb = EmbeddingModel.from_pretrained(
+            "tpu/xvector", embedding_dim=8, init_samples=8000
+        )
+        emb.load()
+        with pytest.raises(ValueError, match="too short"):
+            emb(np.zeros((1, 1, 4000), np.float32))
