@@ -372,6 +372,8 @@ def _load_torch_state_dict(
 
     import torch
 
+    if not Path(path).exists():
+        raise FileNotFoundError(f"checkpoint not found: {path}")
     trust_pickle = trust_pickle or os.environ.get(
         "DIART_TPU_TRUST_CHECKPOINTS"
     ) == "1"

@@ -94,3 +94,28 @@ def test_benchmark_cli_report(wav_file, tmp_path):
     assert (out_dir / "meeting.rttm").exists()
     assert (out_dir / "benchmark_report.csv").exists()
     assert "diarization error rate" in result.stdout
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    """diart-tpu-convert: torch checkpoint -> native .msgpack, reloadable."""
+    import subprocess
+    import sys
+
+
+    import torch
+    from torch_replicas import TorchPyanNet
+
+    torch.manual_seed(50)
+    ckpt = tmp_path / "seg.pt"
+    torch.save(
+        TorchPyanNet(num_speakers=3, lstm_hidden=16, lstm_layers=1,
+                     linear_dims=(16,)).eval().state_dict(),
+        ckpt,
+    )
+    out = tmp_path / "seg.msgpack"
+    result = run_cli(
+        "convert", "segmentation", str(ckpt), str(out), "--check"
+    )
+    assert result.returncode == 0, result.stderr[-500:]
+    assert "check ok" in result.stdout
+    assert out.exists() and out.with_suffix(".msgpack.json").exists()
