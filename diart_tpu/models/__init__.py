@@ -3,6 +3,7 @@ from .segmentation import PyanNet
 from .embedding import XVectorSincNet, weighted_stats_pool, resample_weights
 from .ecapa import EcapaTDNN
 from .resnet import ResNet34
+from .titanet import TitaNet
 from .fbank import (
     kaldi_log_mel,
     log_mel_filterbank,
@@ -22,6 +23,7 @@ __all__ = [
     "XVectorSincNet",
     "EcapaTDNN",
     "ResNet34",
+    "TitaNet",
     "kaldi_log_mel",
     "speechbrain_log_mel",
     "log_mel_filterbank",

@@ -126,6 +126,13 @@ class _EmbRegistryLoader:
                 embedding_dim=kwargs.get("embedding_dim", 256),
                 base_channels=kwargs.get("base_channels", 32),
             )
+        elif name == "tpu/titanet":
+            from .titanet import TitaNet
+
+            module = TitaNet(
+                embedding_dim=kwargs.get("embedding_dim", 192),
+                channels=kwargs.get("channels", 1024),
+            )
         else:
             module = XVectorSincNet(
                 embedding_dim=kwargs.get("embedding_dim", 512),
@@ -257,6 +264,9 @@ _NATIVE_MODULE_CLASSES: Dict[str, Callable[[], type]] = {
     "ResNet34": lambda: __import__(
         "diart_tpu.models.resnet", fromlist=["ResNet34"]
     ).ResNet34,
+    "TitaNet": lambda: __import__(
+        "diart_tpu.models.titanet", fromlist=["TitaNet"]
+    ).TitaNet,
 }
 
 

@@ -48,6 +48,8 @@ __all__ = [
     "load_xvector_checkpoint",
     "load_ecapa_checkpoint",
     "load_resnet_checkpoint",
+    "titanet_params_from_state_dict",
+    "load_titanet_checkpoint",
     "load_embedding_checkpoint",
     "load_pyannote_segmentation",
     "load_pyannote_embedding",
@@ -340,6 +342,8 @@ def load_embedding_checkpoint(path: Union[str, Path]):
     sd = _load_torch_state_dict(path)
     if "seg_1.weight" in sd or "resnet.seg_1.weight" in sd:
         return _load_resnet_from_sd(sd, source=str(path))
+    if any(k.startswith("encoder.encoder.") for k in sd):
+        return _load_titanet_from_sd(sd, source=str(path))
     if "fc.conv.weight" in sd or "blocks.0.conv.conv.weight" in sd:
         from .ecapa import EcapaTDNN
 
@@ -509,4 +513,116 @@ def load_pyannote_embedding(model, use_hf_token=True):
         XVectorSincNet(embedding_dim=sd["embedding.weight"].shape[0]),
         _to_jax(xvector_params_from_state_dict(sd)),
         {"sample_rate": 16000, "source": str(model)},
+    )
+
+
+def titanet_params_from_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Map a NeMo TitaNet state dict onto our
+    :class:`diart_tpu.models.titanet.TitaNet` parameter tree.
+
+    NeMo's JasperBlock interleaves parameter-free activation/dropout modules
+    in ``mconv``, so sub-layer indices drift with config; instead of
+    hardcoding them, conv entries are classified by SHAPE (depthwise:
+    (C, 1, k); pointwise: (O, I, 1)) and batchnorms by key pattern, in index
+    order. Verified against a faithful torch replica
+    (``tests/torch_replicas.py``).
+    """
+    if any(k.startswith("encoder.") for k in sd):
+        flat = sd
+    else:
+        raise KeyError("not a NeMo TitaNet state dict (no encoder.* keys)")
+
+    block_ids = sorted(
+        {int(k.split(".")[2]) for k in flat if k.startswith("encoder.encoder.")}
+    )
+
+    def convert_block(i: int) -> Dict[str, Any]:
+        prefix = f"encoder.encoder.{i}"
+        # gather mconv entries by index
+        entries = sorted(
+            {
+                int(k[len(prefix) + 7 :].split(".")[0])
+                for k in flat
+                if k.startswith(f"{prefix}.mconv.")
+            }
+        )
+        reps = []
+        pending: Dict[str, Any] = {}
+        se = None
+        for j in entries:
+            base = f"{prefix}.mconv.{j}"
+            if f"{base}.conv.weight" in flat:
+                w = _np(flat[f"{base}.conv.weight"])  # (O, I, k)
+                if w.shape[1] == 1 and "dw" not in pending:
+                    # depthwise (C, 1, k) -> flax grouped kernel (k, 1, C);
+                    # per-repeat the depthwise always precedes the pointwise
+                    pending["dw"] = {"kernel": w.transpose(2, 1, 0)}
+                else:
+                    pending["pw"] = {"kernel": w.transpose(2, 1, 0)}
+            elif f"{base}.weight" in flat and f"{base}.running_mean" in flat:
+                pending["bn"] = _plain_bn(flat, base)
+                reps.append(pending)
+                pending = {}
+            elif f"{base}.fc.0.weight" in flat:
+                se = {
+                    "fc1": _dense(flat, f"{base}.fc.0"),
+                    "fc2": _dense(flat, f"{base}.fc.2"),
+                }
+        block: Dict[str, Any] = {f"rep{r}": rep for r, rep in enumerate(reps)}
+        if se is not None:
+            block["se"] = se
+        if f"{prefix}.res.0.0.conv.weight" in flat:
+            block["res_conv"] = {
+                "kernel": _np(flat[f"{prefix}.res.0.0.conv.weight"]).transpose(2, 1, 0)
+            }
+            block["res_bn"] = _plain_bn(flat, f"{prefix}.res.0.1")
+        return block
+
+    params: Dict[str, Any] = {"prologue": convert_block(block_ids[0])}
+    for m, i in enumerate(block_ids[1:-1]):
+        params[f"mega{m}"] = convert_block(i)
+    params["epilogue"] = convert_block(block_ids[-1])
+
+    # decoder: attentive pooling (TDNN over [x; mean; std] split local/global)
+    att_w = _np(flat["decoder._pooling.attention_layer.0.conv_layer.weight"])[:, :, 0]
+    channels3 = att_w.shape[1] // 3
+    params["att_local"] = {
+        "kernel": att_w[:, :channels3].T,
+        "bias": _np(flat["decoder._pooling.attention_layer.0.conv_layer.bias"]),
+    }
+    params["att_global"] = {"kernel": att_w[:, channels3:].T}
+    params["att_bn"] = _plain_bn(flat, "decoder._pooling.attention_layer.0.bn")
+    params["att2"] = _conv1x1_dense(flat, "decoder._pooling.attention_layer.2")
+    params["emb_bn"] = _plain_bn(flat, "decoder.emb_layers.0.0")
+    params["embedding"] = _dense(flat, "decoder.emb_layers.0.1")
+    return {"params": params}
+
+
+def load_titanet_checkpoint(path: Union[str, Path]):
+    """NeMo TitaNet checkpoint -> (module, params, meta)."""
+    from .titanet import TitaNet
+
+    sd = _load_torch_state_dict(path)
+    return _load_titanet_from_sd(sd, source=str(path))
+
+
+def _load_titanet_from_sd(sd: Dict[str, Any], source: str = ""):
+    from .titanet import TitaNet
+
+    dim = int(_np(sd["decoder.emb_layers.0.1.weight"]).shape[0])
+    channels = int(_np(sd["encoder.encoder.0.mconv.1.conv.weight"]).shape[0])
+    block_ids = sorted(
+        {int(k.split(".")[2]) for k in sd if k.startswith("encoder.encoder.")}
+    )
+    kernels = []
+    for i in block_ids[1:-1]:
+        w = _np(sd[f"encoder.encoder.{i}.mconv.0.conv.weight"])
+        kernels.append(int(w.shape[2]))
+    module = TitaNet(
+        embedding_dim=dim, channels=channels, mega_kernels=tuple(kernels)
+    )
+    return (
+        module,
+        _to_jax(titanet_params_from_state_dict(sd)),
+        {"sample_rate": 16000, "source": source},
     )

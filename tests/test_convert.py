@@ -407,3 +407,48 @@ class TestPowersetCheckpoint:
         torch.save(net.state_dict(), path)
         with pytest.raises(ValueError, match="implies 7 classes"):
             SegmentationModel.from_pretrained(str(path), powerset=(3, 2)).load()
+
+
+class TestTitanetConversionFidelity:
+    """Full-forward equivalence against a faithful torch replica of NeMo's
+    TitaNet (JasperBlock encoder + SpeakerDecoder layout)."""
+
+    def test_feature_level_full_forward(self, tmp_path):
+        from torch_replicas import NMTitaNet
+        from diart_tpu.models import EmbeddingModel
+
+        torch.manual_seed(61)
+        net = NMTitaNet(channels=64, embed_dim=48).eval()
+        path = tmp_path / "titanet.pt"
+        torch.save(net.state_dict(), path)
+        emb = EmbeddingModel.from_pretrained(str(path))
+        emb.load()
+        assert type(emb.module).__name__ == "TitaNet"
+        assert emb.embedding_dim == 48
+
+        rng = np.random.default_rng(9)
+        feats = rng.normal(scale=1.0, size=(2, 90, 80)).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.from_numpy(feats)).numpy()
+        frames = emb.module.apply(
+            emb.params, jnp.asarray(feats), method="trunk_from_features"
+        )
+        out = np.asarray(emb.module.apply(emb.params, frames, method="head"))
+        scale = max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(out, ref, atol=2e-4 * scale)
+
+    def test_registry_and_weighted_head(self):
+        from diart_tpu.models import EmbeddingModel
+
+        emb = EmbeddingModel.from_pretrained(
+            "tpu/titanet", embedding_dim=32, channels=32, init_samples=8000
+        )
+        emb.load()
+        rng = np.random.default_rng(2)
+        wave = jnp.asarray(rng.normal(scale=0.1, size=(2, 1, 8000)).astype(np.float32))
+        frames = emb.trunk_fn()(emb.params, wave)
+        assert frames.shape[2] == 3 * 32
+        w = jnp.asarray(rng.uniform(0, 1, (2, 3, 40)).astype(np.float32))
+        out = np.asarray(emb.head_fn()(emb.params, frames, w))
+        assert out.shape == (2, 3, 32)
+        assert np.isfinite(out).all()

@@ -568,3 +568,154 @@ def kaldi_fbank(
         filters[i] = np.clip(np.minimum(up, down), 0.0, None)
     mel = torch.einsum("btf,mf->btm", power[..., :num_bins].float(), torch.from_numpy(filters))
     return torch.log(torch.clamp(mel, min=float(np.finfo(np.float32).eps)))
+
+
+# --------------------------------------------------------------------- #
+# NeMo TitaNet replica (ConvASREncoder JasperBlocks + SpeakerDecoder),
+# state-dict layout of nvidia/speakerverification_en_titanet_large.
+# --------------------------------------------------------------------- #
+
+
+class _NMMaskedConv1d(nn.Module):
+    """NeMo MaskedConv1d: inner .conv."""
+
+    def __init__(self, in_c, out_c, k, groups=1, bias=False):
+        super().__init__()
+        self.conv = nn.Conv1d(
+            in_c, out_c, k, padding=(k - 1) // 2, groups=groups, bias=bias
+        )
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class _NMSqueezeExcite(nn.Module):
+    """NeMo SqueezeExcite (global context): fc = Sequential(Linear, ReLU,
+    Linear)."""
+
+    def __init__(self, channels, reduction=8):
+        super().__init__()
+        self.fc = nn.Sequential(
+            nn.Linear(channels, channels // reduction, bias=True),
+            nn.ReLU(),
+            nn.Linear(channels // reduction, channels, bias=True),
+        )
+
+    def forward(self, x):  # (B, C, T)
+        s = x.mean(dim=-1)  # (B, C)
+        s = torch.sigmoid(self.fc(s))
+        return x * s.unsqueeze(-1)
+
+
+class _NMJasperBlock(nn.Module):
+    """NeMo JasperBlock (separable, SE, optional residual): mconv holds
+    [dw, pw, bn, relu, dropout] per repeat (final repeat without act/drop),
+    then the SE module; res holds [[1x1 conv, bn]]."""
+
+    def __init__(self, in_c, out_c, kernel, repeat=1, residual=True):
+        super().__init__()
+        layers = []
+        c = in_c
+        for r in range(repeat):
+            layers.append(_NMMaskedConv1d(c, c, kernel, groups=c))
+            layers.append(_NMMaskedConv1d(c, out_c, 1))
+            layers.append(nn.BatchNorm1d(out_c))
+            if r < repeat - 1:
+                layers.append(nn.ReLU())
+                layers.append(nn.Dropout(0.0))
+            c = out_c
+        layers.append(_NMSqueezeExcite(out_c))
+        self.mconv = nn.ModuleList(layers)
+        self.res = None
+        if residual:
+            self.res = nn.ModuleList(
+                [nn.ModuleList([_NMMaskedConv1d(in_c, out_c, 1), nn.BatchNorm1d(out_c)])]
+            )
+        self.mout = nn.Sequential(nn.ReLU(), nn.Dropout(0.0))
+
+    def forward(self, x):
+        out = x
+        for layer in self.mconv:
+            out = layer(out)
+        if self.res is not None:
+            res = x
+            for layer in self.res[0]:
+                res = layer(res)
+            out = out + res
+        return self.mout(out)
+
+
+class _NMTDNNModule(nn.Module):
+    """NeMo TDNNModule: conv_layer -> relu -> bn."""
+
+    def __init__(self, in_c, out_c):
+        super().__init__()
+        self.conv_layer = nn.Conv1d(in_c, out_c, 1, bias=True)
+        self.bn = nn.BatchNorm1d(out_c)
+
+    def forward(self, x):
+        return self.bn(torch.relu(self.conv_layer(x)))
+
+
+class _NMAttentivePool(nn.Module):
+    """NeMo AttentivePoolLayer with global context: attention over
+    [x; mean; std], softmax over time, weighted mean+std."""
+
+    def __init__(self, channels, attention_channels=128):
+        super().__init__()
+        self.attention_layer = nn.Sequential(
+            _NMTDNNModule(channels * 3, attention_channels),
+            nn.Tanh(),
+            nn.Conv1d(attention_channels, channels, 1, bias=True),
+        )
+
+    def forward(self, x):  # (B, C, T)
+        t = x.shape[-1]
+        mean = x.mean(dim=-1, keepdim=True)
+        std = torch.sqrt((x - mean).pow(2).mean(dim=-1, keepdim=True).clamp(1e-12))
+        attn = torch.cat([x, mean.expand(-1, -1, t), std.expand(-1, -1, t)], dim=1)
+        alpha = torch.softmax(self.attention_layer(attn), dim=-1)
+        mu = (alpha * x).sum(dim=-1)
+        sg = torch.sqrt(((alpha * x * x).sum(dim=-1) - mu.pow(2)).clamp(1e-12))
+        return torch.cat([mu, sg], dim=-1)  # (B, 2C)
+
+
+class NMTitaNet(nn.Module):
+    """NeMo-layout TitaNet over fbank features (B, T, mels)."""
+
+    def __init__(self, feat_dim=80, channels=1024, embed_dim=192,
+                 mega_kernels=(7, 11, 15), repeat=3):
+        super().__init__()
+
+        class Encoder(nn.Module):
+            def __init__(self):
+                super().__init__()
+                blocks = [_NMJasperBlock(feat_dim, channels, 3, 1, residual=False)]
+                for k in mega_kernels:
+                    blocks.append(_NMJasperBlock(channels, channels, k, repeat, residual=True))
+                blocks.append(_NMJasperBlock(channels, 3 * channels, 1, 1, residual=False))
+                self.encoder = nn.ModuleList(blocks)
+
+            def forward(self, x):
+                for b in self.encoder:
+                    x = b(x)
+                return x
+
+        class Decoder(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self._pooling = _NMAttentivePool(3 * channels)
+                self.emb_layers = nn.ModuleList(
+                    [nn.Sequential(nn.BatchNorm1d(6 * channels), nn.Linear(6 * channels, embed_dim))]
+                )
+
+            def forward(self, x):
+                pooled = self._pooling(x)
+                return self.emb_layers[0](pooled)
+
+        self.encoder = Encoder()
+        self.decoder = Decoder()
+
+    def forward(self, feats):  # (B, T, F)
+        x = feats.transpose(1, 2)  # (B, F, T)
+        return self.decoder(self.encoder(x))
