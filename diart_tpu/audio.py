@@ -45,10 +45,21 @@ def _decode_pcm(raw: bytes, audio_format: int, bits: int) -> np.ndarray:
     raise ValueError(f"unsupported WAV format code {audio_format}")
 
 
+def _parse_fmt_chunk(buf: bytes, filepath) -> tuple:
+    """Unpack a fmt chunk payload, raising ValueError (never struct.error)
+    on truncated chunks so callers' streamable-WAV probes can fall back."""
+    if len(buf) < 16:
+        raise ValueError(f"{filepath}: truncated fmt chunk ({len(buf)} bytes)")
+    return struct.unpack("<HHIIHH", buf[:16])
+
+
 def read_wav(filepath: FilePath) -> Tuple[np.ndarray, int]:
     """Decode a WAV file -> ((channels, samples) float32 in [-1, 1], rate)."""
     with open(filepath, "rb") as f:
-        riff, _, wave_id = struct.unpack("<4sI4s", f.read(12))
+        preamble = f.read(12)
+        if len(preamble) < 12:
+            raise ValueError(f"{filepath} is too short to be a WAV file")
+        riff, _, wave_id = struct.unpack("<4sI4s", preamble)
         if riff != b"RIFF" or wave_id != b"WAVE":
             raise ValueError(f"{filepath} is not a RIFF/WAVE file")
         fmt = None
@@ -58,7 +69,7 @@ def read_wav(filepath: FilePath) -> Tuple[np.ndarray, int]:
                 raise ValueError(f"{filepath}: no data chunk found")
             chunk_id, size = struct.unpack("<4sI", header)
             if chunk_id == b"fmt ":
-                fmt = struct.unpack("<HHIIHH", f.read(16)[:16])
+                fmt = _parse_fmt_chunk(f.read(16), filepath)
                 if size > 16:
                     f.read(size - 16)
             elif chunk_id == b"data":
@@ -90,19 +101,33 @@ class WavBlockReader:
     def __init__(self, path: FilePath):
         self.path = Path(path)
         self._file = open(self.path, "rb")
-        riff, _, wave_id = struct.unpack("<4sI4s", self._file.read(12))
-        if riff != b"RIFF" or wave_id != b"WAVE":
+        # any header defect closes the file and surfaces as ValueError so
+        # the streamable-WAV probe in Benchmark can fall back cleanly
+        try:
+            self._parse_header()
+        except ValueError:
             self._file.close()
+            raise
+        except Exception as e:
+            self._file.close()
+            raise ValueError(f"{path}: malformed WAV header ({e})") from e
+
+    def _parse_header(self):
+        path = self.path
+        preamble = self._file.read(12)
+        if len(preamble) < 12:
+            raise ValueError(f"{path} is too short to be a WAV file")
+        riff, _, wave_id = struct.unpack("<4sI4s", preamble)
+        if riff != b"RIFF" or wave_id != b"WAVE":
             raise ValueError(f"{path} is not a RIFF/WAVE file")
         fmt = None
         while True:
             header = self._file.read(8)
             if len(header) < 8:
-                self._file.close()
                 raise ValueError(f"{path}: no data chunk found")
             chunk_id, size = struct.unpack("<4sI", header)
             if chunk_id == b"fmt ":
-                fmt = struct.unpack("<HHIIHH", self._file.read(16)[:16])
+                fmt = _parse_fmt_chunk(self._file.read(16), path)
                 if size > 16:
                     self._file.read(size - 16)
             elif chunk_id == b"data":
@@ -111,7 +136,6 @@ class WavBlockReader:
             else:
                 self._file.read(size + (size & 1))
         if fmt is None:
-            self._file.close()
             raise ValueError(f"{path}: missing fmt chunk")
         self.format, self.channels, self.sample_rate, _, _, self.bits = fmt
         if (
@@ -119,7 +143,6 @@ class WavBlockReader:
             or self.bits not in (8, 16, 24, 32)
             or (self.format == 3 and self.bits != 32)
         ):
-            self._file.close()
             raise ValueError(f"{path}: malformed WAV header")
         self._frame_bytes = self.channels * (self.bits // 8)
         self.num_frames = self._data_bytes // self._frame_bytes
@@ -209,33 +232,65 @@ class AudioLoader:
             ) from e
 
     def get_duration(self, filepath: FilePath) -> float:
+        """Duration in seconds, probing metadata only whenever possible.
+
+        A full decode is the LAST resort: duration is queried once per file
+        by padding math (``blocks/base.py:get_file_padding``) and again by
+        corpus planning (``Benchmark.run_multi_stream``) — decoding a
+        90-minute meeting twice just to learn its length would double the
+        benchmark's I/O.
+        """
         path = Path(filepath)
         if path.suffix.lower() == ".wav":
-            with open(path, "rb") as f:
-                f.read(12)
-                rate = None
-                while True:
-                    header = f.read(8)
-                    if len(header) < 8:
-                        break
-                    chunk_id, size = struct.unpack("<4sI", header)
-                    if chunk_id == b"fmt ":
-                        fmt = struct.unpack("<HHIIHH", f.read(16)[:16])
-                        rate = fmt[2]
-                        bits, channels = fmt[5], fmt[1]
-                        if size > 16:
-                            f.read(size - 16)
-                    elif chunk_id == b"data":
-                        if (
-                            rate is None
-                            or rate == 0
-                            or channels == 0
-                            or bits not in (8, 16, 24, 32)
-                        ):
-                            break
-                        return size / (rate * channels * (bits // 8))
-                    else:
-                        f.read(size + (size & 1))
-            raise ValueError(f"cannot probe duration of {path}")
+            try:
+                return self._probe_wav_duration(path)
+            except ValueError:
+                pass  # malformed header: fall through to the decoders
+        try:
+            import torchaudio
+
+            info = torchaudio.info(str(path))
+            if info.num_frames > 0 and info.sample_rate > 0:
+                return info.num_frames / info.sample_rate
+        except Exception:
+            pass
+        try:
+            import soundfile as sf
+
+            info = sf.info(str(path))
+            if info.frames > 0 and info.samplerate > 0:
+                return info.frames / info.samplerate
+        except Exception:
+            pass
         waveform, rate = self._decode(path)
         return waveform.shape[1] / rate
+
+    @staticmethod
+    def _probe_wav_duration(path: Path) -> float:
+        """Header-only duration probe for RIFF/WAVE files."""
+        with open(path, "rb") as f:
+            f.read(12)
+            rate = None
+            while True:
+                header = f.read(8)
+                if len(header) < 8:
+                    break
+                chunk_id, size = struct.unpack("<4sI", header)
+                if chunk_id == b"fmt ":
+                    fmt = _parse_fmt_chunk(f.read(16), path)
+                    rate = fmt[2]
+                    bits, channels = fmt[5], fmt[1]
+                    if size > 16:
+                        f.read(size - 16)
+                elif chunk_id == b"data":
+                    if (
+                        rate is None
+                        or rate == 0
+                        or channels == 0
+                        or bits not in (8, 16, 24, 32)
+                    ):
+                        break
+                    return size / (rate * channels * (bits // 8))
+                else:
+                    f.read(size + (size & 1))
+        raise ValueError(f"cannot probe duration of {path}")

@@ -32,11 +32,12 @@ def send_audio(ws, source: Text, step: float, sample_rate: int, realtime: bool):
     audio_source.read()
 
 
-def receive_audio(ws, output: Optional[Path]):
+def receive_audio(ws, output: Optional[Path], last_recv: list):
     out_file = open(output, "a") if output is not None else None
     try:
         while True:
             rttm = ws.recv()
+            last_recv[0] = time.monotonic()
             print(rttm, end="")
             if out_file is not None:
                 out_file.write(rttm)
@@ -65,22 +66,36 @@ def run():
     parser.add_argument(
         "-o", "--output-file", type=Path, help="Output RTTM file. Defaults to no writing"
     )
+    parser.add_argument(
+        "--drain-timeout", default=30.0, type=float,
+        help="After all audio is sent, close once no prediction arrived for "
+        "this many seconds (covers the server's latency tail / cold "
+        "compile). Defaults to 30",
+    )
     args = parser.parse_args()
 
     from websockets.sync.client import connect
 
     uri = f"ws://{args.host}:{args.port}"
     with connect(uri) as ws:
+        last_recv = [time.monotonic()]
         sender = threading.Thread(
             target=send_audio,
             args=(ws, args.source, args.step, args.sample_rate, args.realtime),
         )
-        receiver = threading.Thread(target=receive_audio, args=(ws, args.output_file))
+        receiver = threading.Thread(
+            target=receive_audio, args=(ws, args.output_file, last_recv)
+        )
         sender.start()
         receiver.start()
         sender.join()
-        # give the server time to flush the tail predictions
-        time.sleep(2.0)
+        # drain the server's latency tail: close only after the stream has
+        # been quiet for --drain-timeout (the reference client never exits
+        # on its own, client.py:69-74; a quiet-period close keeps the tail
+        # without hanging forever)
+        last_recv[0] = time.monotonic()
+        while time.monotonic() - last_recv[0] < args.drain_timeout:
+            time.sleep(0.25)
         ws.close()
         receiver.join()
 

@@ -64,8 +64,9 @@ def score_rttm(
     hypothesis / reference: an ``.rttm`` file or a directory of them.
     metric: accumulating metric; defaults to DER (collar 0, overlap scored —
         the paper's evaluation protocol, BASELINE.md).
-    allow_missing: if True, hypothesis URIs without a reference are skipped
-        (useful for partial corpora); otherwise they raise.
+    allow_missing: if True, URIs present on only one side are skipped
+        (useful for partial corpora); otherwise ANY one-sided URI raises —
+        a crashed/truncated benchmark run must not score as full parity.
 
     Returns
     -------
@@ -74,6 +75,14 @@ def score_rttm(
     metric = DiarizationErrorRate() if metric is None else metric
     hyp = load_rttm_collection(hypothesis)
     ref = load_rttm_collection(reference)
+    if not allow_missing:
+        unscored = sorted(set(ref) - set(hyp))
+        if unscored:
+            raise ParityError(
+                f"{len(unscored)} reference URI(s) have no hypothesis "
+                f"(first: {unscored[:5]}) — incomplete run? "
+                f"Pass allow_missing=True to score a partial corpus."
+            )
     scored = 0
     for uri in sorted(hyp):
         if uri not in ref:

@@ -390,9 +390,15 @@ class MultiStreamEngine:
             audio_mask = np.ones((b,), bool)
         if run_mask is None:
             run_mask = np.ones((b,), bool)
-        blocks = np.asarray(blocks)
-        if not np.issubdtype(blocks.dtype, np.integer):
-            blocks = blocks.astype(np.float32, copy=False)
+        # Device-resident blocks pass through untouched (serving loops and
+        # the benchmark pre-stage blocks on device; a host round-trip here
+        # would dominate the step). Host arrays are cast so float64 never
+        # reaches the compiled step; integer dtypes (int16 PCM) dequantize
+        # on device.
+        if not isinstance(blocks, jax.Array):
+            blocks = np.asarray(blocks)
+            if not np.issubdtype(blocks.dtype, np.integer):
+                blocks = blocks.astype(np.float32, copy=False)
         return self._step(
             self._params,
             state,

@@ -336,9 +336,13 @@ class Benchmark:
         # The engine's tunable hyper-parameters (tau/rho/delta/gamma/beta)
         # are dynamic inputs of its compiled step, so repeated calls with
         # different configs — a tuning sweep — reuse ONE executable.
+        # Key by the model OBJECTS (identity comparison, and the strong refs
+        # held by the cache keep them alive) — id() alone can be recycled
+        # after garbage collection, silently pairing a new config with an
+        # engine compiled around a dead model's weights.
         cache_key = (
-            id(config.segmentation),
-            None if is_vad else id(config.embedding),
+            config.segmentation,
+            None if is_vad else config.embedding,
             config.duration,
             config.step,
             config.latency,

@@ -71,6 +71,12 @@ class StreamingServer:
         self.slots: Dict[int, Optional[_ClientSlot]] = {
             i: None for i in range(engine.batch_size)
         }
+        # Slots claimed since the last tick. Session state is only touched
+        # from _tick (resets first, then the push), so the jitted step —
+        # which DONATES the state buffers — can never race a reset_slot
+        # reading freed arrays, and a reset can't be lost to the executor
+        # thread's state reassignment.
+        self._pending_resets: set = set()
         self._stop = None
         self._loop = None
 
@@ -80,7 +86,7 @@ class StreamingServer:
             if slot is None:
                 client = _ClientSlot(i, websocket)
                 self.slots[i] = client
-                self.session.reset_slot(i, uri=f"client{i}")
+                self._pending_resets.add(i)
                 return client
         return None
 
@@ -105,6 +111,10 @@ class StreamingServer:
 
     async def _tick(self):
         """Advance every stream that has a full step block queued."""
+        while self._pending_resets:
+            i = self._pending_resets.pop()
+            if self.slots[i] is not None:
+                self.session.reset_slot(i, uri=f"client{i}")
         b = self.engine.batch_size
         n = self.engine.step_samples
         blocks = np.zeros((b, n), np.float32)

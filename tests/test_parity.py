@@ -46,6 +46,25 @@ class TestScoreRttm:
         report = score_rttm(hyp, ref, allow_missing=True)
         assert report.loc["TOTAL", ("diarization error rate", "%")] == 0.0
 
+    def test_incomplete_hypothesis_raises(self, tmp_path):
+        """A truncated benchmark run (fewer hyp URIs than the golden) must
+        NOT score as parity: every unscored reference URI is an error unless
+        allow_missing is explicit."""
+        hyp = tmp_path / "hyp"
+        ref = tmp_path / "ref"
+        hyp.mkdir()
+        ref.mkdir()
+        line = "SPEAKER {uri} 1 0.00 2.00 <NA> <NA> s0 <NA> <NA>\n"
+        (hyp / "a.rttm").write_text(line.format(uri="a"))
+        (ref / "a.rttm").write_text(line.format(uri="a"))
+        (ref / "b.rttm").write_text(line.format(uri="b"))
+        (ref / "c.rttm").write_text(line.format(uri="c"))
+
+        with pytest.raises(ParityError, match="2 reference URI"):
+            score_rttm(hyp, ref)
+        report = score_rttm(hyp, ref, allow_missing=True)
+        assert report.loc["TOTAL", ("diarization error rate", "%")] == 0.0
+
     def test_duplicate_uri_raises(self, tmp_path):
         (tmp_path / "x.rttm").write_text(
             "SPEAKER u 1 0.00 1.00 <NA> <NA> s0 <NA> <NA>\n"
