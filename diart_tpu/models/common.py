@@ -1,0 +1,79 @@
+"""Building blocks shared by the embedding model families.
+
+One definition each for the pieces every converted-checkpoint architecture
+needs — inference-form batch norm, and the external-weight-aware attentive
+statistics pooling used by the ECAPA and TitaNet heads — so a convention fix
+(an epsilon, a rounding rule) lands in every family at once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .embedding import resample_weights
+
+__all__ = ["InferenceBatchNorm", "attentive_stats_pool", "resample_weights"]
+
+
+class InferenceBatchNorm(nn.Module):
+    """Inference-form batch norm: running statistics live as parameters so
+    converted torch checkpoints drop in directly."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        return scale * (x - mean) * jax.lax.rsqrt(var + 1e-5) + bias
+
+
+def attentive_stats_pool(
+    frames: jnp.ndarray,
+    weights: Optional[jnp.ndarray],
+    att_local: Callable,
+    att_global: Callable,
+    att_bn: Callable,
+    att_scores: Callable,
+) -> Tuple[jnp.ndarray, bool]:
+    """External-weight-aware channel-attentive statistics pooling.
+
+    The shared math of the ECAPA (speechbrain ``AttentiveStatisticsPooling``)
+    and TitaNet (NeMo ``AttentivePoolLayer``) heads: attention over
+    ``[x; global mean; global std]`` computed ONCE per chunk (no speaker
+    axis), then per-speaker pooling where external per-frame weights
+    re-normalize the shared attention — ``alpha_s(t,c) ∝ alpha(t,c) *
+    w_s(t)``. Speaker fan-out happens inside einsum contractions, so no
+    (B, S, T, C) tensor is ever materialized.
+
+    frames: (B, T, C); weights: (B, S, Tw) or None (uniform single-speaker).
+    Returns ``(pooled (B, S, 2C), squeeze)`` where ``squeeze`` tells the
+    caller the speaker axis was synthesized and should be dropped.
+    """
+    squeeze = weights is None
+    if weights is None:
+        weights = jnp.ones(frames.shape[:1] + (1, frames.shape[1]), frames.dtype)
+    weights = resample_weights(weights, frames.shape[1])
+
+    gmean = jnp.mean(frames, axis=1, keepdims=True)
+    gvar = jnp.mean((frames - gmean) ** 2, axis=1, keepdims=True)
+    gstd = jnp.sqrt(jnp.maximum(gvar, 1e-12))
+    hidden = att_local(frames) + att_global(
+        jnp.concatenate([gmean, gstd], axis=-1)
+    )
+    hidden = jnp.tanh(att_bn(nn.relu(hidden)))  # (B, T, bottleneck)
+    alpha = jax.nn.softmax(att_scores(hidden), axis=1)  # (B, T, C)
+
+    af = alpha * frames
+    af2 = alpha * frames**2
+    den = jnp.maximum(jnp.einsum("btc,bst->bsc", alpha, weights), 1e-12)
+    mu = jnp.einsum("btc,bst->bsc", af, weights) / den
+    var = jnp.einsum("btc,bst->bsc", af2, weights) / den - mu**2
+    sg = jnp.sqrt(jnp.maximum(var, 1e-12))
+    return jnp.concatenate([mu, sg], axis=-1), squeeze

@@ -26,27 +26,13 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
+from .common import InferenceBatchNorm as _BatchNorm
+from .common import attentive_stats_pool
 from .fbank import speechbrain_log_mel
 
 __all__ = ["EcapaTDNN"]
-
-
-class _BatchNorm(nn.Module):
-    """Inference-form batch norm: running statistics live as parameters so
-    converted torch checkpoints drop in directly."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        mean = self.param("mean", nn.initializers.zeros, (self.features,))
-        var = self.param("var", nn.initializers.ones, (self.features,))
-        return scale * (x - mean) * jax.lax.rsqrt(var + 1e-5) + bias
 
 
 class _TDNNBlock(nn.Module):
@@ -191,38 +177,11 @@ class EcapaTDNN(nn.Module):
         self, frames: jnp.ndarray, weights: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         """frames (B, T, C); weights (B, S, Tw) -> (B, S, dim)."""
-        squeeze = weights is None
-        if weights is None:
-            weights = jnp.ones(frames.shape[:1] + (1, frames.shape[1]), frames.dtype)
-        # nearest-resample external weights to the fbank frame grid
-        src = weights.shape[-1]
-        T = frames.shape[1]
-        if src != T:
-            idx = (jnp.arange(T) * src) // T
-            weights = jnp.take(weights, idx, axis=-1)
-
-        # Channel- and context-dependent attention, computed ONCE per chunk
-        # (no speaker axis): speechbrain's tanh(BN(relu(W [x; mean; std])))
-        # with biased global std (eps=1e-12 clamp).
-        gmean = jnp.mean(frames, axis=1, keepdims=True)
-        gvar = jnp.mean((frames - gmean) ** 2, axis=1, keepdims=True)
-        gstd = jnp.sqrt(jnp.maximum(gvar, 1e-12))
-        hidden = self.att_local(frames) + self.att_global(
-            jnp.concatenate([gmean, gstd], axis=-1)
-        )
-        hidden = jnp.tanh(self.att_bn(nn.relu(hidden)))  # (B, T, bottleneck)
-        alpha = jax.nn.softmax(self.att_scores(hidden), axis=1)  # (B, T, C)
-
-        # Per-speaker pooling: external weights re-normalize the shared
-        # attention per speaker — alpha_s(t,c) ∝ alpha(t,c) * w_s(t). All
-        # speaker fan-out happens inside einsum contractions, so no
-        # (B, S, T, C) tensor is ever materialized.
-        af = alpha * frames
-        af2 = alpha * frames**2
-        den = jnp.maximum(jnp.einsum("btc,bst->bsc", alpha, weights), 1e-12)
-        mu = jnp.einsum("btc,bst->bsc", af, weights) / den
-        var = jnp.einsum("btc,bst->bsc", af2, weights) / den - mu**2
-        sg = jnp.sqrt(jnp.maximum(var, 1e-12))
-        pooled = jnp.concatenate([mu, sg], axis=-1)  # (B, S, 2C)
+        # speechbrain's tanh(BN(relu(W [x; mean; std]))) attention with
+        # biased global std (eps=1e-12 clamp), shared with the TitaNet head.
+        pooled, squeeze = attentive_stats_pool(
+            frames, weights, self.att_local, self.att_global,
+            self.att_bn, self.att_scores,
+        )  # (B, S, 2C)
         emb = self.embedding(self.asp_bn(pooled))
         return emb[:, 0] if squeeze else emb

@@ -21,6 +21,8 @@ __all__ = [
     "speechbrain_mel_matrix",
     "kaldi_log_mel",
     "kaldi_mel_matrix",
+    "nemo_log_mel",
+    "librosa_mel_matrix",
 ]
 
 
@@ -144,6 +146,89 @@ def speechbrain_log_mel(
     x_db = 10.0 * jnp.log10(jnp.maximum(fbanks, amin))
     floor = jnp.max(x_db, axis=(1, 2), keepdims=True) - top_db
     return jnp.maximum(x_db, floor)
+
+
+@lru_cache(maxsize=None)
+def librosa_mel_matrix(
+    num_mels: int = 80,
+    n_fft: int = 512,
+    sample_rate: int = 16000,
+    f_min: float = 0.0,
+    f_max: float = None,
+) -> np.ndarray:
+    """Mel filterbank in librosa's default convention (``librosa.filters.mel``
+    with ``htk=False, norm='slaney'``), which NeMo's
+    ``AudioToMelSpectrogramPreprocessor`` uses: the *Slaney* mel scale
+    (linear below 1 kHz, log above) and Slaney area normalization
+    (each triangle scaled by ``2 / (f[m+2] - f[m])``).
+    (num_mels, n_fft // 2 + 1)."""
+    f_max = f_max or sample_rate / 2
+
+    def to_mel(hz):
+        hz = np.asarray(hz, np.float64)
+        mel = hz * 3.0 / 200.0
+        log_step = np.log(6.4) / 27.0
+        safe = np.maximum(hz, 1e-10)  # both where-branches evaluate
+        return np.where(hz >= 1000.0, 15.0 + np.log(safe / 1000.0) / log_step, mel)
+
+    def to_hz(mel):
+        mel = np.asarray(mel, np.float64)
+        hz = mel * 200.0 / 3.0
+        log_step = np.log(6.4) / 27.0
+        return np.where(mel >= 15.0, 1000.0 * np.exp(log_step * (mel - 15.0)), hz)
+
+    mel_points = np.linspace(to_mel(f_min), to_mel(f_max), num_mels + 2)
+    hz = to_hz(mel_points)
+    fft_freqs = np.arange(n_fft // 2 + 1) * sample_rate / n_fft
+    lower = (fft_freqs[None, :] - hz[:-2, None]) / (hz[1:-1] - hz[:-2])[:, None]
+    upper = (hz[2:, None] - fft_freqs[None, :]) / (hz[2:] - hz[1:-1])[:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    enorm = 2.0 / (hz[2:] - hz[:-2])
+    return (weights * enorm[:, None]).astype(np.float32)
+
+
+def nemo_log_mel(
+    waveform: jnp.ndarray,
+    num_mels: int = 80,
+    n_fft: int = 512,
+    win_length: int = 400,
+    hop: int = 160,
+    sample_rate: int = 16000,
+    preemph: float = 0.97,
+    log_guard: float = 2.0 ** -24,
+) -> jnp.ndarray:
+    """(batch, samples) -> (batch, frames, num_mels) log-mel features in
+    NeMo's ``AudioToMelSpectrogramPreprocessor`` convention (the frontend of
+    the TitaNet recipes): whole-signal pre-emphasis (first sample kept),
+    centered reflect-padded STFT with a *symmetric* Hann(win_length) window
+    zero-padded into ``n_fft``, power spectrum, librosa slaney-normalized mel
+    triangles, and ``log(x + 2^-24)``. Per-feature normalization is the
+    caller's job (it depends on the valid sequence length).
+    """
+    if preemph:
+        waveform = jnp.concatenate(
+            [waveform[:, :1], waveform[:, 1:] - preemph * waveform[:, :-1]], axis=1
+        )
+    batch, samples = waveform.shape
+    pad = n_fft // 2
+    padded = jnp.pad(waveform, ((0, 0), (pad, pad)), mode="reflect")
+    num_frames = samples // hop + 1
+    idx = np.arange(num_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    frames = padded[:, idx]  # (batch, frames, n_fft)
+    # torch.hann_window(win_length, periodic=False), centered into n_fft
+    n = np.arange(win_length)
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * n / (win_length - 1))
+    window = np.zeros(n_fft, np.float32)
+    left = (n_fft - win_length) // 2
+    window[left : left + win_length] = hann
+    spec = jnp.fft.rfft(frames * jnp.asarray(window), axis=-1)
+    power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2).astype(jnp.float32)
+    mel = jnp.einsum(
+        "btf,mf->btm",
+        power,
+        jnp.asarray(librosa_mel_matrix(num_mels, n_fft, sample_rate)),
+    )
+    return jnp.log(mel + log_guard)
 
 
 @lru_cache(maxsize=None)

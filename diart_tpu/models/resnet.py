@@ -25,26 +25,13 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
+from .common import InferenceBatchNorm as _BatchNorm
+from .common import resample_weights
 from .fbank import kaldi_log_mel
 
 __all__ = ["ResNet34"]
-
-
-class _BatchNorm(nn.Module):
-    """Inference-form batch norm (running stats as params)."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        mean = self.param("mean", nn.initializers.zeros, (self.features,))
-        var = self.param("var", nn.initializers.ones, (self.features,))
-        return scale * (x - mean) * jax.lax.rsqrt(var + 1e-5) + bias
 
 
 class _BasicBlock(nn.Module):
@@ -153,11 +140,7 @@ class ResNet34(nn.Module):
         squeeze = weights is None
         if weights is None:
             weights = jnp.ones(frames.shape[:1] + (1, frames.shape[1]), frames.dtype)
-        src = weights.shape[-1]
-        t = frames.shape[1]
-        if src != t:
-            idx = (jnp.arange(t) * src) // t
-            weights = jnp.take(weights, idx, axis=-1)
+        weights = resample_weights(weights, frames.shape[1])
 
         v1 = jnp.sum(weights, axis=-1)  # (B, S)
         v2 = jnp.sum(weights**2, axis=-1)

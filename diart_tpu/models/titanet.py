@@ -21,24 +21,13 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
-from .fbank import log_mel_filterbank
+from .common import InferenceBatchNorm as _BatchNorm
+from .common import attentive_stats_pool
+from .fbank import nemo_log_mel
 
 __all__ = ["TitaNet"]
-
-
-class _BatchNorm(nn.Module):
-    features: int
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        mean = self.param("mean", nn.initializers.zeros, (self.features,))
-        var = self.param("var", nn.initializers.ones, (self.features,))
-        return scale * (x - mean) * jax.lax.rsqrt(var + 1e-5) + bias
 
 
 class _SeparableConvBnRelu(nn.Module):
@@ -148,14 +137,18 @@ class TitaNet(nn.Module):
         return self.head(self.trunk(waveform), weights)
 
     def features(self, waveform: jnp.ndarray) -> jnp.ndarray:
-        """(batch, 1, samples) -> (batch, frames, num_mels): log-mel with
-        per-feature normalization (NeMo's per_feature preprocessor norm)."""
-        feats = log_mel_filterbank(
+        """(batch, 1, samples) -> (batch, frames, num_mels): NeMo
+        ``AudioToMelSpectrogramPreprocessor``-exact log-mel (preemph 0.97,
+        centered 512-pt STFT, slaney mel, ``log(x + 2^-24)``) followed by
+        NeMo's ``per_feature`` normalization (per-feature mean, *unbiased*
+        std + 1e-5)."""
+        feats = nemo_log_mel(
             waveform[:, 0, :], num_mels=self.num_mels, sample_rate=self.sample_rate
         )
         mean = jnp.mean(feats, axis=1, keepdims=True)
-        std = jnp.std(feats, axis=1, keepdims=True) + 1e-5
-        return (feats - mean) / std
+        t = feats.shape[1]
+        var = jnp.sum((feats - mean) ** 2, axis=1, keepdims=True) / max(t - 1, 1)
+        return (feats - mean) / (jnp.sqrt(var) + 1e-5)
 
     def trunk(self, waveform: jnp.ndarray) -> jnp.ndarray:
         return self.trunk_from_features(self.features(waveform))
@@ -171,30 +164,9 @@ class TitaNet(nn.Module):
         self, frames: jnp.ndarray, weights: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         """frames (B, T, 3C); weights (B, S, Tw) -> (B, S, dim)."""
-        squeeze = weights is None
-        if weights is None:
-            weights = jnp.ones(frames.shape[:1] + (1, frames.shape[1]), frames.dtype)
-        src = weights.shape[-1]
-        t = frames.shape[1]
-        if src != t:
-            idx = (jnp.arange(t) * src) // t
-            weights = jnp.take(weights, idx, axis=-1)
-
-        gmean = jnp.mean(frames, axis=1, keepdims=True)
-        gvar = jnp.mean((frames - gmean) ** 2, axis=1, keepdims=True)
-        gstd = jnp.sqrt(jnp.maximum(gvar, 1e-12))
-        hidden = self.att_local(frames) + self.att_global(
-            jnp.concatenate([gmean, gstd], axis=-1)
-        )
-        hidden = jnp.tanh(self.att_bn(nn.relu(hidden)))
-        alpha = jax.nn.softmax(self.att_scores(hidden), axis=1)  # (B, T, 3C)
-
-        af = alpha * frames
-        af2 = alpha * frames**2
-        den = jnp.maximum(jnp.einsum("btc,bst->bsc", alpha, weights), 1e-12)
-        mu = jnp.einsum("btc,bst->bsc", af, weights) / den
-        var = jnp.einsum("btc,bst->bsc", af2, weights) / den - mu**2
-        sg = jnp.sqrt(jnp.maximum(var, 1e-12))
-        pooled = jnp.concatenate([mu, sg], axis=-1)  # (B, S, 6C)
+        pooled, squeeze = attentive_stats_pool(
+            frames, weights, self.att_local, self.att_global,
+            self.att_bn, self.att_scores,
+        )  # (B, S, 6C)
         emb = self.embedding(self.emb_bn(pooled))
         return emb[:, 0] if squeeze else emb

@@ -437,6 +437,37 @@ class TestTitanetConversionFidelity:
         scale = max(np.abs(ref).max(), 1.0)
         np.testing.assert_allclose(out, ref, atol=2e-4 * scale)
 
+    def test_waveform_level_full_forward(self, tmp_path):
+        """From raw 16 kHz audio: our NeMo-exact mel frontend + converted
+        encoder must match the torch replica (preprocessor + network)
+        end-to-end — the fidelity contract a real
+        ``nvidia/speakerverification_en_titanet_large`` checkpoint needs."""
+        from torch_replicas import NMTitaNet, nemo_fbank
+        from diart_tpu.models import EmbeddingModel
+
+        torch.manual_seed(62)
+        net = NMTitaNet(channels=48, embed_dim=40).eval()
+        path = tmp_path / "titanet_wave.pt"
+        torch.save(net.state_dict(), path)
+        emb = EmbeddingModel.from_pretrained(str(path))
+        emb.load()
+
+        rng = np.random.default_rng(10)
+        wave = rng.normal(scale=0.1, size=(2, 32000)).astype(np.float32)
+        with torch.no_grad():
+            feats_t = nemo_fbank(torch.from_numpy(wave))
+            ref = net(feats_t).numpy()
+
+        feats_j = np.asarray(
+            emb.module.apply(emb.params, jnp.asarray(wave[:, None, :]), method="features")
+        )
+        scale_f = max(np.abs(feats_t.numpy()).max(), 1.0)
+        np.testing.assert_allclose(feats_j, feats_t.numpy(), atol=2e-4 * scale_f)
+
+        out = np.asarray(emb.module.apply(emb.params, jnp.asarray(wave[:, None, :])))
+        scale = max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(out, ref, atol=5e-4 * scale)
+
     def test_registry_and_weighted_head(self):
         from diart_tpu.models import EmbeddingModel
 

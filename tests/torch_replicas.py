@@ -680,6 +680,68 @@ class _NMAttentivePool(nn.Module):
         return torch.cat([mu, sg], dim=-1)  # (B, 2C)
 
 
+def nemo_fbank(
+    waveform: torch.Tensor,
+    n_mels=80,
+    n_fft=512,
+    win_length=400,
+    hop=160,
+    sample_rate=16000,
+    preemph=0.97,
+):
+    """NeMo ``AudioToMelSpectrogramPreprocessor`` replica
+    (``FilterbankFeatures``): whole-signal pre-emphasis with the first
+    sample kept, ``torch.stft`` center=True/reflect with a *symmetric*
+    Hann(win_length) window, power spectrum, librosa slaney-normalized mel
+    triangles (htk=False, norm='slaney'), ``log(x + 2^-24)``, and
+    ``per_feature`` normalization (per-feature mean / unbiased std + 1e-5).
+    (B, S) -> (B, T, M)."""
+    x = torch.cat(
+        [waveform[:, :1], waveform[:, 1:] - preemph * waveform[:, :-1]], dim=1
+    )
+    spec = torch.stft(
+        x,
+        n_fft=n_fft,
+        hop_length=hop,
+        win_length=win_length,
+        window=torch.hann_window(win_length, periodic=False),
+        center=True,
+        pad_mode="reflect",
+        return_complex=True,
+    )  # (B, F, T)
+    power = spec.real**2 + spec.imag**2
+
+    # librosa.filters.mel(htk=False, norm='slaney'), written out
+    def hz_to_mel(hz):
+        hz = np.asarray(hz, np.float64)
+        return np.where(
+            hz >= 1000.0,
+            15.0 + np.log(hz / 1000.0) / (np.log(6.4) / 27.0),
+            hz / (200.0 / 3.0),
+        )
+
+    def mel_to_hz(mel):
+        mel = np.asarray(mel, np.float64)
+        return np.where(
+            mel >= 15.0,
+            1000.0 * np.exp((np.log(6.4) / 27.0) * (mel - 15.0)),
+            mel * (200.0 / 3.0),
+        )
+
+    pts = mel_to_hz(np.linspace(0.0, hz_to_mel(sample_rate / 2), n_mels + 2))
+    freqs = np.arange(n_fft // 2 + 1) * sample_rate / n_fft
+    lower = (freqs[None, :] - pts[:-2, None]) / (pts[1:-1] - pts[:-2])[:, None]
+    upper = (pts[2:, None] - freqs[None, :]) / (pts[2:] - pts[1:-1])[:, None]
+    fb = np.maximum(0.0, np.minimum(lower, upper))
+    fb *= (2.0 / (pts[2:] - pts[:-2]))[:, None]
+
+    mel = torch.einsum("bft,mf->bmt", power.float(), torch.from_numpy(fb.astype(np.float32)))
+    logmel = torch.log(mel + 2.0**-24)  # (B, M, T)
+    mean = logmel.mean(dim=-1, keepdim=True)
+    std = logmel.std(dim=-1, keepdim=True)  # unbiased
+    return ((logmel - mean) / (std + 1e-5)).transpose(1, 2)
+
+
 class NMTitaNet(nn.Module):
     """NeMo-layout TitaNet over fbank features (B, T, mels)."""
 
