@@ -38,7 +38,7 @@ import time
 import numpy as np
 
 
-def _build_engine(batch: int, mesh_devices: int):
+def _build_engine(batch: int, mesh_devices: int, dtype: str = "f32"):
     from diart_tpu.models import EmbeddingModel, SegmentationModel
     from diart_tpu.parallel import MultiStreamEngine
 
@@ -48,8 +48,8 @@ def _build_engine(batch: int, mesh_devices: int):
 
         mesh = streams_mesh(mesh_devices)
 
-    seg = SegmentationModel.from_registry("tpu/pyannet")  # 4-spk PyanNet
-    emb = EmbeddingModel.from_registry("tpu/xvector")  # 512-d x-vector
+    seg = SegmentationModel.from_registry("tpu/pyannet", dtype=dtype)  # 4-spk PyanNet
+    emb = EmbeddingModel.from_registry("tpu/xvector", dtype=dtype)  # 512-d x-vector
     return MultiStreamEngine(
         segmentation=seg,
         embedding=emb,
@@ -65,7 +65,7 @@ def _build_engine(batch: int, mesh_devices: int):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("batch", nargs="?", type=int, default=128)
+    parser.add_argument("batch", nargs="?", type=int, default=256)
     parser.add_argument("steps", nargs="?", type=int, default=20)
     parser.add_argument(
         "--mesh", type=int, default=0,
@@ -74,6 +74,10 @@ def main():
     parser.add_argument(
         "--int16", action="store_true",
         help="ship int16 PCM blocks (half the host->device bytes per hop)",
+    )
+    parser.add_argument(
+        "--dtype", default="f32", choices=("f32", "bf16"),
+        help="model compute dtype (bf16 doubles MXU throughput)",
     )
     args = parser.parse_args()
 
@@ -84,7 +88,7 @@ def main():
     batch, steps = args.batch, args.steps
     if args.mesh and batch % args.mesh:
         sys.exit(f"batch ({batch}) must be divisible by --mesh ({args.mesh})")
-    engine = _build_engine(batch, args.mesh)
+    engine = _build_engine(batch, args.mesh, args.dtype)
 
     # Persistent compilation cache: the remote TPU compile service has high
     # latency variance (observed 1-30 min for the same program); cached
@@ -164,7 +168,7 @@ def main():
         )
     )
     print(
-        f"# batch={batch} mesh={args.mesh or 1} int16={args.int16} "
+        f"# batch={batch} mesh={args.mesh or 1} int16={args.int16} dtype={args.dtype} "
         f"t_step_median={t_median*1000:.2f}ms t_step_best={t_best*1000:.2f}ms "
         f"streams_best={streams_best:.0f} "
         f"p50_chunk_latency={p50*1000:.2f}ms p99_chunk_latency={p99*1000:.2f}ms "

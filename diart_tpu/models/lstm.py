@@ -29,12 +29,14 @@ __all__ = ["BiLSTM"]
 
 
 def _use_pallas_default() -> bool:
-    """The Pallas sweep kernel is opt-in via DIART_TPU_PALLAS_LSTM=1
-    (bit-equivalent to the scan path; see ops/pallas_lstm.py). Compiled
-    Pallas requires a TPU backend, so the opt-in is ignored on CPU (e.g.
-    hermetic tests, CPU-backend param initialization)."""
+    """The Pallas sweep kernel (ops/pallas_lstm.py) is ON by default on TPU
+    backends — it is bit-parity tested against the scan path and measures
+    ~3-4% faster end-to-end on the full diarization engine (v5e, batch
+    128-256). Opt out with DIART_TPU_PALLAS_LSTM=0. Compiled Pallas requires
+    a TPU backend, so it is never used on CPU (hermetic tests, CPU-backend
+    param initialization)."""
     return (
-        os.environ.get("DIART_TPU_PALLAS_LSTM", "0") == "1"
+        os.environ.get("DIART_TPU_PALLAS_LSTM", "1") != "0"
         and jax.default_backend() == "tpu"
     )
 

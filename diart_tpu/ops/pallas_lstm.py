@@ -113,10 +113,10 @@ def lstm_sweep(
         _lstm_kernel,
         out_shape=jax.ShapeDtypeStruct((time, dirs, batch, hidden), proj.dtype),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # proj streams via DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # proj streams via DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w_hh resident
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((dirs, batch, hidden), proj.dtype),  # h
             pltpu.VMEM((dirs, batch, hidden), proj.dtype),  # c
