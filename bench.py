@@ -79,6 +79,11 @@ def main():
         "--dtype", default="f32", choices=("f32", "bf16"),
         help="model compute dtype (bf16 doubles MXU throughput)",
     )
+    parser.add_argument(
+        "--profile", metavar="DIR", default=None,
+        help="write a TensorBoard/XProf device trace of the steady-state "
+        "loop to DIR (open with xprof / tensorboard-plugin-profile)",
+    )
     args = parser.parse_args()
 
     from pathlib import Path
@@ -122,6 +127,14 @@ def main():
         run = np.full((batch,), i + 1 >= warmup)
         state, out = engine.step(state, blocks[i], run_mask=run)
     jax.block_until_ready(out.aggregated)
+
+    if args.profile:
+        # trace a short steady-state burst (compilation already done above)
+        with jax.profiler.trace(args.profile):
+            for i in range(5):
+                state, out = engine.step(state, blocks[warmup + i % steps])
+            jax.block_until_ready(out.aggregated)
+        print(f"# xprof trace written to {args.profile}", file=sys.stderr)
 
     # Timed steady state: pipelined windows (block once per window, the way
     # a serving loop drains) for throughput; per-hop blocked steps for

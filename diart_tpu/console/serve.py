@@ -35,6 +35,12 @@ def run():
         "axis (stream-level data parallelism over ICI); provisions an "
         "N-virtual-device CPU mesh when fewer real devices exist",
     )
+    parser.add_argument(
+        "--int16-transfer",
+        action="store_true",
+        help="Ship int16 PCM blocks to the device (half the host->device "
+        "bytes per hop; ~96 dB quantization floor, dequantized on device)",
+    )
     args = parser.parse_args()
 
     if args.cpu:
@@ -78,7 +84,11 @@ def run():
         mesh=mesh,
     )
     server = StreamingServer(
-        engine, tau_active=args.tau_active, host=args.host, port=args.port
+        engine,
+        tau_active=args.tau_active,
+        host=args.host,
+        port=args.port,
+        quantize_transfer=args.int16_transfer,
     )
     try:
         server.run()

@@ -15,14 +15,22 @@ other rows, so one is free; swapping ``r`` to it does not increase the cost.
 Hence enumerating the ``R**R`` combinations of per-row candidate ranks (and
 masking combinations that reuse a column) covers an optimal solution.
 
-``R**R`` is 256 for the default 4 local speakers — a trivial gather+reduction
-for the VPU, fully vmappable across streams.
+``R**R`` is 256 for the default 4 local speakers — a trivial reduction for
+the VPU, fully vmappable across streams.
+
+TPU note: the math is deliberately GATHER-FREE. Dynamic gathers over tiny
+arrays lower to scalar-core loops on TPU (profiled at ~3 ms per step for
+the batch-256 engine — a quarter of the whole step); candidate selection is
+expressed instead as iterative masked argmin -> one-hot, and combination
+lookup as einsums against a trace-time-constant rank-selection tensor, all
+of which vectorize on the VPU/MXU.
 """
 
 from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,6 +47,12 @@ def _rank_combinations(num_rows: int) -> np.ndarray:
     """All ``num_rows**num_rows`` tuples of per-row candidate ranks."""
     grids = np.meshgrid(*[np.arange(num_rows)] * num_rows, indexing="ij")
     return np.stack([g.reshape(-1) for g in grids], axis=-1)  # (R^R, R)
+
+
+@lru_cache(maxsize=None)
+def _rank_selection_tensor(num_rows: int) -> np.ndarray:
+    """(N, R, R) one-hot over ranks: ``S[n, r, k] = combos[n, r] == k``."""
+    return np.eye(num_rows, dtype=np.float32)[_rank_combinations(num_rows)]
 
 
 def assign_rows(cost: jnp.ndarray) -> jnp.ndarray:
@@ -61,34 +75,46 @@ def assign_rows(cost: jnp.ndarray) -> jnp.ndarray:
     if num_rows == 1:
         return jnp.argmin(cost, axis=1).astype(jnp.int32)
 
-    # (R, R) cheapest candidate columns per row.
-    candidates = jnp.argsort(cost, axis=1)[:, :num_rows]
-    combos = jnp.asarray(_rank_combinations(num_rows))  # (N, R) static
-    rows = jnp.arange(num_rows)
+    f32 = jnp.float32
+    cost_f = cost.astype(f32)
+    # (R, K=R, C) one-hots of each row's K cheapest columns, built by
+    # iterative masked argmin (stable lowest-index tie-break, same order as
+    # a stable argsort). No gathers: argmin is a plain reduction.
+    work = cost_f
+    cand = []
+    for _ in range(num_rows):
+        oh = jax.nn.one_hot(jnp.argmin(work, axis=1), num_cols, dtype=f32)
+        cand.append(oh)
+        work = jnp.where(oh > 0, jnp.inf, work)
+    cand_oh = jnp.stack(cand, axis=1)  # (R, K, C)
 
-    # Column chosen by each combination: (N, R)
-    cols = candidates[rows[None, :], combos]
-    # Mask combinations that assign two rows to the same column.
-    distinct = (cols[:, :, None] != cols[:, None, :]) | jnp.eye(
-        num_rows, dtype=bool
-    )[None, :, :]
-    valid = jnp.all(distinct, axis=(1, 2))
+    # Column picked by combination n for row r, as one-hots over C:
+    # contraction with the static rank-selection tensor (VPU/MXU-friendly).
+    sel_tensor = jnp.asarray(_rank_selection_tensor(num_rows))  # (N, R, K)
+    sel = jnp.einsum("nrk,rkc->nrc", sel_tensor, cand_oh)  # (N, R, C) 0/1
+
+    # Mask combinations that assign two rows to the same column: a column
+    # used more than once shows up as a >1 entry in the per-column usage.
+    valid = jnp.max(jnp.sum(sel, axis=1), axis=1) <= 1.5
 
     # Sentinel-invalidated entries (>= ~1e9, see ops.clustering) must rank
     # lexicographically: fewer invalid picks first, then lower real cost.
     # Summing raw sentinels would absorb the real part in float32
     # (1e10 + 0.9 == 1e10), silently breaking tie resolution.
-    picked = jnp.take_along_axis(cost, cols.T, axis=1).T  # (N, R)
+    picked = jnp.einsum("nrc,rc->nr", sel, cost_f)  # (N, R)
     is_invalid = picked >= _INVALID_THRESHOLD
     real_total = jnp.sum(jnp.where(is_invalid, 0.0, picked), axis=1)
-    inv_count = jnp.sum(is_invalid, axis=1).astype(cost.dtype)
+    inv_count = jnp.sum(is_invalid, axis=1).astype(f32)
     # weight strictly dominating any achievable real total
     weight = 2.0 * num_rows * jnp.maximum(
-        jnp.max(jnp.where(cost >= _INVALID_THRESHOLD, 0.0, jnp.abs(cost))), 1.0
+        jnp.max(jnp.where(cost_f >= _INVALID_THRESHOLD, 0.0, jnp.abs(cost_f))), 1.0
     ) + 1.0
     totals = jnp.where(valid, inv_count * weight + real_total, jnp.inf)
-    best = jnp.argmin(totals)
-    return cols[best].astype(jnp.int32)
+    # Recover the winning combination's columns without a dynamic gather:
+    # contract its one-hot selection back out, then argmax over C.
+    best_oh = jax.nn.one_hot(jnp.argmin(totals), sel.shape[0], dtype=f32)
+    sel_best = jnp.einsum("n,nrc->rc", best_oh, sel)
+    return jnp.argmax(sel_best, axis=1).astype(jnp.int32)
 
 
 def assign_rows_host(cost: np.ndarray) -> np.ndarray:

@@ -51,6 +51,8 @@ class StreamingServer:
     realtime: if True, ticks every ``engine.step_duration`` seconds of wall
         clock; if False, ticks as fast as audio arrives (useful for tests
         and batch-over-websocket workloads).
+    quantize_transfer: ship int16 PCM blocks to the device (half the
+        host->device bytes per hop; dequantized on device).
     """
 
     def __init__(
@@ -60,13 +62,17 @@ class StreamingServer:
         host: str = "127.0.0.1",
         port: int = 7007,
         realtime: bool = False,
+        quantize_transfer: bool = False,
     ):
         self.engine = engine
         self.host = host
         self.port = port
         self.realtime = realtime
         self.session = MultiStreamSession(
-            engine, tau_active=tau_active, collect_audio=False
+            engine,
+            tau_active=tau_active,
+            collect_audio=False,
+            quantize_transfer=quantize_transfer,
         )
         self.slots: Dict[int, Optional[_ClientSlot]] = {
             i: None for i in range(engine.batch_size)
