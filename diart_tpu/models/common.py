@@ -14,9 +14,17 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .embedding import resample_weights
-
 __all__ = ["InferenceBatchNorm", "attentive_stats_pool", "resample_weights"]
+
+
+def resample_weights(weights: jnp.ndarray, num_frames: int) -> jnp.ndarray:
+    """Nearest-neighbor resample of per-frame weights to the trunk's frame
+    grid (pyannote's StatsPool interpolates the same way)."""
+    src = weights.shape[-1]
+    if src == num_frames:
+        return weights
+    idx = (jnp.arange(num_frames) * src) // num_frames
+    return jnp.take(weights, idx, axis=-1)
 
 
 class InferenceBatchNorm(nn.Module):
