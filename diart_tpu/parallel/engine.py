@@ -208,6 +208,11 @@ class MultiStreamEngine:
             if not self.is_vad
             else (self._seg_params,)
         )
+        # device-resident all-true masks for the common "every stream active"
+        # case — re-uploading a fresh host array every hop costs a
+        # host->device transfer per step (latency-priced in this dev env's
+        # network tunnel, and pure waste everywhere)
+        self._true_masks: dict = {}
 
     # ------------------------------------------------------------------ #
     def set_hyperparameters(
@@ -386,10 +391,21 @@ class MultiStreamEngine:
             be processed (False while warming up or idle).
         """
         b = blocks.shape[0]
-        if audio_mask is None:
-            audio_mask = np.ones((b,), bool)
-        if run_mask is None:
-            run_mask = np.ones((b,), bool)
+        if audio_mask is None or run_mask is None:
+            true_mask = self._true_masks.get(b)
+            if true_mask is None:
+                true_mask = jnp.ones((b,), bool)
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    true_mask = jax.device_put(
+                        true_mask, NamedSharding(self.mesh, P("streams"))
+                    )
+                self._true_masks[b] = true_mask
+            if audio_mask is None:
+                audio_mask = true_mask
+            if run_mask is None:
+                run_mask = true_mask
         # Device-resident blocks pass through untouched (serving loops and
         # the benchmark pre-stage blocks on device; a host round-trip here
         # would dominate the step). Host arrays are cast so float64 never
