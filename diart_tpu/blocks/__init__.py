@@ -6,7 +6,13 @@ from .base import (
     RhoUpdate,
     TauActive,
 )
-from .aggregation import AggregationStrategy, DelayedAggregation
+from .aggregation import (
+    AggregationStrategy,
+    AverageStrategy,
+    DelayedAggregation,
+    FirstOnlyStrategy,
+    HammingWeightedAverageStrategy,
+)
 from .clustering import OnlineSpeakerClustering
 from .diarization import SpeakerDiarization, SpeakerDiarizationConfig
 from .embedding import (
@@ -28,6 +34,9 @@ __all__ = [
     "Pipeline",
     "PipelineConfig",
     "AggregationStrategy",
+    "HammingWeightedAverageStrategy",
+    "AverageStrategy",
+    "FirstOnlyStrategy",
     "DelayedAggregation",
     "OnlineSpeakerClustering",
     "SpeakerDiarization",

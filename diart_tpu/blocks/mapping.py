@@ -18,12 +18,65 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
 import numpy as np
 from scipy.optimize import linear_sum_assignment
 
-__all__ = ["SpeakerMap", "SpeakerMapBuilder"]
+__all__ = [
+    "SpeakerMap",
+    "SpeakerMapBuilder",
+    "MappingMatrixObjective",
+    "MinimizationObjective",
+    "MaximizationObjective",
+]
 
 # Hungarian solvers dislike inf; a large sentinel marks invalid entries
 # (same convention as the reference, mapping.py:49-52).
 _INVALID_MAX = -1e10
 _INVALID_MIN = 1e10
+
+
+class MappingMatrixObjective:
+    """Optimization-direction descriptor (reference ``mapping.py:11-98``).
+
+    Our :class:`SpeakerMap` carries the direction and best value as plain
+    constructor arguments, so these classes are thin factories kept for
+    API parity with reference code that passes objectives around.
+    """
+
+    maximize: bool = False
+    best_possible_value: float = 0.0
+
+    @property
+    def invalid_value(self) -> float:
+        return _INVALID_MAX if self.maximize else _INVALID_MIN
+
+    def invalid_tensor(self, shape: Union[Tuple, int]) -> np.ndarray:
+        return np.full(shape, self.invalid_value)
+
+    def optimal_assignments(self, matrix: np.ndarray) -> List[int]:
+        return list(linear_sum_assignment(matrix, self.maximize)[1])
+
+    def mapped_indices(self, matrix: np.ndarray, axis: int) -> List[int]:
+        best_fn = np.max if self.maximize else np.min
+        best_values = best_fn(matrix, axis=axis)
+        return list(np.where(best_values != self.invalid_value)[0])
+
+    def hard_speaker_map(
+        self, num_src: int, num_tgt: int, assignments: Iterable[Tuple[int, int]]
+    ) -> "SpeakerMap":
+        matrix = self.invalid_tensor((num_src, num_tgt))
+        for src, tgt in assignments:
+            matrix[src, tgt] = self.best_possible_value
+        return SpeakerMap(matrix, self.maximize, self.best_possible_value)
+
+
+class MinimizationObjective(MappingMatrixObjective):
+    maximize = False
+    best_possible_value = 0.0
+
+
+class MaximizationObjective(MappingMatrixObjective):
+    maximize = True
+
+    def __init__(self, max_value: float = 1.0):
+        self.best_possible_value = max_value
 
 
 def _cosine_cdist(x: np.ndarray, y: np.ndarray) -> np.ndarray:

@@ -1,13 +1,18 @@
 """Polymorphic temporal feature formatting.
 
 Equivalent of ``/root/reference/src/diart/features.py``: blocks accept
-``SlidingWindowFeature`` / numpy / JAX arrays interchangeably; the formatter
-casts to a batched device array and restores the original container on
-output (remembering start timestamps for windowed features).
+``SlidingWindowFeature`` / numpy / torch / JAX arrays interchangeably; the
+formatter casts to a batched device array and restores the original
+container on output (remembering start timestamps for windowed features).
+Each container kind is handled by a small state object
+(``TemporalFeatureFormatterState``), mirroring the reference's public
+surface (``features.py:38-75``) so user-supplied states drop in.
 """
 
 from __future__ import annotations
 
+import sys
+from abc import ABC, abstractmethod
 from typing import Optional, Union
 
 import jax.numpy as jnp
@@ -17,7 +22,63 @@ from .core.segment import SlidingWindow, SlidingWindowFeature
 
 TemporalFeatures = Union[SlidingWindowFeature, np.ndarray, jnp.ndarray]
 
-__all__ = ["TemporalFeatures", "TemporalFeatureFormatter"]
+__all__ = [
+    "TemporalFeatures",
+    "TemporalFeatureFormatter",
+    "TemporalFeatureFormatterState",
+    "SlidingWindowFeatureFormatterState",
+    "NumpyArrayFormatterState",
+    "TorchTensorFormatterState",
+    "DeviceArrayFormatterState",
+]
+
+
+class TemporalFeatureFormatterState(ABC):
+    """Remembers one input container kind and restores it on output."""
+
+    @abstractmethod
+    def restore(self, features: jnp.ndarray) -> TemporalFeatures:
+        ...
+
+
+class SlidingWindowFeatureFormatterState(TemporalFeatureFormatterState):
+    def __init__(self, start_time: float, duration: float):
+        self.start_time = start_time
+        self.duration = duration  # total covered duration, seconds
+
+    def restore(self, features: jnp.ndarray) -> TemporalFeatures:
+        batch, num_frames, _ = features.shape
+        assert batch == 1, "batched SlidingWindowFeature is not supported"
+        resolution = self.duration / num_frames
+        window = SlidingWindow(
+            start=self.start_time, duration=resolution, step=resolution
+        )
+        return SlidingWindowFeature(np.asarray(features[0]), window)
+
+
+class NumpyArrayFormatterState(TemporalFeatureFormatterState):
+    def restore(self, features: jnp.ndarray) -> TemporalFeatures:
+        return np.asarray(features)
+
+
+class TorchTensorFormatterState(TemporalFeatureFormatterState):
+    def restore(self, features: jnp.ndarray) -> TemporalFeatures:
+        import torch
+
+        # device arrays expose a read-only numpy view; torch needs writable
+        return torch.from_numpy(np.array(features))
+
+
+class DeviceArrayFormatterState(TemporalFeatureFormatterState):
+    def restore(self, features: jnp.ndarray) -> TemporalFeatures:
+        return features
+
+
+def _is_torch_tensor(value) -> bool:
+    # only consult torch if the caller already imported it — passing a
+    # tensor implies torch is loaded, and we avoid importing it otherwise
+    torch = sys.modules.get("torch")
+    return torch is not None and isinstance(value, torch.Tensor)
 
 
 class TemporalFeatureFormatter:
@@ -25,9 +86,7 @@ class TemporalFeatureFormatter:
     the input container type on the way out."""
 
     def __init__(self):
-        self._kind: Optional[str] = None
-        self._start_time: float = 0.0
-        self._duration: float = 0.0
+        self._state: Optional[TemporalFeatureFormatterState] = None
 
     def cast(self, features: TemporalFeatures) -> jnp.ndarray:
         if isinstance(features, SlidingWindowFeature):
@@ -35,15 +94,18 @@ class TemporalFeatureFormatter:
             assert sw.duration == sw.step, (
                 "features sliding window duration and step must be equal"
             )
-            self._kind = "windowed"
-            self._start_time = sw.start
-            self._duration = features.data.shape[0] * sw.duration
+            self._state = SlidingWindowFeatureFormatterState(
+                sw.start, features.data.shape[0] * sw.duration
+            )
             data = jnp.asarray(features.data, jnp.float32)
         elif isinstance(features, np.ndarray):
-            self._kind = "numpy"
+            self._state = NumpyArrayFormatterState()
             data = jnp.asarray(features, jnp.float32)
+        elif _is_torch_tensor(features):
+            self._state = TorchTensorFormatterState()
+            data = jnp.asarray(features.detach().cpu().numpy(), jnp.float32)
         else:
-            self._kind = "jax"
+            self._state = DeviceArrayFormatterState()
             data = jnp.asarray(features, jnp.float32)
         assert data.ndim in (2, 3), "temporal features must be 2D or 3D"
         if data.ndim == 2:
@@ -51,14 +113,5 @@ class TemporalFeatureFormatter:
         return data
 
     def restore_type(self, features: jnp.ndarray) -> TemporalFeatures:
-        if self._kind == "windowed":
-            batch, num_frames, _ = features.shape
-            assert batch == 1, "batched SlidingWindowFeature is not supported"
-            resolution = self._duration / num_frames
-            window = SlidingWindow(
-                start=self._start_time, duration=resolution, step=resolution
-            )
-            return SlidingWindowFeature(np.asarray(features[0]), window)
-        if self._kind == "numpy":
-            return np.asarray(features)
-        return features
+        assert self._state is not None, "cast() must be called before restore_type()"
+        return self._state.restore(features)

@@ -15,6 +15,13 @@ from .sinks import (
     WindowClosedException,
 )
 from .inference import Benchmark, Parallelize, StreamingInference
+from .operators import (
+    SlidingChunker,
+    accumulate_output,
+    buffer_output,
+    buffer_slide,
+    rearrange_audio_stream,
+)
 
 __all__ = [
     "Observable",
@@ -35,4 +42,9 @@ __all__ = [
     "Benchmark",
     "Parallelize",
     "StreamingInference",
+    "SlidingChunker",
+    "rearrange_audio_stream",
+    "buffer_slide",
+    "accumulate_output",
+    "buffer_output",
 ]

@@ -282,6 +282,21 @@ class TestFeatureFormatter:
         jarr = jnp.ones((2, 4, 3))
         assert fmt.cast(jarr).shape == (2, 4, 3)
 
+    def test_torch_tensor_roundtrip(self):
+        """A migrating reference user passes torch tensors; they cast to the
+        device and restore as torch tensors (reference
+        PytorchTensorFormatterState semantics)."""
+        torch = pytest.importorskip("torch")
+        from diart_tpu.features import TemporalFeatureFormatter
+
+        fmt = TemporalFeatureFormatter()
+        t = torch.arange(12, dtype=torch.float32).reshape(4, 3)
+        cast = fmt.cast(t)
+        assert cast.shape == (1, 4, 3)
+        out = fmt.restore_type(cast + 1)
+        assert isinstance(out, torch.Tensor)
+        np.testing.assert_allclose(out.numpy(), t.numpy()[None] + 1)
+
     def test_unequal_window_rejected(self):
         from diart_tpu.core.segment import SlidingWindow, SlidingWindowFeature
         from diart_tpu.features import TemporalFeatureFormatter
