@@ -61,20 +61,22 @@ def _init_params(module, seed: int, samples: int):
         cpu = None
     dummy = jnp.zeros((1, 1, samples))
     # Pallas kernels can't lower for the CPU backend; the init computation
-    # only produces shapes/weights, so force the portable scan path here
+    # only produces shapes/weights, so force the portable paths here
     # (pallas defaults ON for TPU backends, hence the explicit "0").
-    pallas_env = os.environ.get("DIART_TPU_PALLAS_LSTM")
-    os.environ["DIART_TPU_PALLAS_LSTM"] = "0"
+    pallas_flags = ("DIART_TPU_PALLAS_LSTM", "DIART_TPU_PALLAS_HEAD")
+    saved = {flag: os.environ.get(flag) for flag in pallas_flags}
+    os.environ.update({flag: "0" for flag in pallas_flags})
     try:
         if cpu is None:
             return module.init(jax.random.PRNGKey(seed), dummy)
         with jax.default_device(cpu):
             return module.init(jax.random.PRNGKey(seed), dummy)
     finally:
-        if pallas_env is None:
-            del os.environ["DIART_TPU_PALLAS_LSTM"]
-        else:
-            os.environ["DIART_TPU_PALLAS_LSTM"] = pallas_env
+        for flag, value in saved.items():
+            if value is None:
+                del os.environ[flag]
+            else:
+                os.environ[flag] = value
 
 
 

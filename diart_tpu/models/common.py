@@ -14,7 +14,23 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["InferenceBatchNorm", "attentive_stats_pool", "resample_weights"]
+__all__ = [
+    "InferenceBatchNorm",
+    "attentive_stats_pool",
+    "pallas_enabled",
+    "resample_weights",
+]
+
+
+def pallas_enabled(env_var: str) -> bool:
+    """Gate for a TPU-only fast path (Pallas kernels, reduced-precision
+    intermediates): ON by default on TPU backends, opt out with
+    ``<env_var>=0``. Compiled Pallas requires a TPU backend, so the portable
+    XLA path is always used on CPU (hermetic tests, CPU-side parameter
+    initialization)."""
+    import os
+
+    return os.environ.get(env_var, "1") != "0" and jax.default_backend() == "tpu"
 
 
 def resample_weights(weights: jnp.ndarray, num_frames: int) -> jnp.ndarray:

@@ -28,12 +28,18 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from .common import InferenceBatchNorm, resample_weights
+from .common import InferenceBatchNorm, pallas_enabled, resample_weights
 from .sincnet import SincNet
 
-__all__ = ["XVectorSincNet", "weighted_stats_pool", "resample_weights"]
+__all__ = [
+    "XVectorSincNet",
+    "stats_from_moments",
+    "weighted_stats_pool",
+    "resample_weights",
+]
 
 
 # Note on a rejected optimization: a fused Pallas kernel computing both
@@ -81,6 +87,20 @@ def weighted_stats_pool(
     s2 = jnp.einsum(
         "btc,bst->bsc", frames**2, weights, preferred_element_type=jnp.float32
     )
+    return stats_from_moments(s1, s2, v1, v2, eps).astype(frames.dtype)
+
+
+def stats_from_moments(
+    s1: jnp.ndarray,
+    s2: jnp.ndarray,
+    v1: jnp.ndarray,
+    v2: jnp.ndarray,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Assemble the pooled ``[mean, std]`` vector from raw weighted moments
+    (``s1/s2``: (B, S, C) sums of ``w*x`` / ``w*x**2``; ``v1/v2``: (B, S)
+    sums of ``w`` / ``w**2``) — the shared tail of the einsum path above and
+    the fused Pallas head (:mod:`diart_tpu.ops.pallas_stats`)."""
     mean = s1 / (v1 + eps)[..., None]
     sq_dev = s2 - 2 * mean * s1 + mean**2 * v1[..., None]
     denom = (v1 - v2 / jnp.maximum(v1, eps) + eps)[..., None]
@@ -90,7 +110,7 @@ def weighted_stats_pool(
     # sqrt(var), matching pyannote StatsPool
     positive = var > 0
     std = jnp.where(positive, jnp.sqrt(jnp.where(positive, var, 1.0)), 0.0)
-    return jnp.concatenate([mean, std], axis=-1).astype(frames.dtype)
+    return jnp.concatenate([mean, std], axis=-1)
 
 
 class XVectorSincNet(nn.Module):
@@ -142,11 +162,26 @@ class XVectorSincNet(nn.Module):
         frames = self.trunk(waveform)
         return self.head(frames, weights)
 
+    def _fused_head(self) -> bool:
+        """Whether the final TDNN + weighted statistics run as one fused
+        Pallas kernel (ops/pallas_stats.py) instead of materializing the
+        (B, T, 1500) projection in HBM. ON by default on TPU
+        (``DIART_TPU_PALLAS_HEAD=0`` opts out); during ``init`` the standard
+        path runs so every parameter is created."""
+        return pallas_enabled("DIART_TPU_PALLAS_HEAD") and not self.is_initializing()
+
     def trunk(self, waveform: jnp.ndarray) -> jnp.ndarray:
-        """waveform: (batch, 1, samples) -> (batch, frames, channels)."""
+        """waveform: (batch, 1, samples) -> (batch, frames, channels).
+
+        With the fused Pallas head active the trunk stops before the final
+        (1x1, 1500-channel) TDNN — that projection happens inside the head
+        kernel, fused with the pooling contractions."""
         x = self.sincnet(waveform)
         x = jnp.swapaxes(x, 1, 2).astype(self.compute_dtype)  # (B, T, 60)
-        for conv, norm in zip(self.tdnns, self.tdnn_norms):
+        stack = list(zip(self.tdnns, self.tdnn_norms))
+        if self._fused_head():
+            stack = stack[:-1]
+        for conv, norm in stack:
             if x.shape[1] < 1:
                 # shapes are static under jit, so this raises at trace time
                 raise ValueError(
@@ -164,18 +199,38 @@ class XVectorSincNet(nn.Module):
                 f"{waveform.shape[-1]} samples leave no frames after the "
                 f"dilated TDNN stack"
             )
-        return x.astype(jnp.float32)
+        # fused head: keep compute_dtype so the kernel streams half the bytes
+        return x if self._fused_head() else x.astype(jnp.float32)
 
     def head(
         self, frames: jnp.ndarray, weights: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         """frames: (batch, time, channels); weights: (batch, speakers, w_time)
         or None -> (batch, speakers, embedding_dim) (or (batch, dim) without
-        weights)."""
+        weights).
+
+        With the fused Pallas head, ``frames`` are the pre-projection trunk
+        activations and the final TDNN + batch-norm + weighted moments run in
+        one kernel (the (B, T, 1500) projection never reaches HBM)."""
         squeeze = weights is None
         if weights is None:
             weights = jnp.ones(frames.shape[:1] + (1, frames.shape[1]), frames.dtype)
         weights = resample_weights(weights, frames.shape[1])
-        stats = weighted_stats_pool(frames, weights)
+        if self._fused_head():
+            from ..ops.pallas_stats import fused_linear_stats
+
+            proj = self.tdnns[-1].variables["params"]
+            nrm = self.tdnn_norms[-1].variables["params"]
+            a_eff = nrm["scale"] * jax.lax.rsqrt(nrm["var"] + 1e-5)
+            c_eff = nrm["bias"] - nrm["mean"] * a_eff
+            wf = weights.astype(jnp.float32)
+            s1, s2 = fused_linear_stats(
+                frames, proj["kernel"][0], proj["bias"], a_eff, c_eff, wf
+            )
+            stats = stats_from_moments(
+                s1, s2, jnp.sum(wf, axis=-1), jnp.sum(wf**2, axis=-1)
+            )
+        else:
+            stats = weighted_stats_pool(frames, weights)
         emb = self.embedding(stats)
         return emb[:, 0] if squeeze else emb

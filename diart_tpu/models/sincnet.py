@@ -164,8 +164,18 @@ class SincNet(nn.Module):
         x = _instance_norm(waveform, scale0, bias0)
 
         x = SincConv(stride=self.stride, sample_rate=self.sample_rate, name="sinc")(x)
+        from .common import pallas_enabled
+
+        if pallas_enabled("DIART_TPU_BF16_FRONTEND"):
+            # The pre-pool activation is the largest tensor of the whole
+            # pipeline (~650 MB at batch 256) and purely HBM-bound: the TPU
+            # conv emitter already multiplies in bf16, so storing the f32
+            # ACCUMULATOR costs 2x the bytes for ~2^-9 relative precision
+            # that the following instance-norm (computed in f32) re-absorbs.
+            # Opt out with DIART_TPU_BF16_FRONTEND=0; CPU always stays f32.
+            x = x.astype(jnp.bfloat16)
         x = jnp.abs(x)
-        x = _max_pool_time(x, 3)
+        x = _max_pool_time(x, 3).astype(jnp.float32)
         s = self.param("norm1_scale", nn.initializers.ones, (80,))
         b = self.param("norm1_bias", nn.initializers.zeros, (80,))
         x = nn.leaky_relu(_instance_norm(x, s, b), negative_slope=0.01)
