@@ -81,6 +81,19 @@ class BiLSTM(nn.Module):
         use_pallas = (
             _use_pallas_default() if self.use_pallas is None else self.use_pallas
         )
+        # The sweep is HBM-bound: the pre-projected gate stream is ~300 MB
+        # per layer at batch 256 (written by the projection matmul, re-read
+        # by the recurrence). Streaming it in bf16 halves that traffic and
+        # lets both matmuls run at the MXU's bf16 rate, while the kernel
+        # keeps gate math and the cell state in f32. TPU-only, opt out with
+        # DIART_TPU_BF16_LSTM=0.
+        from .common import pallas_enabled
+
+        stream_dtype = (
+            jnp.bfloat16
+            if use_pallas and pallas_enabled("DIART_TPU_BF16_LSTM")
+            else x.dtype
+        )
         h = self.hidden_size
         for layer in range(self.num_layers):
             in_dim = x.shape[-1]
@@ -95,13 +108,16 @@ class BiLSTM(nn.Module):
             b = self.param(f"l{layer}_b", nn.initializers.zeros, (2, 4 * h))
 
             # (2, B, T, in): dir 0 forward, dir 1 time-flipped
-            both = jnp.stack([x, x[:, ::-1, :]], axis=0)
+            both = jnp.stack([x, x[:, ::-1, :]], axis=0).astype(stream_dtype)
             proj = (
                 jnp.einsum(
-                    "dbti,dgi->dbtg", both, w_ih, preferred_element_type=jnp.float32
+                    "dbti,dgi->dbtg",
+                    both,
+                    w_ih.astype(stream_dtype),
+                    preferred_element_type=jnp.float32,
                 )
                 + b[:, None, None, :]
-            ).astype(x.dtype)
+            ).astype(stream_dtype)
 
             if use_pallas:
                 from ..ops.pallas_lstm import lstm_sweep

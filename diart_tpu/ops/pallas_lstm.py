@@ -31,17 +31,25 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["lstm_sweep"]
 
 
-def _lstm_kernel(proj_ref, w_hh_ref, out_ref, h_scr, c_scr, x_scr, sem):
+def _lstm_kernel(proj_ref, w_hh_ref, out_ref, h_scr, c_scr, x_scr, o_scr, sem):
     """proj_ref: (T, 2, B, 4H) in ANY/HBM; w_hh_ref: (2, 4H, H) VMEM;
-    out_ref: (T, 2, B, H) in ANY/HBM; scratch: h/c (2, B, H) VMEM,
-    x (2 slots, 2, B, 4H) VMEM, sem: 2 DMA + 1 out semaphore.
+    out_ref: (T, 2, B, H) in ANY/HBM; scratch: h/c (2, B, H) f32 VMEM,
+    x (2 slots, 2, B, 4H) VMEM, o (2, B, H) output-dtype staging,
+    sem: 2 DMA + 1 out semaphore.
 
     Time is the MAJOR axis of the HBM buffers: Mosaic requires slices along
     the (sublane, lane)-tiled trailing dims to be tile-aligned, so a
-    1-timestep slice must cut an untiled leading axis.
+    1-timestep slice must cut an untiled unrolled axis.
+
+    Dtypes: gate math and the cell state are always f32. With a bf16
+    projection stream (the bandwidth-saving fast path) the recurrent matmul
+    also runs at the MXU's bf16 rate with f32 accumulation; hidden states
+    are written back in the stream dtype. With an f32 stream the compute is
+    bit-identical to the XLA scan path.
     """
     time, _, batch, gates4 = proj_ref.shape
     hidden = gates4 // 4
+    out_dtype = out_ref.dtype
 
     h_scr[...] = jnp.zeros_like(h_scr)
     c_scr[...] = jnp.zeros_like(c_scr)
@@ -63,13 +71,13 @@ def _lstm_kernel(proj_ref, w_hh_ref, out_ref, h_scr, c_scr, x_scr, sem):
         fetch(slot, t).wait()
 
         xt = x_scr[slot]  # (2, B, 4H)
-        h = h_scr[...]
-        gates = xt + jax.lax.dot_general(
+        h = h_scr[...].astype(w_hh_ref.dtype)
+        gates = xt.astype(jnp.float32) + jax.lax.dot_general(
             h,
             w_hh_ref[...],
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).astype(xt.dtype)
+        )
         i = jax.nn.sigmoid(gates[..., 0 * hidden : 1 * hidden])
         f = jax.nn.sigmoid(gates[..., 1 * hidden : 2 * hidden])
         g = jnp.tanh(gates[..., 2 * hidden : 3 * hidden])
@@ -80,8 +88,14 @@ def _lstm_kernel(proj_ref, w_hh_ref, out_ref, h_scr, c_scr, x_scr, sem):
         h_scr[...] = h
 
         # write h back to HBM (async; the next iteration's state lives in
-        # VMEM so we only need the copy to finish by kernel end)
-        out_copy = pltpu.make_async_copy(h_scr, out_ref.at[t], sem.at[2])
+        # VMEM so we only need the copy to finish by kernel end). An f32
+        # stream writes straight from the state; a bf16 stream stages the
+        # down-cast in o_scr first.
+        src = h_scr
+        if out_dtype != jnp.float32:
+            o_scr[...] = h.astype(out_dtype)
+            src = o_scr
+        out_copy = pltpu.make_async_copy(src, out_ref.at[t], sem.at[2])
         out_copy.start()
         out_copy.wait()
         return 0
@@ -91,22 +105,30 @@ def _lstm_kernel(proj_ref, w_hh_ref, out_ref, h_scr, c_scr, x_scr, sem):
 
 @partial(jax.jit, static_argnames=("interpret",))
 def lstm_sweep(
-    proj: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool = False
+    proj: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool = None
 ) -> jnp.ndarray:
     """Run a bidirectional LSTM recurrence over pre-projected inputs.
 
     Parameters
     ----------
     proj: (2, batch, time, 4*hidden) — input projections incl. bias
-        (direction 1 already time-flipped).
+        (direction 1 already time-flipped). bf16 selects the
+        reduced-bandwidth stream (f32 gate math / cell state either way).
     w_hh: (2, 4*hidden, hidden) — recurrent weights (PyTorch gate order).
+    interpret: None resolves to compiled on TPU backends and interpreter
+        mode elsewhere (compiled Pallas only lowers for TPU).
 
     Returns
     -------
     (2, batch, time, hidden) hidden states (direction 1 still flipped).
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     dirs, batch, time, gates4 = proj.shape
     hidden = gates4 // 4
+    # a bf16 projection stream also runs the recurrent matmul at bf16
+    # (f32 accumulation); an f32 stream keeps everything f32/bit-exact
+    w_hh = w_hh.astype(proj.dtype)
     # time-major HBM layout so per-timestep DMA slices cut an untiled axis
     proj_t = jnp.moveaxis(proj, 2, 0)  # (T, 2, B, 4H)
     out_t = pl.pallas_call(
@@ -118,9 +140,10 @@ def lstm_sweep(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((dirs, batch, hidden), proj.dtype),  # h
-            pltpu.VMEM((dirs, batch, hidden), proj.dtype),  # c
+            pltpu.VMEM((dirs, batch, hidden), jnp.float32),  # h (state: f32)
+            pltpu.VMEM((dirs, batch, hidden), jnp.float32),  # c (state: f32)
             pltpu.VMEM((2, dirs, batch, gates4), proj.dtype),  # x double buffer
+            pltpu.VMEM((dirs, batch, hidden), proj.dtype),  # out staging
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,

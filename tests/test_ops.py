@@ -281,6 +281,25 @@ class TestPallasLSTM:
         got = np.asarray(lstm_sweep(proj, w_hh, interpret=True))
         np.testing.assert_allclose(got, want, atol=1e-5)
 
+    def test_bf16_stream_close_to_f32(self, rng):
+        """The reduced-bandwidth bf16 stream keeps gate math and the cell
+        state in f32; hidden states may only differ by bf16 rounding of the
+        projections/weights/outputs."""
+        from diart_tpu.models.lstm import _bidirectional_scan
+        from diart_tpu.ops.pallas_lstm import lstm_sweep
+
+        D, B, T, H = 2, 3, 29, 8
+        proj = jnp.asarray(rng.normal(size=(D, B, T, 4 * H)).astype(np.float32))
+        w_hh = jnp.asarray(
+            rng.normal(scale=0.3, size=(D, 4 * H, H)).astype(np.float32)
+        )
+        want = np.asarray(_bidirectional_scan(proj, w_hh, H))
+        got = np.asarray(
+            lstm_sweep(proj.astype(jnp.bfloat16), w_hh, interpret=True)
+        )
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(got.astype(np.float32), want, atol=0.05)
+
     def test_bilstm_module_pallas_flag(self, rng):
         from diart_tpu.models.lstm import BiLSTM
 
