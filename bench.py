@@ -138,8 +138,12 @@ def main():
 
     # Timed steady state: pipelined windows (block once per window, the way
     # a serving loop drains) for throughput; per-hop blocked steps for
-    # latency percentiles.
-    window = 10
+    # latency percentiles. The window must be long enough to amortize the
+    # one blocking sync at its end: in this dev environment that sync pays
+    # the remote-TPU tunnel's ~28 ms round trip (XProf shows the device
+    # chaining steps back-to-back with ~9 us gaps), which at window=10
+    # inflated the per-step time by ~2.8 ms of pure measurement artifact.
+    window = 25
     window_times = []
     blocked_times = []
     for w in range(max(5, steps // window)):
