@@ -21,7 +21,7 @@ verified by parity tests (interpret mode on CPU, compiled on TPU).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -136,6 +136,36 @@ def lstm_sweep(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    return _with_vjp(interpret)(proj, w_hh)
+
+
+@lru_cache(maxsize=None)
+def _with_vjp(interpret: bool):
+    """Differentiable wrapper: the Pallas kernel computes the forward; the
+    backward differentiates the XLA scan formulation (pallas_call has no
+    autodiff rule, and training with the TPU fast path enabled must work —
+    e.g. ``train/segmentation.py`` taking grads through PyanNet)."""
+
+    @jax.custom_vjp
+    def run(proj, w_hh):
+        return _run_kernel(proj, w_hh, interpret)
+
+    def fwd(proj, w_hh):
+        return run(proj, w_hh), (proj, w_hh)
+
+    def bwd(residuals, cotangent):
+        from ..models.lstm import _bidirectional_scan
+
+        proj, w_hh = residuals
+        hidden = proj.shape[-1] // 4
+        _, vjp = jax.vjp(lambda p, w: _bidirectional_scan(p, w, hidden), proj, w_hh)
+        return vjp(cotangent)
+
+    run.defvjp(fwd, bwd)
+    return run
+
+
+def _run_kernel(proj, w_hh, interpret):
     dirs, batch, time, gates4 = proj.shape
     hidden = gates4 // 4
     # a bf16 projection stream also runs the recurrent matmul at bf16

@@ -30,7 +30,7 @@ bit-parity with the unfused path is covered by ``tests/test_pallas_stats.py``.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_linear_stats", "linear_stats_reference"]
+
+
+@lru_cache(maxsize=None)
+def _with_vjp(negative_slope: float, interpret: bool):
+    """Differentiable wrapper: the Pallas kernel computes the forward; the
+    backward differentiates the unfused reference formulation (pallas_call
+    itself has no autodiff rule, and training must work with the TPU fast
+    path enabled)."""
+
+    @jax.custom_vjp
+    def run(x, w, b, scale, shift, weights):
+        return _run_kernel(x, w, b, scale, shift, weights, negative_slope, interpret)
+
+    def fwd(x, w, b, scale, shift, weights):
+        return run(x, w, b, scale, shift, weights), (x, w, b, scale, shift, weights)
+
+    def bwd(residuals, cotangents):
+        _, vjp = jax.vjp(
+            lambda *args: linear_stats_reference(*args, negative_slope), *residuals
+        )
+        return vjp(cotangents)
+
+    run.defvjp(fwd, bwd)
+    return run
 
 
 def _round_up(value: int, multiple: int) -> int:
@@ -115,7 +139,8 @@ def fused_linear_stats(
     materializing the projected activations.
 
     ``interpret=None`` resolves to compiled on TPU backends and interpreter
-    mode elsewhere (compiled Pallas only lowers for TPU).
+    mode elsewhere (compiled Pallas only lowers for TPU). Differentiable:
+    gradients flow through the unfused reference formulation.
 
     Parameters
     ----------
@@ -132,6 +157,10 @@ def fused_linear_stats(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    return _with_vjp(negative_slope, interpret)(x, w, b, scale, shift, weights)
+
+
+def _run_kernel(x, w, b, scale, shift, weights, negative_slope, interpret):
     batch, time, c_in = x.shape
     _, speakers, wt_time = weights.shape
     assert wt_time == time, f"weights time {wt_time} != frames time {time}"

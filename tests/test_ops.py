@@ -281,6 +281,30 @@ class TestPallasLSTM:
         got = np.asarray(lstm_sweep(proj, w_hh, interpret=True))
         np.testing.assert_allclose(got, want, atol=1e-5)
 
+    def test_grad_flows_through_sweep(self, rng):
+        """Training with the Pallas fast path on must work: the kernel's
+        custom VJP differentiates the scan formulation, so grads through
+        lstm_sweep == grads through the scan."""
+        from diart_tpu.models.lstm import _bidirectional_scan
+        from diart_tpu.ops.pallas_lstm import lstm_sweep
+
+        D, B, T, H = 2, 2, 9, 8
+        proj = jnp.asarray(rng.normal(size=(D, B, T, 4 * H)).astype(np.float32))
+        w_hh = jnp.asarray(
+            rng.normal(scale=0.3, size=(D, 4 * H, H)).astype(np.float32)
+        )
+
+        def loss_pallas(p, w):
+            return jnp.sum(lstm_sweep(p, w, interpret=True) ** 2)
+
+        def loss_scan(p, w):
+            return jnp.sum(_bidirectional_scan(p, w, H) ** 2)
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1))(proj, w_hh)
+        gs = jax.grad(loss_scan, argnums=(0, 1))(proj, w_hh)
+        for a, b in zip(gp, gs):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
     def test_bf16_stream_close_to_f32(self, rng):
         """The reduced-bandwidth bf16 stream keeps gate math and the cell
         state in f32; hidden states may only differ by bf16 rounding of the

@@ -102,6 +102,31 @@ def test_fused_head_no_weights_squeeze(monkeypatch):
     np.testing.assert_allclose(fused, standard, rtol=1e-4, atol=1e-4)
 
 
+def test_grad_flows_through_kernel():
+    """Training with the fused head on must work: the kernel's custom VJP
+    differentiates the unfused reference, so grads match it exactly."""
+    keys = jax.random.split(jax.random.PRNGKey(8), 6)
+    x = _rand(keys[0], 2, 31, 16)
+    w = _rand(keys[1], 16, 128) * 0.1
+    b = _rand(keys[2], 128) * 0.1
+    scale = 1.0 + 0.1 * _rand(keys[3], 128)
+    shift = 0.1 * _rand(keys[4], 128)
+    weights = jax.nn.sigmoid(_rand(keys[5], 2, 3, 31))
+
+    def loss_fused(x, w, b):
+        s1, s2 = fused_linear_stats(x, w, b, scale, shift, weights, interpret=True)
+        return jnp.sum(s1**2) + jnp.sum(s2)
+
+    def loss_ref(x, w, b):
+        s1, s2 = linear_stats_reference(x, w, b, scale, shift, weights)
+        return jnp.sum(s1**2) + jnp.sum(s2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-4)
+
+
 def test_moments_equal_weighted_stats_pool():
     """stats_from_moments + kernel == weighted_stats_pool on the projected
     frames (the exact algebra the fused head relies on)."""
