@@ -38,7 +38,9 @@ import time
 import numpy as np
 
 
-def _build_engine(batch: int, mesh_devices: int, dtype: str = "f32"):
+def _build_engine(
+    batch: int, mesh_devices: int, dtype: str = "f32", emb_dtype: str = "bf16"
+):
     from diart_tpu.models import EmbeddingModel, SegmentationModel
     from diart_tpu.parallel import MultiStreamEngine
 
@@ -48,8 +50,12 @@ def _build_engine(batch: int, mesh_devices: int, dtype: str = "f32"):
 
         mesh = streams_mesh(mesh_devices)
 
+    # Flagship serving config: segmentation f32 (its sigmoid scores are the
+    # DER-critical output), embedding trunk bf16 (it only feeds cosine
+    # distances for clustering; half precision there is standard serving
+    # practice and worth ~4% end-to-end). --dtype/--emb-dtype override both.
     seg = SegmentationModel.from_registry("tpu/pyannet", dtype=dtype)  # 4-spk PyanNet
-    emb = EmbeddingModel.from_registry("tpu/xvector", dtype=dtype)  # 512-d x-vector
+    emb = EmbeddingModel.from_registry("tpu/xvector", dtype=emb_dtype)  # 512-d x-vector
     return MultiStreamEngine(
         segmentation=seg,
         embedding=emb,
@@ -77,7 +83,13 @@ def main():
     )
     parser.add_argument(
         "--dtype", default="f32", choices=("f32", "bf16"),
-        help="model compute dtype (bf16 doubles MXU throughput)",
+        help="segmentation-model compute dtype (f32 keeps the DER-critical "
+        "scores at full precision)",
+    )
+    parser.add_argument(
+        "--emb-dtype", default="bf16", choices=("f32", "bf16"),
+        help="embedding-trunk compute dtype (bf16 default: embeddings only "
+        "feed clustering distances)",
     )
     parser.add_argument(
         "--profile", metavar="DIR", default=None,
@@ -93,7 +105,7 @@ def main():
     batch, steps = args.batch, args.steps
     if args.mesh and batch % args.mesh:
         sys.exit(f"batch ({batch}) must be divisible by --mesh ({args.mesh})")
-    engine = _build_engine(batch, args.mesh, args.dtype)
+    engine = _build_engine(batch, args.mesh, args.dtype, args.emb_dtype)
 
     # Persistent compilation cache: the remote TPU compile service has high
     # latency variance (observed 1-30 min for the same program); cached
@@ -185,7 +197,8 @@ def main():
         )
     )
     print(
-        f"# batch={batch} mesh={args.mesh or 1} int16={args.int16} dtype={args.dtype} "
+        f"# batch={batch} mesh={args.mesh or 1} int16={args.int16} "
+        f"dtype={args.dtype} emb_dtype={args.emb_dtype} "
         f"t_step_median={t_median*1000:.2f}ms t_step_best={t_best*1000:.2f}ms "
         f"streams_best={streams_best:.0f} "
         f"p50_chunk_latency={p50*1000:.2f}ms p99_chunk_latency={p99*1000:.2f}ms "
