@@ -53,7 +53,9 @@ def _build_engine(
     # Flagship serving config: segmentation f32 (its sigmoid scores are the
     # DER-critical output), embedding trunk bf16 (it only feeds cosine
     # distances for clustering; half precision there is standard serving
-    # practice and worth ~4% end-to-end). --dtype/--emb-dtype override both.
+    # practice and worth ~4% end-to-end). --dtype sets the segmentation
+    # model, --emb-dtype the embedding trunk (pass both f32 for the fully
+    # f32 configuration).
     seg = SegmentationModel.from_registry("tpu/pyannet", dtype=dtype)  # 4-spk PyanNet
     emb = EmbeddingModel.from_registry("tpu/xvector", dtype=emb_dtype)  # 512-d x-vector
     return MultiStreamEngine(
