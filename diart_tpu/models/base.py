@@ -409,7 +409,9 @@ class SegmentationModel(LazyModel):
 
     def apply_fn(self) -> Callable:
         """Pure function (params, waveform (B, 1, samples)) -> (B, frames, K)
-        for use inside jitted pipelines."""
+        for use inside jitted pipelines. Extra keyword arguments (e.g. the
+        engine's stacked-frontend ``sinc_pooled``) pass through to the
+        module."""
         self.load()
         if self.params is None:  # ONNX host fallback
             raise RuntimeError("ONNX models cannot run inside jitted pipelines")
@@ -417,12 +419,14 @@ class SegmentationModel(LazyModel):
         if self.powerset is not None:
             mapping = powerset_mapping(*self.powerset)
 
-            def fn(params, waveform):
-                scores = module.apply(params, waveform)
+            def fn(params, waveform, **kwargs):
+                scores = module.apply(params, waveform, **kwargs)
                 return to_multilabel(scores, mapping)
 
             return fn
-        return lambda params, waveform: module.apply(params, waveform)
+        return lambda params, waveform, **kwargs: module.apply(
+            params, waveform, **kwargs
+        )
 
     def __call__(self, waveform) -> jnp.ndarray:
         """Eager single-call path (blocks API). waveform: (B, C, samples)."""
@@ -543,10 +547,13 @@ class EmbeddingModel(LazyModel):
         return self.meta.get("sample_rate", 16000)
 
     def trunk_fn(self) -> Callable:
-        """(params, waveform (B, 1, samples)) -> (B, frames, channels)."""
+        """(params, waveform (B, 1, samples)) -> (B, frames, channels).
+        Extra keyword arguments (e.g. ``sinc_pooled``) pass through."""
         self.load()
         module = self.module
-        return lambda params, waveform: module.apply(params, waveform, method="trunk")
+        return lambda params, waveform, **kwargs: module.apply(
+            params, waveform, method="trunk", **kwargs
+        )
 
     def head_fn(self) -> Callable:
         """(params, frames, weights (B, S, T)) -> (B, S, dim)."""

@@ -170,13 +170,15 @@ class XVectorSincNet(nn.Module):
         path runs so every parameter is created."""
         return pallas_enabled("DIART_TPU_PALLAS_HEAD") and not self.is_initializing()
 
-    def trunk(self, waveform: jnp.ndarray) -> jnp.ndarray:
+    def trunk(self, waveform: jnp.ndarray, sinc_pooled=None) -> jnp.ndarray:
         """waveform: (batch, 1, samples) -> (batch, frames, channels).
 
         With the fused Pallas head active the trunk stops before the final
         (1x1, 1500-channel) TDNN — that projection happens inside the head
-        kernel, fused with the pooling contractions."""
-        x = self.sincnet(waveform)
+        kernel, fused with the pooling contractions. ``sinc_pooled``:
+        optional precomputed pooled sinc-conv activation (engine
+        stacked-frontend path)."""
+        x = self.sincnet(waveform, pooled=sinc_pooled)
         x = jnp.swapaxes(x, 1, 2).astype(self.compute_dtype)  # (B, T, 60)
         stack = list(zip(self.tdnns, self.tdnn_norms))
         if self._fused_head():

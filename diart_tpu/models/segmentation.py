@@ -44,18 +44,20 @@ class PyanNet(nn.Module):
     powerset_classes: int = 0
 
     @nn.compact
-    def __call__(self, waveform: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, waveform: jnp.ndarray, sinc_pooled=None) -> jnp.ndarray:
         """waveform: (batch, 1, samples) -> (batch, frames, speakers)
 
         Output activations are in [0, 1] (multilabel sigmoid) unless
         ``powerset_classes`` is set, in which case raw log-softmax powerset
-        scores are returned.
+        scores are returned. ``sinc_pooled``: optional precomputed pooled
+        sinc-conv activation (engine stacked-frontend path — see
+        :class:`diart_tpu.models.sincnet.SincNet`).
         """
         x = SincNet(
             sample_rate=self.sample_rate,
             compute_dtype=self.compute_dtype,
             name="sincnet",
-        )(waveform)
+        )(waveform, pooled=sinc_pooled)
         x = jnp.swapaxes(x, 1, 2)  # (batch, frames, 60)
         x = BiLSTM(
             hidden_size=self.lstm_hidden, num_layers=self.lstm_layers, name="lstm"

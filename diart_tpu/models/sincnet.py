@@ -21,12 +21,14 @@ kept f32 (audio dynamic range), matmuls downstream run bf16.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["SincConv", "SincNet", "num_sincnet_frames"]
+__all__ = ["SincConv", "SincNet", "num_sincnet_frames", "sinc_filters", "frontend_pool"]
 
 
 def _mel_init(num_filters: int, sample_rate: int, min_low_hz: float, min_band_hz: float):
@@ -77,42 +79,14 @@ class SincConv(nn.Module):
         low_hz = self.param("low_hz", lambda _: jnp.asarray(init_low))
         band_hz = self.param("band_hz", lambda _: jnp.asarray(init_band))
 
-        low = self.min_low_hz + jnp.abs(low_hz)
-        high = jnp.clip(
-            low + self.min_band_hz + jnp.abs(band_hz),
+        filters = sinc_filters(
+            low_hz,
+            band_hz,
+            self.kernel_size,
+            self.sample_rate,
             self.min_low_hz,
-            self.sample_rate / 2,
+            self.min_band_hz,
         )
-        band = (high - low)[:, None]  # (cutoff, 1)
-
-        # Left half of the filters (kernel_size odd). ParamSincFB conventions:
-        # the Hamming window is sampled at linspace(0, k/2 - 1, k//2) — NOT
-        # the first half of hamming(k) — and the sinc denominator n_/2
-        # carries the 2*pi factor.
-        half = self.kernel_size // 2
-        n_lin = jnp.linspace(0.0, self.kernel_size / 2 - 1, half)
-        window = (0.54 - 0.46 * jnp.cos(2 * jnp.pi * n_lin / self.kernel_size))[None, :]
-        n_ = (
-            2
-            * jnp.pi
-            * jnp.arange(-((self.kernel_size - 1) / 2.0), 0.0)
-            / self.sample_rate
-        )[None, :]
-
-        f_low = low[:, None] * n_
-        f_high = high[:, None] * n_
-        denom = n_ / 2
-        cos_left = ((jnp.sin(f_high) - jnp.sin(f_low)) / denom) * window
-        cos_filters = jnp.concatenate(
-            [cos_left, 2 * band, cos_left[:, ::-1]], axis=1
-        )
-        sin_left = ((jnp.cos(f_low) - jnp.cos(f_high)) / denom) * window
-        sin_filters = jnp.concatenate(
-            [sin_left, jnp.zeros_like(band), -sin_left[:, ::-1]], axis=1
-        )
-        filters = jnp.concatenate(
-            [cos_filters / (2 * band), sin_filters / (2 * band)], axis=0
-        )  # (num_filters, kernel)
 
         return jax.lax.conv_general_dilated(
             x,
@@ -121,6 +95,64 @@ class SincConv(nn.Module):
             padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
         )
+
+
+def sinc_filters(
+    low_hz: jnp.ndarray,
+    band_hz: jnp.ndarray,
+    kernel_size: int = 251,
+    sample_rate: int = 16000,
+    min_low_hz: float = 50.0,
+    min_band_hz: float = 50.0,
+) -> jnp.ndarray:
+    """Materialize the ParamSincFB filterbank from its learnable cutoffs.
+
+    low_hz / band_hz: (num_filters // 2,) -> (num_filters, kernel_size)
+    with the cosine (even) filters first, then the sine (odd) filters —
+    asteroid-filterbanks' exact synthesis (window sampling, 2*pi-carrying
+    denominator, 1/(2*band) normalization), so converted pyannote
+    checkpoints reproduce bit-faithful kernels.
+    """
+    low = min_low_hz + jnp.abs(low_hz)
+    high = jnp.clip(
+        low + min_band_hz + jnp.abs(band_hz), min_low_hz, sample_rate / 2
+    )
+    band = (high - low)[:, None]  # (cutoff, 1)
+
+    # Left half of the filters (kernel_size odd). ParamSincFB conventions:
+    # the Hamming window is sampled at linspace(0, k/2 - 1, k//2) — NOT
+    # the first half of hamming(k) — and the sinc denominator n_/2
+    # carries the 2*pi factor.
+    half = kernel_size // 2
+    n_lin = jnp.linspace(0.0, kernel_size / 2 - 1, half)
+    window = (0.54 - 0.46 * jnp.cos(2 * jnp.pi * n_lin / kernel_size))[None, :]
+    n_ = (
+        2 * jnp.pi * jnp.arange(-((kernel_size - 1) / 2.0), 0.0) / sample_rate
+    )[None, :]
+
+    f_low = low[:, None] * n_
+    f_high = high[:, None] * n_
+    denom = n_ / 2
+    cos_left = ((jnp.sin(f_high) - jnp.sin(f_low)) / denom) * window
+    cos_filters = jnp.concatenate([cos_left, 2 * band, cos_left[:, ::-1]], axis=1)
+    sin_left = ((jnp.cos(f_low) - jnp.cos(f_high)) / denom) * window
+    sin_filters = jnp.concatenate(
+        [sin_left, jnp.zeros_like(band), -sin_left[:, ::-1]], axis=1
+    )
+    return jnp.concatenate(
+        [cos_filters / (2 * band), sin_filters / (2 * band)], axis=0
+    )  # (num_filters, kernel)
+
+
+def frontend_pool(y: jnp.ndarray) -> jnp.ndarray:
+    """abs + non-overlapping max-pool(3) over time of the sinc-conv output
+    (B, C, frames), with the TPU bf16 storage fast path applied to the
+    pre-pool activation (see SincNet.__call__). Returns f32."""
+    from .common import pallas_enabled
+
+    if pallas_enabled("DIART_TPU_BF16_FRONTEND"):
+        y = y.astype(jnp.bfloat16)
+    return _max_pool_time(jnp.abs(y), 3).astype(jnp.float32)
 
 
 def _instance_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps=1e-5):
@@ -157,25 +189,37 @@ class SincNet(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, waveform: jnp.ndarray) -> jnp.ndarray:
-        """waveform: (batch, 1, samples) -> (batch, 60, frames)"""
+    def __call__(
+        self, waveform: jnp.ndarray, pooled: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        """waveform: (batch, 1, samples) -> (batch, 60, frames)
+
+        ``pooled`` (batch, 80, pooled_frames): precomputed ``|sinc conv|``
+        max-pooled activation (waveform-norm affine already folded in) —
+        supplied by the multi-stream engine when it batches several models'
+        filterbanks through ONE stacked convolution
+        (:meth:`diart_tpu.parallel.engine.MultiStreamEngine`). When given,
+        the wav-norm/conv/pool stage is skipped; parameters are still
+        declared so the module's tree is identical either way.
+        """
         scale0 = self.param("wav_norm_scale", nn.initializers.ones, (1,))
         bias0 = self.param("wav_norm_bias", nn.initializers.zeros, (1,))
-        x = _instance_norm(waveform, scale0, bias0)
-
-        x = SincConv(stride=self.stride, sample_rate=self.sample_rate, name="sinc")(x)
-        from .common import pallas_enabled
-
-        if pallas_enabled("DIART_TPU_BF16_FRONTEND"):
+        if pooled is None:
+            x = _instance_norm(waveform, scale0, bias0)
+            x = SincConv(
+                stride=self.stride, sample_rate=self.sample_rate, name="sinc"
+            )(x)
             # The pre-pool activation is the largest tensor of the whole
             # pipeline (~650 MB at batch 256) and purely HBM-bound: the TPU
             # conv emitter already multiplies in bf16, so storing the f32
             # ACCUMULATOR costs 2x the bytes for ~2^-9 relative precision
             # that the following instance-norm (computed in f32) re-absorbs.
             # Opt out with DIART_TPU_BF16_FRONTEND=0; CPU always stays f32.
-            x = x.astype(jnp.bfloat16)
-        x = jnp.abs(x)
-        x = _max_pool_time(x, 3).astype(jnp.float32)
+            x = frontend_pool(x)
+        else:
+            # (init never passes `pooled`, so the SincConv parameters are
+            # always created; at apply time they are simply not visited)
+            x = pooled
         s = self.param("norm1_scale", nn.initializers.ones, (80,))
         b = self.param("norm1_bias", nn.initializers.zeros, (80,))
         x = nn.leaky_relu(_instance_norm(x, s, b), negative_slope=0.01)

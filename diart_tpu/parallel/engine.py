@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.base import EmbeddingModel, SegmentationModel
+from ..models.sincnet import frontend_pool, sinc_filters
 from ..ops.aggregation import AggregationGeometry, aggregate, build_geometry
 from ..ops.clustering import ClusteringParams, ClusteringState, cluster_step
 from ..ops.functional import (
@@ -39,6 +40,21 @@ from ..ops.functional import (
 )
 
 __all__ = ["StreamState", "StepOutput", "MultiStreamEngine"]
+
+
+def _sincnet_params(params):
+    """Extract a model's SincNet frontend parameters (filterbank cutoffs +
+    waveform-norm affine), or None if the model has no standard SincNet."""
+    try:
+        sn = params["params"]["sincnet"]
+        return {
+            "low": sn["sinc"]["low_hz"],
+            "band": sn["sinc"]["band_hz"],
+            "scale": sn["wav_norm_scale"],
+            "bias": sn["wav_norm_bias"],
+        }
+    except (KeyError, TypeError):
+        return None
 
 
 class StreamState(NamedTuple):
@@ -152,6 +168,36 @@ class MultiStreamEngine:
             self.embedding_dim = embedding.embedding_dim
         else:
             self.embedding_dim = 1
+
+        # Stacked frontend (OPT-IN, DIART_TPU_STACK_FRONTEND=1): when
+        # segmentation and embedding carry DISTINCT SincNet filterbanks
+        # (real pretrained checkpoints), fold each model's waveform-norm
+        # affine into its filters and run ONE 160-channel convolution + pool
+        # on the shared standardized waveform. The fold is exact
+        # (conv(z*s + b*1) == s*conv(z) + b*sum(filters); parity-tested),
+        # but A/B on v5e at batch 256 measured the stacked 160-channel conv
+        # ~1.2 ms/step SLOWER than two separate 80-channel convolutions
+        # (XLA's conv emitter tiles the 80-channel shape better), so the
+        # default stays off. With IDENTICAL filterbanks (registry models)
+        # XLA already CSEs the two convolutions and stacking would only
+        # double the work, so the dispatch also checks parameter values.
+        self._stacked = False
+        if not self.is_vad:
+            import os
+
+            sp = _sincnet_params(self._seg_params)
+            ep = _sincnet_params(self._emb_params)
+            if (
+                sp is not None
+                and ep is not None
+                and os.environ.get("DIART_TPU_STACK_FRONTEND", "0") == "1"
+            ):
+                identical = all(
+                    np.array_equal(np.asarray(sp[k]), np.asarray(ep[k]))
+                    for k in sp
+                )
+                self._stacked = not identical
+                self._sinc_seg, self._sinc_emb = sp, ep
 
         # Probe the frame grid once (traced shapes are static thereafter).
         probe = jax.eval_shape(
@@ -281,18 +327,48 @@ class MultiStreamEngine:
         )
 
     # ------------------------------------------------------------------ #
+    def _stacked_frontend(self, wave: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """One 160-channel sinc conv + pool for both models' filterbanks on
+        the shared standardized waveform. wave: (B, 1, samples) ->
+        (seg_pooled, emb_pooled), each (B, 80, pooled_frames)."""
+        sp, ep = self._sinc_seg, self._sinc_emb
+        mean = jnp.mean(wave, axis=-1, keepdims=True)
+        var = jnp.var(wave, axis=-1, keepdims=True)
+        z = (wave - mean) * jax.lax.rsqrt(var + 1e-5)
+        fs = sinc_filters(sp["low"], sp["band"], sample_rate=self.sample_rate)
+        fe = sinc_filters(ep["low"], ep["band"], sample_rate=self.sample_rate)
+        filters = jnp.concatenate([fs * sp["scale"], fe * ep["scale"]], axis=0)
+        bias = jnp.concatenate(
+            [sp["bias"] * jnp.sum(fs, axis=1), ep["bias"] * jnp.sum(fe, axis=1)]
+        )
+        y = jax.lax.conv_general_dilated(
+            z,
+            filters[:, None, :],
+            window_strides=(10,),
+            padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )
+        pooled = frontend_pool(y + bias[None, :, None])
+        split = fs.shape[0]
+        return pooled[:, :split], pooled[:, split:]
+
     def _frame_scores(
         self, audio: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(B, samples) -> (segmentation (B, F, K), embeddings (B, K, E))."""
         wave = audio[:, None, :]
-        seg = self._seg_apply(self._seg_params, wave)  # (B, F, K)
+        seg_kw, emb_kw = {}, {}
+        if self._stacked:
+            seg_pooled, emb_pooled = self._stacked_frontend(wave)
+            seg_kw = {"sinc_pooled": seg_pooled}
+            emb_kw = {"sinc_pooled": emb_pooled}
+        seg = self._seg_apply(self._seg_params, wave, **seg_kw)  # (B, F, K)
         if self.is_vad:
             return seg, jnp.zeros((audio.shape[0], 1, 1), seg.dtype)
         weights = overlapped_speech_penalty(seg, gamma, beta)
         if self.normalize_weights:
             weights = min_max_normalize(weights, axis=-2)
-        frames = self._trunk(self._emb_params, wave)  # (B, T, C) once per chunk
+        frames = self._trunk(self._emb_params, wave, **emb_kw)  # (B, T, C)
         emb = self._head(
             self._emb_params, frames, jnp.swapaxes(weights, 1, 2)
         )  # (B, K, E)

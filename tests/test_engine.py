@@ -425,3 +425,62 @@ class TestInt16Ingestion:
             return np.stack(outs)
 
         np.testing.assert_allclose(run(as_float), run(pcm), atol=1e-5)
+
+
+class TestStackedFrontend:
+    """Engine-level stacked sinc frontend (opt-in; measured slower than two
+    separate convolutions on v5e, see engine.py): with DISTINCT filterbanks
+    the engine folds each model's waveform-norm affine into its filters and
+    runs one 160-channel convolution; the fold is exact, so outputs must
+    match the per-model path."""
+
+    def _registry_models(self, perturb):
+        from diart_tpu.models import EmbeddingModel, SegmentationModel
+
+        seg = SegmentationModel.from_registry("tpu/pyannet")
+        emb = EmbeddingModel.from_registry("tpu/xvector")
+        if perturb:
+            emb.load()
+            sn = emb.params["params"]["sincnet"]
+            sn["sinc"]["low_hz"] = sn["sinc"]["low_hz"] * 1.03 + 2.0
+            sn["sinc"]["band_hz"] = sn["sinc"]["band_hz"] * 0.97 + 1.0
+            sn["wav_norm_scale"] = sn["wav_norm_scale"] * 1.5
+            sn["wav_norm_bias"] = sn["wav_norm_bias"] + 0.1
+        return seg, emb
+
+    def test_identical_filterbanks_do_not_stack(self, monkeypatch):
+        monkeypatch.setenv("DIART_TPU_STACK_FRONTEND", "1")
+        seg, emb = self._registry_models(perturb=False)
+        engine = MultiStreamEngine(segmentation=seg, embedding=emb, batch_size=1, **PARAMS)
+        assert not engine._stacked  # XLA CSE already covers this case
+
+    def test_distinct_filterbanks_match_per_model_path(self, monkeypatch):
+        rng = np.random.default_rng(7)
+        blocks = [
+            (0.1 * rng.normal(size=(2, int(STEP * SAMPLE_RATE)))).astype(np.float32)
+            for _ in range(7)
+        ]
+
+        def run(stack):
+            monkeypatch.setenv("DIART_TPU_STACK_FRONTEND", "1" if stack else "0")
+            seg, emb = self._registry_models(perturb=True)
+            engine = MultiStreamEngine(
+                segmentation=seg, embedding=emb, batch_size=2, **PARAMS
+            )
+            assert engine._stacked is stack
+            state = engine.init_state()
+            warm = int(round(DURATION / STEP))
+            outs = []
+            for i, b in enumerate(blocks):
+                state, out = engine.step(
+                    state, b, run_mask=np.full((2,), i + 1 >= warm)
+                )
+                if i + 1 >= warm:
+                    outs.append((np.asarray(out.newest), np.asarray(out.aggregated)))
+            return outs
+
+        stacked = run(True)
+        plain = run(False)
+        for (sn, sa), (pn, pa) in zip(stacked, plain):
+            np.testing.assert_allclose(sn, pn, atol=1e-4)
+            np.testing.assert_allclose(sa, pa, atol=1e-4)
