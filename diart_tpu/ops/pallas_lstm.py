@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["lstm_sweep"]
+__all__ = ["lstm_sweep", "lstm_sweep_tm"]
 
 # Note on a rejected optimization: a "fully fused" variant that computed the
 # input projection INSIDE the sweep kernel (streaming the raw layer input
@@ -43,15 +43,23 @@ __all__ = ["lstm_sweep"]
 
 
 
-def _lstm_kernel(proj_ref, w_hh_ref, out_ref, h_scr, c_scr, x_scr, o_scr, sem):
+def _lstm_kernel(
+    proj_ref, w_hh_ref, out_ref, h_scr, c_scr, x_scr, o_scr, sem, *, flip_dir1
+):
     """proj_ref: (T, 2, B, 4H) in ANY/HBM; w_hh_ref: (2, 4H, H) VMEM;
     out_ref: (T, 2, B, H) in ANY/HBM; scratch: h/c (2, B, H) f32 VMEM,
     x (2 slots, 2, B, 4H) VMEM, o (2, B, H) output-dtype staging,
-    sem: 2 DMA + 1 out semaphore.
+    sem: 4 fetch + 1 out semaphore.
 
     Time is the MAJOR axis of the HBM buffers: Mosaic requires slices along
     the (sublane, lane)-tiled trailing dims to be tile-aligned, so a
     1-timestep slice must cut an untiled unrolled axis.
+
+    flip_dir1: when True, direction 1 reads ``proj[T-1-t]`` and writes
+    ``out[T-1-t]`` — the backward sweep over an UNREVERSED stream. The
+    caller then never materializes time-flipped copies of the projections
+    or hidden states (``x[:, ::-1]`` on a 150 MB stream costs real HBM
+    traffic; indexing in the kernel costs nothing).
 
     Dtypes: gate math and the cell state are always f32. With a bf16
     projection stream (the bandwidth-saving fast path) the recurrent matmul
@@ -67,10 +75,24 @@ def _lstm_kernel(proj_ref, w_hh_ref, out_ref, h_scr, c_scr, x_scr, o_scr, sem):
     c_scr[...] = jnp.zeros_like(c_scr)
 
     def fetch(slot, t):
-        return pltpu.make_async_copy(proj_ref.at[t], x_scr.at[slot], sem.at[slot])
+        if not flip_dir1:
+            return (
+                pltpu.make_async_copy(
+                    proj_ref.at[t], x_scr.at[slot], sem.at[slot]
+                ),
+            )
+        return (
+            pltpu.make_async_copy(
+                proj_ref.at[t, 0], x_scr.at[slot, 0], sem.at[slot]
+            ),
+            pltpu.make_async_copy(
+                proj_ref.at[time - 1 - t, 1], x_scr.at[slot, 1], sem.at[2 + slot]
+            ),
+        )
 
     # warm-up: start the first timestep's DMA
-    fetch(0, 0).start()
+    for c in fetch(0, 0):
+        c.start()
 
     def step(t, _):
         slot = jax.lax.rem(t, 2)
@@ -78,9 +100,11 @@ def _lstm_kernel(proj_ref, w_hh_ref, out_ref, h_scr, c_scr, x_scr, o_scr, sem):
 
         @pl.when(t + 1 < time)
         def _():
-            fetch(next_slot, t + 1).start()
+            for c in fetch(next_slot, t + 1):
+                c.start()
 
-        fetch(slot, t).wait()
+        for c in fetch(slot, t):
+            c.wait()
 
         xt = x_scr[slot]  # (2, B, 4H)
         h = h_scr[...].astype(w_hh_ref.dtype)
@@ -107,9 +131,19 @@ def _lstm_kernel(proj_ref, w_hh_ref, out_ref, h_scr, c_scr, x_scr, o_scr, sem):
         if out_dtype != jnp.float32:
             o_scr[...] = h.astype(out_dtype)
             src = o_scr
-        out_copy = pltpu.make_async_copy(src, out_ref.at[t], sem.at[2])
-        out_copy.start()
-        out_copy.wait()
+        if not flip_dir1:
+            out_copy = pltpu.make_async_copy(src, out_ref.at[t], sem.at[4])
+            out_copy.start()
+            out_copy.wait()
+        else:
+            c0 = pltpu.make_async_copy(src.at[0], out_ref.at[t, 0], sem.at[4])
+            c1 = pltpu.make_async_copy(
+                src.at[1], out_ref.at[time - 1 - t, 1], sem.at[5]
+            )
+            c0.start()
+            c1.start()
+            c0.wait()
+            c1.wait()
         return 0
 
     jax.lax.fori_loop(0, time, step, 0)
@@ -165,17 +199,16 @@ def _with_vjp(interpret: bool):
     return run
 
 
-def _run_kernel(proj, w_hh, interpret):
-    dirs, batch, time, gates4 = proj.shape
+def _pallas_sweep(proj_t, w_hh, interpret, flip_dir1):
+    """proj_t: (T, 2, B, 4H) time-major; -> (T, 2, B, H)."""
+    time, dirs, batch, gates4 = proj_t.shape
     hidden = gates4 // 4
     # a bf16 projection stream also runs the recurrent matmul at bf16
     # (f32 accumulation); an f32 stream keeps everything f32/bit-exact
-    w_hh = w_hh.astype(proj.dtype)
-    # time-major HBM layout so per-timestep DMA slices cut an untiled axis
-    proj_t = jnp.moveaxis(proj, 2, 0)  # (T, 2, B, 4H)
-    out_t = pl.pallas_call(
-        _lstm_kernel,
-        out_shape=jax.ShapeDtypeStruct((time, dirs, batch, hidden), proj.dtype),
+    w_hh = w_hh.astype(proj_t.dtype)
+    return pl.pallas_call(
+        partial(_lstm_kernel, flip_dir1=flip_dir1),
+        out_shape=jax.ShapeDtypeStruct((time, dirs, batch, hidden), proj_t.dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # proj streams via DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w_hh resident
@@ -184,14 +217,70 @@ def _run_kernel(proj, w_hh, interpret):
         scratch_shapes=[
             pltpu.VMEM((dirs, batch, hidden), jnp.float32),  # h (state: f32)
             pltpu.VMEM((dirs, batch, hidden), jnp.float32),  # c (state: f32)
-            pltpu.VMEM((2, dirs, batch, gates4), proj.dtype),  # x double buffer
-            pltpu.VMEM((dirs, batch, hidden), proj.dtype),  # out staging
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, dirs, batch, gates4), proj_t.dtype),  # x double buffer
+            pltpu.VMEM((dirs, batch, hidden), proj_t.dtype),  # out staging
+            pltpu.SemaphoreType.DMA((6,)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(1.2e8),
         ),
     )(proj_t, w_hh)
+
+
+def _run_kernel(proj, w_hh, interpret):
+    # time-major HBM layout so per-timestep DMA slices cut an untiled axis
+    proj_t = jnp.moveaxis(proj, 2, 0)  # (T, 2, B, 4H)
+    out_t = _pallas_sweep(proj_t, w_hh, interpret, flip_dir1=False)
     return jnp.moveaxis(out_t, 0, 2)  # (2, B, T, H)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def lstm_sweep_tm(
+    proj_t: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool = None
+) -> jnp.ndarray:
+    """Time-major bidirectional sweep over UNREVERSED projections.
+
+    proj_t: (T, 2, B, 4H) — both directions in natural time order (the
+    kernel walks direction 1 backwards by indexing, so the caller never
+    materializes a time-flipped copy of the gate stream). Returns
+    (T, 2, B, H) hidden states, both directions in natural time order.
+    Differentiable (backward through the XLA scan formulation).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _with_vjp_tm(interpret)(proj_t, w_hh)
+
+
+def _tm_reference(proj_t, w_hh):
+    """XLA-scan oracle of lstm_sweep_tm (time-major, unreversed layout)."""
+    hidden = proj_t.shape[-1] // 4
+    proj = jnp.moveaxis(proj_t, 0, 2)  # (2, B, T, 4H) natural order
+    flipped = jnp.stack([proj[0], proj[1][:, ::-1]], axis=0)
+    out = _bidirectional_scan_lazy(flipped, w_hh, hidden)  # dir1 flipped
+    out = jnp.stack([out[0], out[1][:, ::-1]], axis=0)
+    return jnp.moveaxis(out, 2, 0)  # (T, 2, B, H)
+
+
+def _bidirectional_scan_lazy(proj, w_hh, hidden):
+    from ..models.lstm import _bidirectional_scan
+
+    return _bidirectional_scan(proj, w_hh, hidden)
+
+
+@lru_cache(maxsize=None)
+def _with_vjp_tm(interpret: bool):
+    @jax.custom_vjp
+    def run(proj_t, w_hh):
+        return _pallas_sweep(proj_t, w_hh, interpret, flip_dir1=True)
+
+    def fwd(proj_t, w_hh):
+        return run(proj_t, w_hh), (proj_t, w_hh)
+
+    def bwd(residuals, cotangent):
+        _, vjp = jax.vjp(_tm_reference, *residuals)
+        return vjp(cotangent)
+
+    run.defvjp(fwd, bwd)
+    return run
 

@@ -281,6 +281,44 @@ class TestPallasLSTM:
         got = np.asarray(lstm_sweep(proj, w_hh, interpret=True))
         np.testing.assert_allclose(got, want, atol=1e-5)
 
+    def test_time_major_sweep_matches_scan(self, rng):
+        """lstm_sweep_tm (unreversed, time-major; the kernel indexes
+        direction 1 backwards) == the scan over the flipped layout."""
+        from diart_tpu.models.lstm import _bidirectional_scan
+        from diart_tpu.ops.pallas_lstm import lstm_sweep_tm
+
+        D, B, T, H = 2, 3, 17, 8
+        proj = jnp.asarray(rng.normal(size=(D, B, T, 4 * H)).astype(np.float32))
+        w_hh = jnp.asarray(
+            rng.normal(scale=0.3, size=(D, 4 * H, H)).astype(np.float32)
+        )
+        flipped = jnp.stack([proj[0], proj[1][:, ::-1]], axis=0)
+        out = _bidirectional_scan(flipped, w_hh, H)  # dir1 flipped
+        want = np.asarray(jnp.stack([out[0], out[1][:, ::-1]], axis=0))
+
+        proj_t = jnp.moveaxis(proj, 2, 0)  # (T, 2, B, 4H) natural order
+        got_t = lstm_sweep_tm(proj_t, w_hh, interpret=True)
+        got = np.asarray(jnp.moveaxis(got_t, 0, 2))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_time_major_sweep_grad(self, rng):
+        from diart_tpu.ops.pallas_lstm import _tm_reference, lstm_sweep_tm
+
+        D, B, T, H = 2, 2, 9, 8
+        proj_t = jnp.asarray(rng.normal(size=(T, D, B, 4 * H)).astype(np.float32))
+        w_hh = jnp.asarray(
+            rng.normal(scale=0.3, size=(D, 4 * H, H)).astype(np.float32)
+        )
+        gp = jax.grad(
+            lambda p, w: jnp.sum(lstm_sweep_tm(p, w, interpret=True) ** 2),
+            argnums=(0, 1),
+        )(proj_t, w_hh)
+        gr = jax.grad(
+            lambda p, w: jnp.sum(_tm_reference(p, w) ** 2), argnums=(0, 1)
+        )(proj_t, w_hh)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
     def test_grad_flows_through_sweep(self, rng):
         """Training with the Pallas fast path on must work: the kernel's
         custom VJP differentiates the scan formulation, so grads through
