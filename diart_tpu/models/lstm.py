@@ -69,11 +69,19 @@ def _bidirectional_scan(proj: jnp.ndarray, w_hh: jnp.ndarray, hidden: int) -> jn
 
 
 class BiLSTM(nn.Module):
-    """Stacked bidirectional LSTM; returns the full output sequence."""
+    """Stacked bidirectional LSTM; returns the full output sequence.
+
+    keep_time_major: return (time, batch, 2*hidden) instead of
+    (batch, time, 2*hidden). The pallas fast path runs the whole stack
+    time-major, and per-frame consumers (Dense layers) are layout-agnostic —
+    transposing the wide hidden sequence back costs ~0.25 ms/step at batch
+    256 where transposing the per-frame classifier OUTPUT is free.
+    """
 
     hidden_size: int = 128
     num_layers: int = 4
     use_pallas: bool = None
+    keep_time_major: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -143,6 +151,8 @@ class BiLSTM(nn.Module):
                 ).astype(stream_dtype)
                 out = _bidirectional_scan(proj, w_hh, h)
                 x = jnp.concatenate([out[0], out[1][:, ::-1, :]], axis=-1)
-        if use_pallas:
+        if use_pallas and not self.keep_time_major:
             x = jnp.moveaxis(x, 0, 1)  # back to (B, T, 2H)
+        elif not use_pallas and self.keep_time_major:
+            x = jnp.moveaxis(x, 1, 0)  # (T, B, 2H)
         return x

@@ -59,14 +59,21 @@ class PyanNet(nn.Module):
             name="sincnet",
         )(waveform, pooled=sinc_pooled)
         x = jnp.swapaxes(x, 1, 2)  # (batch, frames, 60)
+        # keep the LSTM stack's time-major layout through the per-frame
+        # Dense layers (layout-agnostic) and transpose only the K-wide
+        # classifier output — ~60x fewer bytes than transposing the hidden
+        # sequence
         x = BiLSTM(
-            hidden_size=self.lstm_hidden, num_layers=self.lstm_layers, name="lstm"
-        )(x)
+            hidden_size=self.lstm_hidden,
+            num_layers=self.lstm_layers,
+            keep_time_major=True,
+            name="lstm",
+        )(x)  # (frames, batch, 2H)
         for i, dim in enumerate(self.linear_dims):
             x = nn.Dense(dim, name=f"linear{i}")(x)
             x = nn.leaky_relu(x, negative_slope=0.01)
         if self.powerset_classes > 0:
             logits = nn.Dense(self.powerset_classes, name="classifier")(x)
-            return nn.log_softmax(logits, axis=-1)
+            return jnp.swapaxes(nn.log_softmax(logits, axis=-1), 0, 1)
         logits = nn.Dense(self.num_speakers, name="classifier")(x)
-        return nn.sigmoid(logits)
+        return jnp.swapaxes(nn.sigmoid(logits), 0, 1)
