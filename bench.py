@@ -1,13 +1,21 @@
 """Headline benchmark: concurrent real-time diarization streams per chip.
 
-Runs the flagship fused multi-stream engine (full-size PyanNet segmentation +
-XVectorSincNet embedding, 5 s windows sliding every 0.5 s — the reference's
-default geometry, ``/root/reference/src/diart/blocks/diarization.py:21-86``)
-and measures the steady-state wall time of one 0.5 s hop for a batch of
-concurrent streams.
+Runs the fused multi-stream engine (full-size PyanNet segmentation + a
+selectable embedding family, 5 s windows sliding every 0.5 s — the
+reference's default geometry, ``/root/reference/src/diart/blocks/
+diarization.py:21-86``) and measures the steady-state wall time of one
+0.5 s hop for a batch of concurrent streams.
 
 A stream is served in real time iff its share of the step time fits in the
 0.5 s budget, so ``streams/chip = batch * 0.5 / t_step``.
+
+The headline measures the REAL serving shape: the segmentation and
+embedding models carry DISTINCT SincNet filterbanks (the registry models
+initialize identical mel-spaced banks, which XLA folds into one
+convolution — a shape no pair of real checkpoints produces), so the
+embedding model's cutoffs are deterministically perturbed by default.
+``--shared-frontend`` restores the folded configuration as a secondary
+comparison figure.
 
 Statistics (the dev TPU is time-shared through a tunnel; identical steps
 have been observed at 6 ms and 600 ms minutes apart):
@@ -15,11 +23,14 @@ have been observed at 6 ms and 600 ms minutes apart):
 * headline = MEDIAN pipelined window time — the representative serving rate;
 * best window is reported alongside as the capability figure;
 * per-hop blocked latency is reported at p50 and p99 (the tail is what
-  breaks the 500 ms real-time budget).
+  breaks the 500 ms real-time budget);
+* an absolute-utilization line (TFLOP/s and % of peak) from the XLA cost
+  model of the compiled step.
 
-Usage: ``python bench.py [batch] [steps] [--mesh N]``. ``--mesh N`` shards
-the same engine over N devices along a ``streams`` mesh axis (stream-level
-data parallelism over ICI); with fewer real devices it provisions an
+Usage: ``python bench.py [batch] [steps] [--emb FAMILY] [--vad]
+[--mesh N] [--shared-frontend] [--profile DIR]``. ``--mesh N`` shards the
+same engine over N devices along a ``streams`` mesh axis (stream-level data
+parallelism over ICI); with fewer real devices it provisions an
 N-virtual-device CPU mesh, so the multi-chip path is exercised anywhere.
 
 Baseline: the reference paper reports 50 ms per 0.5 s update on an NVIDIA
@@ -27,7 +38,7 @@ V100 (paper §5; BASELINE.md) == 10 real-time streams per GPU. vs_baseline is
 the ratio against those 10 streams.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (plus
-secondary stats on stderr).
+secondary stats — config, MFU, resolved precision policy — on stderr).
 """
 
 import argparse
@@ -37,18 +48,56 @@ import time
 
 import numpy as np
 
+EMB_REGISTRY = {
+    "xvector": "tpu/xvector",
+    "ecapa": "tpu/ecapa",
+    "resnet34": "tpu/resnet34",
+    "titanet": "tpu/titanet",
+}
 
-def _build_engine(
-    batch: int, mesh_devices: int, dtype: str = "f32", emb_dtype: str = "bf16"
-):
+# bf16 peak matmul throughput per chip, by jax device_kind (public specs).
+# Override with --peak-tflops for other parts.
+PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
+
+
+def _distinct_filterbanks(emb) -> bool:
+    """Perturb the embedding model's SincNet cutoffs (±5%, deterministic
+    seed) so the two frontends are distinct, as with real checkpoint pairs.
+    Returns whether the model had a SincNet to perturb (mel-fbank frontends
+    — ecapa/resnet34/titanet — never fold with the segmentation SincNet in
+    the first place)."""
+    import jax.numpy as jnp
+
+    emb.load()
+    try:
+        sn = emb.params["params"]["sincnet"]["sinc"]
+    except (KeyError, TypeError):
+        return False
+    r = np.random.default_rng(7)
+    for key in ("low_hz", "band_hz"):
+        v = np.asarray(sn[key])
+        noise = (1.0 + 0.05 * r.standard_normal(v.shape)).astype(np.float32)
+        sn[key] = jnp.asarray(v * noise)
+    return True
+
+
+def _build_engine(args):
     from diart_tpu.models import EmbeddingModel, SegmentationModel
     from diart_tpu.parallel import MultiStreamEngine
 
     mesh = None
-    if mesh_devices:
+    if args.mesh:
         from diart_tpu.parallel import streams_mesh
 
-        mesh = streams_mesh(mesh_devices)
+        mesh = streams_mesh(args.mesh)
 
     # Flagship serving config: segmentation f32 (its sigmoid scores are the
     # DER-critical output), embedding trunk bf16 (it only feeds cosine
@@ -56,8 +105,14 @@ def _build_engine(
     # practice and worth ~4% end-to-end). --dtype sets the segmentation
     # model, --emb-dtype the embedding trunk (pass both f32 for the fully
     # f32 configuration).
-    seg = SegmentationModel.from_registry("tpu/pyannet", dtype=dtype)  # 4-spk PyanNet
-    emb = EmbeddingModel.from_registry("tpu/xvector", dtype=emb_dtype)  # 512-d x-vector
+    seg = SegmentationModel.from_registry("tpu/pyannet", dtype=args.dtype)
+    emb = None
+    if not args.vad:
+        emb = EmbeddingModel.from_registry(
+            EMB_REGISTRY[args.emb], dtype=args.emb_dtype
+        )
+        if not args.shared_frontend:
+            _distinct_filterbanks(emb)
     return MultiStreamEngine(
         segmentation=seg,
         embedding=emb,
@@ -66,7 +121,7 @@ def _build_engine(
         latency=0.5,
         sample_rate=16000,
         max_speakers=20,
-        batch_size=batch,
+        batch_size=args.batch,
         mesh=mesh,
     )
 
@@ -76,8 +131,23 @@ def main():
     parser.add_argument("batch", nargs="?", type=int, default=256)
     parser.add_argument("steps", nargs="?", type=int, default=20)
     parser.add_argument(
+        "--emb", default="xvector", choices=sorted(EMB_REGISTRY),
+        help="embedding family (all natively implemented + conversion-proven)",
+    )
+    parser.add_argument(
+        "--vad", action="store_true",
+        help="voice-activity mode: segmentation + aggregation only "
+        "(no embedding / clustering)",
+    )
+    parser.add_argument(
         "--mesh", type=int, default=0,
         help="shard streams over N devices (virtual CPU mesh if fewer exist)",
+    )
+    parser.add_argument(
+        "--shared-frontend", action="store_true",
+        help="let the two models share identical SincNet filterbanks (XLA "
+        "folds the convolutions — registry-only shape, NOT representative "
+        "of real checkpoint pairs; the default measures distinct banks)",
     )
     parser.add_argument(
         "--int16", action="store_true",
@@ -94,6 +164,11 @@ def main():
         "feed clustering distances)",
     )
     parser.add_argument(
+        "--peak-tflops", type=float, default=None,
+        help="chip peak bf16 TFLOP/s for the %%-of-peak line (defaults from "
+        "the detected device kind)",
+    )
+    parser.add_argument(
         "--profile", metavar="DIR", default=None,
         help="write a TensorBoard/XProf device trace of the steady-state "
         "loop to DIR (open with xprof / tensorboard-plugin-profile)",
@@ -107,7 +182,7 @@ def main():
     batch, steps = args.batch, args.steps
     if args.mesh and batch % args.mesh:
         sys.exit(f"batch ({batch}) must be divisible by --mesh ({args.mesh})")
-    engine = _build_engine(batch, args.mesh, args.dtype, args.emb_dtype)
+    engine = _build_engine(args)
 
     # Persistent compilation cache: the remote TPU compile service has high
     # latency variance (observed 1-30 min for the same program); cached
@@ -179,6 +254,16 @@ def main():
     streams = batch * engine.step_duration / t_median
     streams_best = batch * engine.step_duration / t_best
 
+    # Absolute utilization from the XLA cost model of the compiled step.
+    device_kind = jax.devices()[0].device_kind
+    cost = engine.step_cost_analysis(state, blocks[0])
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    tflops_per_s = flops / t_median / 1e12 if flops else None
+    peak = args.peak_tflops or PEAK_TFLOPS.get(device_kind)
+    pct_peak = (
+        100.0 * tflops_per_s / peak if (tflops_per_s and peak) else None
+    )
+
     # Secondary: transfer-inclusive hops (host-resident blocks each hop).
     xfer_times = []
     for i in range(10):
@@ -198,15 +283,26 @@ def main():
             }
         )
     )
+    mfu = (
+        f"flops/step={flops:.3e} tflops_per_s={tflops_per_s:.1f} "
+        f"pct_peak={pct_peak:.1f}%"
+        if pct_peak is not None
+        else f"flops/step={flops:.3e} (no peak figure for {device_kind!r})"
+        if flops
+        else "cost_analysis-unavailable"
+    )
     print(
-        f"# batch={batch} mesh={args.mesh or 1} int16={args.int16} "
-        f"dtype={args.dtype} emb_dtype={args.emb_dtype} "
+        f"# batch={batch} mesh={args.mesh or 1} emb={'-' if args.vad else args.emb} "
+        f"vad={args.vad} shared_frontend={args.shared_frontend} "
+        f"int16={args.int16} dtype={args.dtype} emb_dtype={args.emb_dtype} "
         f"t_step_median={t_median*1000:.2f}ms t_step_best={t_best*1000:.2f}ms "
         f"streams_best={streams_best:.0f} "
         f"p50_chunk_latency={p50*1000:.2f}ms p99_chunk_latency={p99*1000:.2f}ms "
         f"transfer_inclusive={t_xfer*1000:.1f}ms/{streams_xfer:.0f}streams "
         f"(tunnel-bound in this dev env; PCIe-negligible in production) "
-        f"device={jax.devices()[0]}",
+        f"{mfu} "
+        f"precision={json.dumps(engine.precision.resolved())} "
+        f"device={device_kind}",
         file=sys.stderr,
     )
 

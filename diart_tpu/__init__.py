@@ -12,10 +12,12 @@ from .blocks import (
     VoiceActivityDetection,
     VoiceActivityDetectionConfig,
 )
+from .precision import Precision
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "Precision",
     "SpeakerDiarization",
     "SpeakerDiarizationConfig",
     "VoiceActivityDetection",

@@ -53,7 +53,7 @@ def _init_params(module, seed: int, samples: int):
     tunnel); the CPU backend does it in seconds and the arrays migrate to the
     accelerator lazily on first use.
     """
-    import os
+    from .. import precision
 
     try:
         cpu = jax.devices("cpu")[0]
@@ -61,22 +61,13 @@ def _init_params(module, seed: int, samples: int):
         cpu = None
     dummy = jnp.zeros((1, 1, samples))
     # Pallas kernels can't lower for the CPU backend; the init computation
-    # only produces shapes/weights, so force the portable paths here
-    # (pallas defaults ON for TPU backends, hence the explicit "0").
-    pallas_flags = ("DIART_TPU_PALLAS_LSTM", "DIART_TPU_PALLAS_HEAD")
-    saved = {flag: os.environ.get(flag) for flag in pallas_flags}
-    os.environ.update({flag: "0" for flag in pallas_flags})
-    try:
+    # only produces shapes/weights, so force the portable paths here —
+    # force=True also beats env overrides that pin a fast path on.
+    with precision.use(precision.Precision.portable(), force=True):
         if cpu is None:
             return module.init(jax.random.PRNGKey(seed), dummy)
         with jax.default_device(cpu):
             return module.init(jax.random.PRNGKey(seed), dummy)
-    finally:
-        for flag, value in saved.items():
-            if value is None:
-                del os.environ[flag]
-            else:
-                os.environ[flag] = value
 
 
 
@@ -91,19 +82,21 @@ class _SegRegistryLoader:
 
     def __call__(self):
         name, kwargs = self.name, self.kwargs
+        powerset_classes = 0
+        num_speakers = kwargs.get("num_speakers", 4)
         if name == "tpu/pyannet-powerset":
             num_speakers = kwargs.get("num_speakers", 3)
-            max_simul = kwargs.get("max_simultaneous", 2)
-            classes = num_powerset_classes(num_speakers, max_simul)
-            module = PyanNet(num_speakers=num_speakers, powerset_classes=classes)
-        else:
-            module = PyanNet(
-                num_speakers=kwargs.get("num_speakers", 4),
-                lstm_hidden=kwargs.get("lstm_hidden", 128),
-                lstm_layers=kwargs.get("lstm_layers", 4),
-                linear_dims=tuple(kwargs.get("linear_dims", (128, 128))),
-                compute_dtype=_dtype_kwarg(kwargs),
+            powerset_classes = num_powerset_classes(
+                num_speakers, kwargs.get("max_simultaneous", 2)
             )
+        module = PyanNet(
+            num_speakers=num_speakers,
+            powerset_classes=powerset_classes,
+            lstm_hidden=kwargs.get("lstm_hidden", 128),
+            lstm_layers=kwargs.get("lstm_layers", 4),
+            linear_dims=tuple(kwargs.get("linear_dims", (128, 128))),
+            compute_dtype=_dtype_kwarg(kwargs),
+        )
         samples = kwargs.get("init_samples", 80000)
         params = _init_params(
             module, kwargs.get("seed", _seed_from_name(name)), samples

@@ -23,14 +23,13 @@ __all__ = [
 
 
 def pallas_enabled(env_var: str) -> bool:
-    """Gate for a TPU-only fast path (Pallas kernels, reduced-precision
-    intermediates): ON by default on TPU backends, opt out with
-    ``<env_var>=0``. Compiled Pallas requires a TPU backend, so the portable
-    XLA path is always used on CPU (hermetic tests, CPU-side parameter
-    initialization)."""
-    import os
+    """Legacy gate for a TPU-only fast path, kept for backward
+    compatibility: resolves through the explicit precision policy
+    (:mod:`diart_tpu.precision`), where the env var remains an override."""
+    from .. import precision
 
-    return os.environ.get(env_var, "1") != "0" and jax.default_backend() == "tpu"
+    field = {v: k for k, v in precision._ENV_VARS.items()}[env_var]
+    return precision.enabled(field)
 
 
 def resample_weights(weights: jnp.ndarray, num_frames: int) -> jnp.ndarray:

@@ -31,7 +31,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import InferenceBatchNorm, pallas_enabled, resample_weights
+from .common import InferenceBatchNorm, resample_weights
 from .sincnet import SincNet
 
 __all__ = [
@@ -167,8 +167,20 @@ class XVectorSincNet(nn.Module):
         Pallas kernel (ops/pallas_stats.py) instead of materializing the
         (B, T, 1500) projection in HBM. ON by default on TPU
         (``DIART_TPU_PALLAS_HEAD=0`` opts out); during ``init`` the standard
-        path runs so every parameter is created."""
-        return pallas_enabled("DIART_TPU_PALLAS_HEAD") and not self.is_initializing()
+        path runs so every parameter is created. The kernel treats the final
+        TDNN as a pointwise projection, so it only engages when that layer
+        really is a 1x1, dilation-1 convolution (true for the standard
+        x-vector geometry; custom ``tdnn_specs`` fall back to the XLA
+        path)."""
+        from .. import precision
+
+        last_kernel, last_dilation, _ = self.tdnn_specs[-1]
+        return (
+            last_kernel == 1
+            and last_dilation == 1
+            and precision.enabled("pallas_head")
+            and not self.is_initializing()
+        )
 
     def trunk(self, waveform: jnp.ndarray, sinc_pooled=None) -> jnp.ndarray:
         """waveform: (batch, 1, samples) -> (batch, frames, channels).

@@ -19,8 +19,6 @@ without reshuffling.
 
 from __future__ import annotations
 
-import os
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -32,13 +30,13 @@ def _use_pallas_default() -> bool:
     """The Pallas sweep kernel (ops/pallas_lstm.py) is ON by default on TPU
     backends — it is bit-parity tested against the scan path and measures
     ~3-4% faster end-to-end on the full diarization engine (v5e, batch
-    128-256). Opt out with DIART_TPU_PALLAS_LSTM=0. Compiled Pallas requires
-    a TPU backend, so it is never used on CPU (hermetic tests, CPU-backend
-    param initialization)."""
-    return (
-        os.environ.get("DIART_TPU_PALLAS_LSTM", "1") != "0"
-        and jax.default_backend() == "tpu"
-    )
+    128-256). Resolved through the precision policy
+    (:mod:`diart_tpu.precision`; env override ``DIART_TPU_PALLAS_LSTM=0``).
+    Compiled Pallas requires a TPU backend, so it is never used on CPU
+    (hermetic tests, CPU-backend param initialization)."""
+    from .. import precision
+
+    return precision.enabled("pallas_lstm")
 
 
 def _bidirectional_scan(proj: jnp.ndarray, w_hh: jnp.ndarray, hidden: int) -> jnp.ndarray:
@@ -94,12 +92,12 @@ class BiLSTM(nn.Module):
         # by the recurrence). Streaming it in bf16 halves that traffic and
         # lets both matmuls run at the MXU's bf16 rate, while the kernel
         # keeps gate math and the cell state in f32. TPU-only, opt out with
-        # DIART_TPU_BF16_LSTM=0.
-        from .common import pallas_enabled
+        # DIART_TPU_BF16_LSTM=0 (or Precision(bf16_lstm=False)).
+        from .. import precision
 
         stream_dtype = (
             jnp.bfloat16
-            if use_pallas and pallas_enabled("DIART_TPU_BF16_LSTM")
+            if use_pallas and precision.enabled("bf16_lstm")
             else x.dtype
         )
         h = self.hidden_size

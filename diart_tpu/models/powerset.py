@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from itertools import combinations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,5 +58,9 @@ def to_multilabel(
     if soft:
         probs = jnp.exp(powerset_scores)
         return jnp.matmul(probs, mapping)
+    # Gather-free hard decode: one-hot of the argmax contracted with the
+    # mapping runs on the TPU vector/matrix units inside the jitted engine
+    # step (a mapping[best] gather would route through the scalar core).
     best = jnp.argmax(powerset_scores, axis=-1)
-    return mapping[best]
+    onehot = jax.nn.one_hot(best, mapping.shape[0], dtype=mapping.dtype)
+    return jnp.matmul(onehot, mapping)

@@ -182,9 +182,9 @@ def frontend_pool(y: jnp.ndarray) -> jnp.ndarray:
     """abs + non-overlapping max-pool(3) over time of the sinc-conv output
     (B, C, frames), with the TPU bf16 storage fast path applied to the
     pre-pool activation (see SincNet.__call__). Returns f32."""
-    from .common import pallas_enabled
+    from .. import precision
 
-    if pallas_enabled("DIART_TPU_BF16_FRONTEND"):
+    if precision.enabled("bf16_frontend"):
         y = y.astype(jnp.bfloat16)
     return _max_pool_time(jnp.abs(y), 3).astype(jnp.float32)
 

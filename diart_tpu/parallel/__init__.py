@@ -1,5 +1,5 @@
 from .engine import MultiStreamEngine, StepOutput, StreamState
-from .mesh import provision_devices, streams_mesh
+from .mesh import initialize_distributed, provision_devices, streams_mesh
 from .session import MultiStreamSession
 
 __all__ = [
@@ -7,6 +7,7 @@ __all__ = [
     "StepOutput",
     "StreamState",
     "MultiStreamSession",
+    "initialize_distributed",
     "provision_devices",
     "streams_mesh",
 ]

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import precision as precision_policy
 from ..models.base import EmbeddingModel, SegmentationModel
 from ..models.sincnet import frontend_pool, sinc_filters
 from ..ops.aggregation import AggregationGeometry, aggregate, build_geometry
@@ -55,6 +56,27 @@ def _sincnet_params(params):
         }
     except (KeyError, TypeError):
         return None
+
+
+def _sincnet_geometry(module):
+    """A model's SincNet convolution hyper-parameters, for the fused
+    dual-frontend paths: (stride, kernel_size, min_low_hz, min_band_hz,
+    sample_rate). Every module this package builds (PyanNet, XVectorSincNet,
+    converted checkpoints) constructs its SincNet with the SincNet/SincConv
+    class defaults, which the fallbacks below read; a custom module with a
+    different frontend geometry declares ``sinc_stride`` /
+    ``sinc_kernel_size`` / ``sinc_min_low_hz`` / ``sinc_min_band_hz`` fields
+    to inform the engine (the fused paths refuse to combine models whose
+    geometries differ)."""
+    from ..models.sincnet import SincConv, SincNet
+
+    return (
+        getattr(module, "sinc_stride", SincNet.stride),
+        getattr(module, "sinc_kernel_size", SincConv.kernel_size),
+        getattr(module, "sinc_min_low_hz", SincConv.min_low_hz),
+        getattr(module, "sinc_min_band_hz", SincConv.min_band_hz),
+        getattr(module, "sample_rate", 16000),
+    )
 
 
 class StreamState(NamedTuple):
@@ -106,6 +128,7 @@ class MultiStreamEngine:
         normalize_embedding_weights: bool = False,
         batch_size: int = 1,
         mesh: Optional[jax.sharding.Mesh] = None,
+        precision: Optional[precision_policy.Precision] = None,
     ):
         self.duration = duration
         self.step_duration = step
@@ -128,6 +151,13 @@ class MultiStreamEngine:
         self.sample_rate = sample_rate
         self.batch_size = batch_size
         self.max_speakers = max_speakers
+        # Numerics/fast-path policy: explicit construction state (defaults =
+        # the ambient policy, itself defaulting to the flagship serving
+        # config). Every trace of the engine's programs runs inside
+        # ``precision.use(self.precision)``; env vars remain overrides.
+        self.precision = (
+            precision if precision is not None else precision_policy.active()
+        )
         self.normalize_weights = normalize_embedding_weights
         # Hyper-parameters are DYNAMIC inputs of the compiled step (they only
         # appear in elementwise comparisons), so tuning sweeps re-use one
@@ -183,28 +213,33 @@ class MultiStreamEngine:
         # double the work, so the dispatch also checks parameter values.
         self._stacked = False
         if not self.is_vad:
-            import os
-
+            with precision_policy.use(self.precision):
+                stack_on = precision_policy.enabled("stack_frontend")
             sp = _sincnet_params(self._seg_params)
             ep = _sincnet_params(self._emb_params)
-            if (
-                sp is not None
-                and ep is not None
-                and os.environ.get("DIART_TPU_STACK_FRONTEND", "0") == "1"
-            ):
+            if sp is not None and ep is not None and stack_on:
                 identical = all(
                     np.array_equal(np.asarray(sp[k]), np.asarray(ep[k]))
                     for k in sp
                 )
-                self._stacked = not identical
+                # The stacked convolution runs ONE geometry, so it only
+                # engages when both frontends declare the same one (every
+                # module this package builds does; ADVICE r1: a checkpoint
+                # with a non-default stride/kernel must not silently run
+                # under the default geometry).
+                geo_seg = _sincnet_geometry(segmentation.module)
+                geo_emb = _sincnet_geometry(embedding.module)
+                self._stacked = not identical and geo_seg == geo_emb
                 self._sinc_seg, self._sinc_emb = sp, ep
+                self._sinc_geometry = geo_seg
 
         # Probe the frame grid once (traced shapes are static thereafter).
-        probe = jax.eval_shape(
-            self._seg_apply,
-            self._seg_params,
-            jax.ShapeDtypeStruct((1, 1, self.chunk_samples), jnp.float32),
-        )
+        with precision_policy.use(self.precision):
+            probe = jax.eval_shape(
+                self._seg_apply,
+                self._seg_params,
+                jax.ShapeDtypeStruct((1, 1, self.chunk_samples), jnp.float32),
+            )
         self.num_frames = probe.shape[1]
         self.num_local = probe.shape[2]
 
@@ -332,11 +367,19 @@ class MultiStreamEngine:
         the shared standardized waveform. wave: (B, 1, samples) ->
         (seg_pooled, emb_pooled), each (B, 80, pooled_frames)."""
         sp, ep = self._sinc_seg, self._sinc_emb
+        stride, kernel_size, min_low, min_band, sinc_rate = self._sinc_geometry
         mean = jnp.mean(wave, axis=-1, keepdims=True)
         var = jnp.var(wave, axis=-1, keepdims=True)
         z = (wave - mean) * jax.lax.rsqrt(var + 1e-5)
-        fs = sinc_filters(sp["low"], sp["band"], sample_rate=self.sample_rate)
-        fe = sinc_filters(ep["low"], ep["band"], sample_rate=self.sample_rate)
+        synth = lambda p: sinc_filters(
+            p["low"],
+            p["band"],
+            kernel_size=kernel_size,
+            sample_rate=sinc_rate,
+            min_low_hz=min_low,
+            min_band_hz=min_band,
+        )
+        fs, fe = synth(sp), synth(ep)
         filters = jnp.concatenate([fs * sp["scale"], fe * ep["scale"]], axis=0)
         bias = jnp.concatenate(
             [sp["bias"] * jnp.sum(fs, axis=1), ep["bias"] * jnp.sum(fe, axis=1)]
@@ -344,7 +387,7 @@ class MultiStreamEngine:
         y = jax.lax.conv_general_dilated(
             z,
             filters[:, None, :],
-            window_strides=(10,),
+            window_strides=(stride,),
             padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
         )
@@ -491,14 +534,43 @@ class MultiStreamEngine:
             blocks = np.asarray(blocks)
             if not np.issubdtype(blocks.dtype, np.integer):
                 blocks = blocks.astype(np.float32, copy=False)
-        return self._step(
-            self._params,
-            state,
-            jnp.asarray(blocks),
-            jnp.asarray(audio_mask),
-            jnp.asarray(run_mask),
-            self._hparams,
-        )
+        # The policy context matters only on the FIRST call (trace time);
+        # afterwards the compiled executable is fixed and the context is a
+        # few hundred ns of bookkeeping against a ~10 ms step.
+        with precision_policy.use(self.precision):
+            return self._step(
+                self._params,
+                state,
+                jnp.asarray(blocks),
+                jnp.asarray(audio_mask),
+                jnp.asarray(run_mask),
+                self._hparams,
+            )
+
+    # ------------------------------------------------------------------ #
+    def step_cost_analysis(self, state: StreamState, blocks) -> Optional[dict]:
+        """XLA cost-model analysis of one step program (``{'flops': ...,
+        'bytes accessed': ...}``), from the lowered (pre-optimization) HLO —
+        the basis for the benchmark's absolute-utilization (MFU) figure.
+        Returns None when the backend exposes no cost model."""
+        masks = jnp.ones((jnp.shape(blocks)[0],), bool)
+        with precision_policy.use(self.precision):
+            lowered = self._step.lower(
+                self._params, state, jnp.asarray(blocks), masks, masks,
+                self._hparams,
+            )
+        try:
+            analysis = lowered.cost_analysis()
+            if analysis is None:
+                # some PJRT plugins (e.g. the axon remote-TPU tunnel) only
+                # expose the cost model post-compile; the persistent
+                # compilation cache makes this a cache load, not a rebuild
+                analysis = lowered.compile().cost_analysis()
+        except Exception:
+            return None
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0] if analysis else None
+        return analysis
 
     # ------------------------------------------------------------------ #
     # Output timestamp helpers (host side)

@@ -5,13 +5,75 @@ axis (XLA inserts the collectives over ICI). These helpers provision the
 devices — real chips when available, an N-virtual-device CPU mesh otherwise,
 so multi-chip code paths run (tests, dry runs, single-chip dev boxes)
 anywhere.
+
+Multi-host (DCN) readiness: :func:`initialize_distributed` wires
+``jax.distributed`` from ``DIART_TPU_COORDINATOR`` /
+``DIART_TPU_NUM_PROCESSES`` / ``DIART_TPU_PROCESS_ID`` (the standard
+coordinator rendezvous — on Cloud TPU pod slices the latter two are
+auto-detected and only the coordinator address is needed), after which
+``jax.devices()`` is the GLOBAL device list and :func:`streams_mesh`
+assembles the global mesh unchanged. Launch the same engine script once per
+host with those variables set and the stream batch shards across the whole
+slice; within-host shards ride ICI, cross-host collectives ride DCN. With no
+coordinator configured everything below is single-process and byte-for-byte
+the previous behavior.
 """
 
 from __future__ import annotations
 
+import os
+from typing import Optional
+
 import numpy as np
 
-__all__ = ["provision_devices", "streams_mesh"]
+__all__ = ["initialize_distributed", "provision_devices", "streams_mesh"]
+
+
+_distributed_ready = False
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize ``jax.distributed`` for multi-host execution.
+
+    Arguments default to the ``DIART_TPU_COORDINATOR`` /
+    ``DIART_TPU_NUM_PROCESSES`` / ``DIART_TPU_PROCESS_ID`` environment
+    variables. A no-op returning False when no coordinator is configured
+    (single-process operation); returns True once the process group is up.
+    Idempotent — safe to call from every entry point that builds a mesh.
+    """
+    global _distributed_ready
+    if _distributed_ready:
+        return True
+    coordinator_address = coordinator_address or os.environ.get(
+        "DIART_TPU_COORDINATOR"
+    )
+    if not coordinator_address:
+        return False
+
+    import jax
+
+    kwargs = {"coordinator_address": coordinator_address}
+    num_processes = (
+        num_processes
+        if num_processes is not None
+        else os.environ.get("DIART_TPU_NUM_PROCESSES")
+    )
+    if num_processes is not None:
+        kwargs["num_processes"] = int(num_processes)
+    process_id = (
+        process_id
+        if process_id is not None
+        else os.environ.get("DIART_TPU_PROCESS_ID")
+    )
+    if process_id is not None:
+        kwargs["process_id"] = int(process_id)
+    jax.distributed.initialize(**kwargs)
+    _distributed_ready = True
+    return True
 
 
 def provision_devices(n_devices: int) -> None:
@@ -25,10 +87,20 @@ def provision_devices(n_devices: int) -> None:
     be cleared for the switch to take effect. ``jax_num_cpu_devices`` (rather
     than the ``XLA_FLAGS`` host-device-count flag) sizes the CPU backend
     because ``XLA_FLAGS`` is parsed once at first backend init.
+
+    In a multi-host process group the device set is fixed by the slice
+    topology; asking for more devices than the group provides is an error
+    rather than a silent virtual-CPU downgrade.
     """
     import jax
 
     if len(jax.devices()) < n_devices:
+        if jax.process_count() > 1:
+            raise RuntimeError(
+                f"need {n_devices} devices but the {jax.process_count()}"
+                f"-process group provides {len(jax.devices())}; virtual CPU "
+                f"provisioning is a single-process development fallback"
+            )
         import jax._src.xla_bridge as _xb
 
         _xb._clear_backends()
@@ -42,11 +114,18 @@ def provision_devices(n_devices: int) -> None:
         )
 
 
-def streams_mesh(n_devices: int):
-    """A 1-D ``streams`` mesh over the first ``n_devices`` devices,
-    provisioning virtual CPU devices when fewer real ones exist."""
+def streams_mesh(n_devices: Optional[int] = None):
+    """A 1-D ``streams`` mesh over ``n_devices`` devices (default: every
+    device), provisioning virtual CPU devices when fewer real ones exist in
+    single-process operation. Calls :func:`initialize_distributed` first, so
+    a coordinator-configured multi-host launch gets the global mesh with no
+    extra code."""
     import jax
     from jax.sharding import Mesh
 
-    provision_devices(n_devices)
+    initialize_distributed()
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    else:
+        provision_devices(n_devices)
     return Mesh(np.array(jax.devices()[:n_devices]), ("streams",))

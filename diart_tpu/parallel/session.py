@@ -102,6 +102,11 @@ class MultiStreamSession:
             "shifts": self.shifts,
             "blocks_seen": self.blocks_seen.tolist(),
             "tau_active": self.tau_active,
+            # which fast paths produced this state — declared policy plus
+            # the post-resolution switches (env overrides + backend gate),
+            # so the numerics of a checkpoint are reproducible
+            "precision": self.engine.precision.as_dict(),
+            "precision_resolved": self.engine.precision.resolved(),
         }
         if self.collect_audio:
             np.save(path.with_suffix(".audio.npy"), self._audio)

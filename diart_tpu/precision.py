@@ -1,0 +1,154 @@
+"""Explicit numerics / fast-path policy for the TPU execution paths.
+
+The TPU fast paths (Pallas kernels, reduced-precision intermediate storage,
+frontend stacking) used to be controlled exclusively by ambient environment
+variables, so reproducing a perf or DER figure required pinning process
+state and nothing recorded which switches a run used. This module makes the
+policy an explicit, serializable value:
+
+* :class:`Precision` — a frozen dataclass with one field per fast path.
+  The defaults reproduce the flagship serving configuration.
+* :func:`enabled` — what the compute code consults at trace time. It
+  resolves, in order: the matching ``DIART_TPU_*`` env var if set
+  (operational opt-out, highest precedence), then the active policy, and
+  finally gates TPU-only paths on the actual backend (compiled Pallas and
+  the bf16 storage paths never run on CPU — hermetic tests and CPU-side
+  parameter init always take the portable f32 XLA paths).
+* :meth:`Precision.resolved` — the post-resolution switches as a plain
+  dict; ``bench.py`` and session checkpoints serialize it so every artifact
+  states exactly which fast paths were active.
+* :func:`use` — scoped activation; :class:`MultiStreamEngine` wraps its
+  traces in ``use(self.precision)`` so an engine's policy is explicit
+  construction state rather than ambient process state.
+
+Env var mapping (set to ``0`` to disable, anything else to enable):
+``DIART_TPU_PALLAS_LSTM``, ``DIART_TPU_PALLAS_HEAD``,
+``DIART_TPU_BF16_LSTM``, ``DIART_TPU_BF16_FRONTEND``,
+``DIART_TPU_STACK_FRONTEND``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import threading
+from contextlib import contextmanager
+from typing import Dict, Optional
+
+import jax
+
+__all__ = ["Precision", "active", "enabled", "set_default", "use"]
+
+
+_ENV_VARS = {
+    "pallas_lstm": "DIART_TPU_PALLAS_LSTM",
+    "pallas_head": "DIART_TPU_PALLAS_HEAD",
+    "bf16_lstm": "DIART_TPU_BF16_LSTM",
+    "bf16_frontend": "DIART_TPU_BF16_FRONTEND",
+    "stack_frontend": "DIART_TPU_STACK_FRONTEND",
+}
+# Paths that only exist for TPU backends (Pallas lowering, bf16 storage
+# layouts); they resolve to False anywhere else no matter what the policy
+# or the env says.
+_TPU_ONLY = frozenset(
+    ("pallas_lstm", "pallas_head", "bf16_lstm", "bf16_frontend")
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Precision:
+    """One switch per TPU fast path. All parity-tested against their
+    portable XLA formulations (see PARITY.md); defaults = the flagship
+    serving configuration measured in PERF.md.
+
+    pallas_lstm: fused Pallas LSTM sweep kernel (ops/pallas_lstm.py).
+    pallas_head: fused projection+statistics embedding head
+        (ops/pallas_stats.py).
+    bf16_lstm: bf16 storage for the LSTM's pre-projected gate stream
+        (cell state and gate math stay f32).
+    bf16_frontend: bf16 storage for the pre-pool SincNet activation
+        (instance-norm math stays f32).
+    stack_frontend: fold both models' distinct SincNet filterbanks into one
+        stacked frontend convolution (measured slower on v5e — default off;
+        see PERF.md "Measured and rejected").
+    """
+
+    pallas_lstm: bool = True
+    pallas_head: bool = True
+    bf16_lstm: bool = True
+    bf16_frontend: bool = True
+    stack_frontend: bool = False
+
+    def resolved(self) -> Dict[str, bool]:
+        """The switches as they would actually resolve right now (env
+        overrides + backend gate applied) — serialize THIS into artifacts."""
+        return {f: _resolve(self, f) for f in _ENV_VARS}
+
+    def as_dict(self) -> Dict[str, bool]:
+        return dataclasses.asdict(self)
+
+    @staticmethod
+    def from_dict(d: Dict[str, bool]) -> "Precision":
+        known = {f.name for f in dataclasses.fields(Precision)}
+        return Precision(**{k: bool(v) for k, v in d.items() if k in known})
+
+    @staticmethod
+    def portable() -> "Precision":
+        """Everything off: the pure-XLA f32 reference formulation."""
+        return Precision(
+            pallas_lstm=False,
+            pallas_head=False,
+            bf16_lstm=False,
+            bf16_frontend=False,
+            stack_frontend=False,
+        )
+
+
+_DEFAULT = Precision()
+_STATE = threading.local()
+
+
+def _resolve(policy: Precision, field: str) -> bool:
+    if field in _TPU_ONLY and jax.default_backend() != "tpu":
+        return False
+    if not getattr(_STATE, "force", False):
+        env = os.environ.get(_ENV_VARS[field])
+        if env is not None:
+            return env != "0"
+    return bool(getattr(policy, field))
+
+
+def active() -> Precision:
+    """The policy in effect: the innermost :func:`use` scope, else the
+    process default."""
+    return getattr(_STATE, "policy", None) or _DEFAULT
+
+
+def enabled(field: str) -> bool:
+    """Trace-time query used by the compute code paths."""
+    if field not in _ENV_VARS:
+        raise KeyError(f"unknown precision switch {field!r}; known: {sorted(_ENV_VARS)}")
+    return _resolve(active(), field)
+
+
+def set_default(policy: Precision) -> None:
+    """Set the process-wide default policy (affects subsequently traced
+    programs; already-compiled executables are unchanged)."""
+    global _DEFAULT
+    _DEFAULT = policy
+
+
+@contextmanager
+def use(policy: Precision, force: bool = False):
+    """Scoped policy activation (thread-local). ``force=True`` additionally
+    ignores env overrides — used by CPU-side parameter initialization, which
+    must run the portable paths even when a user pinned a fast path on."""
+    prev_policy = getattr(_STATE, "policy", None)
+    prev_force = getattr(_STATE, "force", False)
+    _STATE.policy = policy
+    _STATE.force = force
+    try:
+        yield policy
+    finally:
+        _STATE.policy = prev_policy
+        _STATE.force = prev_force

@@ -2,6 +2,7 @@ from .rx import Observable, Observer, Subject, ops
 from .sources import (
     AppleDeviceAudioSource,
     AudioSource,
+    FFmpegAudioSource,
     FileAudioSource,
     IteratorAudioSource,
     MicrophoneAudioSource,
@@ -29,6 +30,7 @@ __all__ = [
     "Subject",
     "ops",
     "AudioSource",
+    "FFmpegAudioSource",
     "FileAudioSource",
     "IteratorAudioSource",
     "MicrophoneAudioSource",

@@ -38,8 +38,16 @@ __all__ = ["StreamingInference", "Benchmark", "Parallelize"]
 
 
 class StreamingInference:
-    """Stream an audio source through a pipeline in real time
-    (``inference.py:26-231``)."""
+    """Drive one audio source through a pipeline in real time.
+
+    Behavioral parity target: the reference's streaming driver
+    (``/root/reference/src/diart/inference.py:26-231``) — sliding-window
+    re-chunking, optional resampling, chunk batching, profiled pipeline
+    application, prediction accumulation, progress reporting, hook/observer
+    attachment, and error fan-out to attached observers. The chain here is
+    assembled from three stage groups (ingest / process / report) built by
+    dedicated helpers, so each concern can be read and changed in isolation.
+    """
 
     def __init__(
         self,
@@ -57,78 +65,88 @@ class StreamingInference:
         self.do_profile = do_profile
         self.do_plot = do_plot
         self.show_progress = show_progress
-        self.accumulator = PredictionAccumulator(self.source.uri)
-        self.unit = "chunk" if self.batch_size == 1 else "batch"
+        self.accumulator = PredictionAccumulator(source.uri)
+        self.unit = "batch" if batch_size > 1 else "chunk"
         self._observers = []
-
-        chunk_duration = self.pipeline.config.duration
-        step_duration = self.pipeline.config.step
-        sample_rate = self.pipeline.config.sample_rate
-
-        # Estimate the number of chunks the source will emit
-        self.num_chunks = None
-        if self.source.duration is not None:
-            numerator = self.source.duration - chunk_duration + step_duration
-            self.num_chunks = int(np.ceil(numerator / step_duration))
-
-        self._pbar = progress_bar
-        if self.show_progress:
-            if self._pbar is None:
-                self._pbar = RichProgressBar()
-            self._pbar.create(
-                total=self.num_chunks,
-                description=f"Streaming {self.source.uri}",
-                unit=self.unit,
-            )
-
+        self.num_chunks = self._estimate_window_count()
+        self._pbar = self._build_progress(progress_bar)
         self._chrono = utils.Chronometer(self.unit, self._pbar)
-
         self.stream = self.source.stream.pipe(
-            dops.rearrange_audio_stream(
-                chunk_duration, step_duration, source.sample_rate
-            )
+            *self._ingest_stages(),
+            *self._process_stages(),
+            *self._report_stages(),
         )
 
-        if sample_rate != self.source.sample_rate:
+    # -------------------------------------------------------------- #
+    # Chain assembly
+    # -------------------------------------------------------------- #
+    def _estimate_window_count(self) -> Optional[int]:
+        """Sliding windows a finite source will yield: one when the first
+        ``duration`` seconds complete, then one per ``step``-second hop over
+        the remainder. None for unbounded sources (e.g. microphone)."""
+        total = self.source.duration
+        if total is None:
+            return None
+        cfg = self.pipeline.config
+        return 1 + int(np.ceil((total - cfg.duration) / cfg.step))
+
+    def _build_progress(self, pbar: Optional[ProgressBar]) -> Optional[ProgressBar]:
+        if not self.show_progress:
+            return pbar
+        if pbar is None:
+            pbar = RichProgressBar()
+        pbar.create(
+            total=self.num_chunks,
+            description=f"Streaming {self.source.uri}",
+            unit=self.unit,
+        )
+        return pbar
+
+    def _ingest_stages(self) -> list:
+        """Raw source samples -> batches of pipeline-ready chunks."""
+        cfg = self.pipeline.config
+        stages = [
+            dops.rearrange_audio_stream(
+                cfg.duration, cfg.step, self.source.sample_rate
+            )
+        ]
+        if self.source.sample_rate != cfg.sample_rate:
             logging.warning(
-                f"Audio source has sample rate {self.source.sample_rate}, "
-                f"but pipeline's is {sample_rate}. Will resample."
+                "Audio source has sample rate %s, but pipeline's is %s. "
+                "Will resample.",
+                self.source.sample_rate,
+                cfg.sample_rate,
             )
-            self.stream = self.stream.pipe(
-                ops.map(blocks.Resample(self.source.sample_rate, sample_rate))
+            stages.append(
+                ops.map(blocks.Resample(self.source.sample_rate, cfg.sample_rate))
             )
+        stages.append(ops.buffer_with_count(self.batch_size))
+        return stages
 
-        self.stream = self.stream.pipe(ops.buffer_with_count(self.batch_size))
+    def _process_stages(self) -> list:
+        """Apply the pipeline to each batch, timed when profiling."""
+        run = ops.map(self.pipeline)
+        if not self.do_profile:
+            return [run]
+        return [
+            ops.do_action(lambda _: self._chrono.start()),
+            run,
+            ops.do_action(lambda _: self._chrono.stop()),
+        ]
 
-        if self.do_profile:
-            self.stream = self.stream.pipe(
-                ops.do_action(lambda _: self._chrono.start()),
-                ops.map(self.pipeline),
-                ops.do_action(lambda _: self._chrono.stop()),
-            )
-        else:
-            self.stream = self.stream.pipe(ops.map(self.pipeline))
-
-        self.stream = self.stream.pipe(
+    def _report_stages(self) -> list:
+        """Unbatch results, accumulate them, advance the progress bar."""
+        stages = [
             ops.flat_map(lambda results: results),
             ops.do(self.accumulator),
-        )
+        ]
+        if self.show_progress:
+            stages.append(ops.do_action(lambda _: self._pbar.update()))
+        return stages
 
-        if show_progress:
-            self.stream = self.stream.pipe(
-                ops.do_action(lambda _: self._pbar.update())
-            )
-
-    def _close_pbar(self):
-        if self._pbar is not None:
-            self._pbar.close()
-
-    def _close_chronometer(self):
-        if self.do_profile:
-            if self._chrono.is_running:
-                self._chrono.stop(do_count=False)
-            self._chrono.report()
-
+    # -------------------------------------------------------------- #
+    # Attachment + lifecycle
+    # -------------------------------------------------------------- #
     def attach_hooks(
         self, *hooks: Callable[[Tuple[Annotation, SlidingWindowFeature]], None]
     ):
@@ -140,43 +158,42 @@ class StreamingInference:
         self.stream = self.stream.pipe(*[ops.do(sink) for sink in observers])
         self._observers.extend(observers)
 
-    def _handle_error(self, error: BaseException):
-        # make sure all observers see the error, then close the source
-        for sink in self._observers:
-            sink.on_error(error)
-        self.source.close()
-        window_closed = isinstance(error, WindowClosedException)
-        interrupted = isinstance(error, KeyboardInterrupt)
-        if not window_closed and not interrupted:
-            print_exc()
-        self._close_pbar()
-        self._close_chronometer()
-
-    def _handle_completion(self):
-        self._close_pbar()
-        self._close_chronometer()
+    def _shutdown(self, error: Optional[BaseException] = None):
+        """Tear down after completion or error: fan the error out to the
+        attached observers (the reactive core doesn't always reach them),
+        close the source, and settle progress/profiling reporting."""
+        if error is not None:
+            for sink in self._observers:
+                sink.on_error(error)
+            self.source.close()
+            expected = (WindowClosedException, KeyboardInterrupt)
+            if not isinstance(error, expected):
+                print_exc()
+        if self._pbar is not None:
+            self._pbar.close()
+        if self.do_profile:
+            if self._chrono.is_running:
+                self._chrono.stop(do_count=False)
+            self._chrono.report()
 
     def __call__(self) -> Annotation:
         """Blocks until the source is exhausted; returns the accumulated
         prediction."""
         if self.show_progress:
             self._pbar.start()
-        config = self.pipeline.config
-        observable = self.stream
+        chain = self.stream
         if self.do_plot:
-            observable = self.stream.pipe(
+            cfg = self.pipeline.config
+            chain = chain.pipe(
                 dops.buffer_output(
-                    duration=config.duration,
-                    step=config.step,
-                    latency=config.latency,
-                    sample_rate=config.sample_rate,
+                    duration=cfg.duration,
+                    step=cfg.step,
+                    latency=cfg.latency,
+                    sample_rate=cfg.sample_rate,
                 ),
-                ops.do(StreamingPlot(config.duration, config.latency)),
+                ops.do(StreamingPlot(cfg.duration, cfg.latency)),
             )
-        observable.subscribe(
-            on_error=self._handle_error,
-            on_completed=self._handle_completion,
-        )
+        chain.subscribe(on_error=self._shutdown, on_completed=self._shutdown)
         self.source.read()  # blocking
         return self.accumulator.get_prediction()
 
@@ -339,7 +356,11 @@ class Benchmark:
         # Key by the model OBJECTS (identity comparison, and the strong refs
         # held by the cache keep them alive) — id() alone can be recycled
         # after garbage collection, silently pairing a new config with an
-        # engine compiled around a dead model's weights.
+        # engine compiled around a dead model's weights. The cache is a
+        # single slot, so at most ONE engine (and its models' params) stays
+        # pinned: a sweep over distinct model configs replaces the slot each
+        # time instead of accumulating every compiled engine for the process
+        # lifetime.
         cache_key = (
             config.segmentation,
             None if is_vad else config.embedding,
