@@ -169,6 +169,11 @@ def main():
         "the detected device kind)",
     )
     parser.add_argument(
+        "--quick", action="store_true",
+        help="tiny measurement windows (smoke/CI mode — e.g. the CPU-mesh "
+        "end-to-end test; numbers are NOT publication-grade)",
+    )
+    parser.add_argument(
         "--profile", metavar="DIR", default=None,
         help="write a TensorBoard/XProf device trace of the steady-state "
         "loop to DIR (open with xprof / tensorboard-plugin-profile)",
@@ -190,10 +195,14 @@ def main():
     # construction so the CPU-backend init programs never enter the cache —
     # CPU executables are AOT-compiled for the exact host CPU, and a foreign
     # entry fails to load (or worse) on other machines.
-    cache_dir = Path(__file__).resolve().parent / ".jax_cache"
-    cache_dir.mkdir(exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    # (CPU-backend runs — e.g. the virtual-mesh CI smoke — skip the repo
+    # cache: CPU executables are AOT-compiled for the exact host CPU and
+    # would poison the shared cache for other machines.)
+    if jax.default_backend() != "cpu":
+        cache_dir = Path(__file__).resolve().parent / ".jax_cache"
+        cache_dir.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     rng = np.random.default_rng(0)
     state = engine.init_state()
@@ -232,10 +241,11 @@ def main():
     # the remote-TPU tunnel's ~28 ms round trip (XProf shows the device
     # chaining steps back-to-back with ~9 us gaps), which at window=10
     # inflated the per-step time by ~2.8 ms of pure measurement artifact.
-    window = 25
+    window = 3 if args.quick else 25
+    num_windows = 2 if args.quick else max(5, steps // window)
     window_times = []
     blocked_times = []
-    for w in range(max(5, steps // window)):
+    for w in range(num_windows):
         t0 = time.perf_counter()
         for i in range(window):
             state, out = engine.step(state, blocks[warmup + (w * window + i) % steps])
@@ -266,7 +276,7 @@ def main():
 
     # Secondary: transfer-inclusive hops (host-resident blocks each hop).
     xfer_times = []
-    for i in range(10):
+    for i in range(2 if args.quick else 10):
         t0 = time.perf_counter()
         state, out = engine.step(state, blocks_host[i % steps])
         jax.block_until_ready(out.aggregated)
