@@ -34,7 +34,9 @@ __all__ = ["LazyModel", "SegmentationModel", "EmbeddingModel"]
 
 def _dtype_kwarg(kwargs):
     dtype = kwargs.get("dtype", "f32")
-    return jnp.bfloat16 if dtype in ("bf16", "bfloat16") else jnp.float32
+    if dtype in ("bf16", "bfloat16", jnp.bfloat16):
+        return jnp.bfloat16
+    return jnp.float32
 
 
 def _seed_from_name(name: str) -> int:
@@ -117,6 +119,7 @@ class _EmbRegistryLoader:
             module = EcapaTDNN(
                 embedding_dim=kwargs.get("embedding_dim", 192),
                 channels=kwargs.get("channels", 512),
+                compute_dtype=_dtype_kwarg(kwargs),
             )
         elif name == "tpu/resnet34":
             from .resnet import ResNet34
@@ -124,6 +127,7 @@ class _EmbRegistryLoader:
             module = ResNet34(
                 embedding_dim=kwargs.get("embedding_dim", 256),
                 base_channels=kwargs.get("base_channels", 32),
+                compute_dtype=_dtype_kwarg(kwargs),
             )
         elif name == "tpu/titanet":
             from .titanet import TitaNet
@@ -131,6 +135,7 @@ class _EmbRegistryLoader:
             module = TitaNet(
                 embedding_dim=kwargs.get("embedding_dim", 192),
                 channels=kwargs.get("channels", 1024),
+                compute_dtype=_dtype_kwarg(kwargs),
             )
         else:
             module = XVectorSincNet(
@@ -183,6 +188,7 @@ class LazyModel:
         self.module = None
         self.params = None
         self.meta: Dict[str, Any] = {}
+        self._pending_dtype = None
 
     def is_in_memory(self) -> bool:
         return self.module is not None
@@ -190,7 +196,30 @@ class LazyModel:
     def load(self) -> "LazyModel":
         if not self.is_in_memory():
             self.module, self.params, self.meta = self._loader()
+            self._swap_dtype()
         return self
+
+    def with_dtype(self, dtype) -> "LazyModel":
+        """Serve this model's trunk in a different compute dtype (``"bf16"``
+        or ``"f32"``) regardless of how it was loaded — converted torch
+        checkpoints included. Parameters stay f32; only the module's
+        ``compute_dtype`` field is replaced (modules without one — ONNX,
+        user callables — are unaffected). Call before first use."""
+        self._pending_dtype = _dtype_kwarg({"dtype": dtype})
+        if self.is_in_memory():
+            self._swap_dtype()
+        return self
+
+    def _swap_dtype(self) -> None:
+        import dataclasses
+
+        dt = self._pending_dtype
+        if dt is None or not dataclasses.is_dataclass(self.module):
+            return
+        if any(f.name == "compute_dtype" for f in dataclasses.fields(self.module)):
+            self.module = self.module.clone(compute_dtype=dt)
+            if getattr(self, "_apply", None) is not None:
+                self._apply = None  # retrace with the new dtype
 
     def __getstate__(self):
         """Pickle only the loader: compiled functions aren't picklable and
@@ -462,7 +491,7 @@ class EmbeddingModel(LazyModel):
         if name.endswith((".msgpack", ".npz")):
             return EmbeddingModel(_FileLoader("native_emb", model))
         if name.endswith((".bin", ".pt", ".ckpt", ".safetensors")):
-            return EmbeddingModel.from_torch(model)
+            return EmbeddingModel.from_torch(model, dtype=kwargs.get("dtype"))
         if name.startswith("tpu/"):
             return EmbeddingModel.from_registry(name, **kwargs)
         return EmbeddingModel.from_pyannote(model, use_hf_token)
@@ -504,8 +533,11 @@ class EmbeddingModel(LazyModel):
         return EmbeddingModel(_EmbRegistryLoader(name, kwargs))
 
     @staticmethod
-    def from_torch(path: Union[str, Path]) -> "EmbeddingModel":
-        return EmbeddingModel(_FileLoader("torch_emb", path))
+    def from_torch(path: Union[str, Path], dtype=None) -> "EmbeddingModel":
+        """dtype: optional trunk compute dtype for serving ("bf16"/"f32");
+        parameters and conversion fidelity are f32 either way."""
+        model = EmbeddingModel(_FileLoader("torch_emb", path))
+        return model.with_dtype(dtype) if dtype is not None else model
 
     @staticmethod
     def from_pyannote(model, use_hf_token=True) -> "EmbeddingModel":

@@ -44,7 +44,12 @@ def resample_weights(weights: jnp.ndarray, num_frames: int) -> jnp.ndarray:
 
 class InferenceBatchNorm(nn.Module):
     """Inference-form batch norm: running statistics live as parameters so
-    converted torch checkpoints drop in directly."""
+    converted torch checkpoints drop in directly.
+
+    Dtype-preserving: the affine is folded from the f32 parameters
+    (``a = scale·rsqrt(var+eps)``, ``b = bias − mean·a``) and applied in the
+    input's dtype, so a bf16 trunk stays bf16 across its normalizations
+    instead of bouncing every activation through f32 HBM."""
 
     features: int
 
@@ -54,7 +59,9 @@ class InferenceBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("mean", nn.initializers.zeros, (self.features,))
         var = self.param("var", nn.initializers.ones, (self.features,))
-        return scale * (x - mean) * jax.lax.rsqrt(var + 1e-5) + bias
+        a = scale * jax.lax.rsqrt(var + 1e-5)
+        b = bias - mean * a
+        return x * a.astype(x.dtype) + b.astype(x.dtype)
 
 
 def attentive_stats_pool(
@@ -84,19 +91,25 @@ def attentive_stats_pool(
         weights = jnp.ones(frames.shape[:1] + (1, frames.shape[1]), frames.dtype)
     weights = resample_weights(weights, frames.shape[1])
 
-    gmean = jnp.mean(frames, axis=1, keepdims=True)
-    gvar = jnp.mean((frames - gmean) ** 2, axis=1, keepdims=True)
+    # statistics in f32 regardless of the trunk dtype: long-horizon means /
+    # variances accumulate poorly in bf16, and the attention matmuls are a
+    # negligible share of the model's FLOPs
+    f32 = frames.astype(jnp.float32)
+    weights = weights.astype(jnp.float32)
+    gmean = jnp.mean(f32, axis=1, keepdims=True)
+    gvar = jnp.mean((f32 - gmean) ** 2, axis=1, keepdims=True)
     gstd = jnp.sqrt(jnp.maximum(gvar, 1e-12))
-    hidden = att_local(frames) + att_global(
+    hidden = att_local(f32) + att_global(
         jnp.concatenate([gmean, gstd], axis=-1)
     )
     hidden = jnp.tanh(att_bn(nn.relu(hidden)))  # (B, T, bottleneck)
     alpha = jax.nn.softmax(att_scores(hidden), axis=1)  # (B, T, C)
 
-    af = alpha * frames
-    af2 = alpha * frames**2
-    den = jnp.maximum(jnp.einsum("btc,bst->bsc", alpha, weights), 1e-12)
-    mu = jnp.einsum("btc,bst->bsc", af, weights) / den
-    var = jnp.einsum("btc,bst->bsc", af2, weights) / den - mu**2
+    af = alpha * f32
+    af2 = alpha * f32**2
+    pref = dict(preferred_element_type=jnp.float32)
+    den = jnp.maximum(jnp.einsum("btc,bst->bsc", alpha, weights, **pref), 1e-12)
+    mu = jnp.einsum("btc,bst->bsc", af, weights, **pref) / den
+    var = jnp.einsum("btc,bst->bsc", af2, weights, **pref) / den - mu**2
     sg = jnp.sqrt(jnp.maximum(var, 1e-12))
     return jnp.concatenate([mu, sg], axis=-1), squeeze

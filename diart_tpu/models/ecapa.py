@@ -41,6 +41,7 @@ class _TDNNBlock(nn.Module):
     features: int
     kernel: int = 1
     dilation: int = 1
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -50,6 +51,8 @@ class _TDNNBlock(nn.Module):
             kernel_size=(self.kernel,),
             kernel_dilation=(self.dilation,),
             padding=[(pad, pad)],
+            dtype=self.compute_dtype,
+            param_dtype=jnp.float32,
             name="conv",
         )(x)
         return _BatchNorm(self.features, name="bn")(nn.relu(x))
@@ -64,6 +67,7 @@ class _Res2Block(nn.Module):
     kernel: int
     dilation: int
     scale: int = 8
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -73,7 +77,10 @@ class _Res2Block(nn.Module):
         y = None
         for i in range(1, self.scale):
             inp = chunks[i] if y is None else chunks[i] + y
-            y = _TDNNBlock(width, self.kernel, self.dilation, name=f"block{i - 1}")(inp)
+            y = _TDNNBlock(
+                width, self.kernel, self.dilation,
+                compute_dtype=self.compute_dtype, name=f"block{i - 1}",
+            )(inp)
             outputs.append(y)
         return jnp.concatenate(outputs, axis=-1)
 
@@ -86,10 +93,12 @@ class _SEBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        s = jnp.mean(x, axis=1, keepdims=True)  # (B, 1, C)
+        # squeeze statistics + gate MLP in f32 (time-mean accumulation);
+        # the excitation multiply stays in the trunk dtype
+        s = jnp.mean(x.astype(jnp.float32), axis=1, keepdims=True)  # (B, 1, C)
         s = nn.relu(nn.Dense(self.bottleneck, name="conv1")(s))
         s = nn.sigmoid(nn.Dense(self.features, name="conv2")(s))
-        return x * s
+        return x * s.astype(x.dtype)
 
 
 class _SERes2Block(nn.Module):
@@ -98,16 +107,18 @@ class _SERes2Block(nn.Module):
     dilation: int
     res2_scale: int = 8
     se_bottleneck: int = 128
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         residual = x
-        x = _TDNNBlock(self.features, 1, 1, name="tdnn1")(x)
+        dt = self.compute_dtype
+        x = _TDNNBlock(self.features, 1, 1, compute_dtype=dt, name="tdnn1")(x)
         x = _Res2Block(
             self.features, self.kernel, self.dilation, self.res2_scale,
-            name="res2net",
+            compute_dtype=dt, name="res2net",
         )(x)
-        x = _TDNNBlock(self.features, 1, 1, name="tdnn2")(x)
+        x = _TDNNBlock(self.features, 1, 1, compute_dtype=dt, name="tdnn2")(x)
         x = _SEBlock(self.features, self.se_bottleneck, name="se")(x)
         return x + residual
 
@@ -126,14 +137,15 @@ class EcapaTDNN(nn.Module):
     attention_bottleneck: int = 128
     res2_scale: int = 8
     se_bottleneck: int = 128
+    compute_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        c = self.channels
-        self.stem = _TDNNBlock(c, 5, 1, name="stem")
-        self.block1 = _SERes2Block(c, 3, 2, self.res2_scale, self.se_bottleneck, name="block1")
-        self.block2 = _SERes2Block(c, 3, 3, self.res2_scale, self.se_bottleneck, name="block2")
-        self.block3 = _SERes2Block(c, 3, 4, self.res2_scale, self.se_bottleneck, name="block3")
-        self.mfa = _TDNNBlock(3 * c, 1, 1, name="mfa")
+        c, dt = self.channels, self.compute_dtype
+        self.stem = _TDNNBlock(c, 5, 1, compute_dtype=dt, name="stem")
+        self.block1 = _SERes2Block(c, 3, 2, self.res2_scale, self.se_bottleneck, dt, name="block1")
+        self.block2 = _SERes2Block(c, 3, 3, self.res2_scale, self.se_bottleneck, dt, name="block2")
+        self.block3 = _SERes2Block(c, 3, 4, self.res2_scale, self.se_bottleneck, dt, name="block3")
+        self.mfa = _TDNNBlock(3 * c, 1, 1, compute_dtype=dt, name="mfa")
         # speechbrain ASP: TDNNBlock(9C -> bottleneck) on [x; mean; std],
         # tanh, 1x1 conv -> per-channel attention logits. The TDNNBlock's
         # conv over the concat is computed as split local/global matmuls so
@@ -165,8 +177,12 @@ class EcapaTDNN(nn.Module):
         return self.trunk_from_features(self.features(waveform))
 
     def trunk_from_features(self, feats: jnp.ndarray) -> jnp.ndarray:
-        """(batch, frames, num_mels) -> (batch, frames, 3*channels)."""
-        x = self.stem(feats)
+        """(batch, frames, num_mels) -> (batch, frames, 3*channels).
+
+        Runs in ``compute_dtype`` (bf16 keeps the MXU on its fast path; the
+        fbank frontend and the pooling-head statistics stay f32 — embeddings
+        only feed cosine distances for clustering)."""
+        x = self.stem(feats.astype(self.compute_dtype))
         b1 = self.block1(x)
         b2 = self.block2(b1)
         b3 = self.block3(b2)

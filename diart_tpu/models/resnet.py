@@ -40,24 +40,28 @@ class _BasicBlock(nn.Module):
 
     features: int
     stride: int = 1
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        conv_kw = dict(
+            use_bias=False, dtype=self.compute_dtype, param_dtype=jnp.float32
+        )
         residual = x
         y = nn.Conv(
             self.features, (3, 3), strides=(self.stride, self.stride),
-            padding=[(1, 1), (1, 1)], use_bias=False, name="conv1",
+            padding=[(1, 1), (1, 1)], name="conv1", **conv_kw,
         )(x)
         y = nn.relu(_BatchNorm(self.features, name="bn1")(y))
         y = nn.Conv(
-            self.features, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-            name="conv2",
+            self.features, (3, 3), padding=[(1, 1), (1, 1)], name="conv2",
+            **conv_kw,
         )(y)
         y = _BatchNorm(self.features, name="bn2")(y)
         if self.stride != 1 or x.shape[-1] != self.features:
             residual = nn.Conv(
                 self.features, (1, 1), strides=(self.stride, self.stride),
-                use_bias=False, name="downsample_conv",
+                name="downsample_conv", **conv_kw,
             )(x)
             residual = _BatchNorm(self.features, name="downsample_bn")(residual)
         return nn.relu(y + residual)
@@ -75,11 +79,13 @@ class ResNet34(nn.Module):
     depths: Tuple[int, int, int, int] = (3, 4, 6, 3)
     num_mels: int = 80
     sample_rate: int = 16000
+    compute_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         c = self.base_channels
         self.conv1 = nn.Conv(
-            c, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False, name="conv1"
+            c, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+            dtype=self.compute_dtype, param_dtype=jnp.float32, name="conv1",
         )
         self.bn1 = _BatchNorm(c, name="bn1")
         blocks = []
@@ -89,7 +95,8 @@ class ResNet34(nn.Module):
                 stride = 2 if (stage > 0 and i == 0) else 1
                 blocks.append(
                     _BasicBlock(
-                        features, stride, name=f"layer{stage + 1}_{i}"
+                        features, stride, self.compute_dtype,
+                        name=f"layer{stage + 1}_{i}",
                     )
                 )
         self.blocks = blocks
@@ -118,9 +125,10 @@ class ResNet34(nn.Module):
 
         The (time, mel) plane runs through the ResNet as an NHWC image with
         one input channel; the trailing per-frame feature is the flattened
-        (freq', channels) map — wespeaker's pre-pooling layout.
+        (freq', channels) map — wespeaker's pre-pooling layout. Runs in
+        ``compute_dtype``; the fbank frontend and pooling head stay f32.
         """
-        x = feats[..., None]  # (B, T, F, 1)
+        x = feats.astype(self.compute_dtype)[..., None]  # (B, T, F, 1)
         x = nn.relu(self.bn1(self.conv1(x)))
         for block in self.blocks:
             x = block(x)

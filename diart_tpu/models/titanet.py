@@ -36,19 +36,23 @@ class _SeparableConvBnRelu(nn.Module):
     features: int
     kernel: int
     relu: bool = True
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        conv_kw = dict(
+            use_bias=False, dtype=self.compute_dtype, param_dtype=jnp.float32
+        )
         pad = (self.kernel - 1) // 2
         x = nn.Conv(
             x.shape[-1],
             kernel_size=(self.kernel,),
             padding=[(pad, pad)],
             feature_group_count=x.shape[-1],
-            use_bias=False,
             name="dw",
+            **conv_kw,
         )(x)
-        x = nn.Conv(self.features, kernel_size=(1,), use_bias=False, name="pw")(x)
+        x = nn.Conv(self.features, kernel_size=(1,), name="pw", **conv_kw)(x)
         x = _BatchNorm(self.features, name="bn")(x)
         return nn.relu(x) if self.relu else x
 
@@ -61,10 +65,12 @@ class _SqueezeExcite(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        s = jnp.mean(x, axis=1, keepdims=True)  # (B, 1, C)
+        # squeeze statistics + gate MLP in f32 (time-mean accumulation);
+        # the excitation multiply stays in the trunk dtype
+        s = jnp.mean(x.astype(jnp.float32), axis=1, keepdims=True)  # (B, 1, C)
         s = nn.relu(nn.Dense(self.features // self.reduction, name="fc1")(s))
         s = nn.sigmoid(nn.Dense(self.features, name="fc2")(s))
-        return x * s
+        return x * s.astype(x.dtype)
 
 
 class _TitaBlock(nn.Module):
@@ -75,6 +81,7 @@ class _TitaBlock(nn.Module):
     repeat: int = 1
     residual: bool = True
     se_reduction: int = 8
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -84,12 +91,15 @@ class _TitaBlock(nn.Module):
                 self.features,
                 self.kernel,
                 relu=(r < self.repeat - 1),
+                compute_dtype=self.compute_dtype,
                 name=f"rep{r}",
             )(x)
         x = _SqueezeExcite(self.features, self.se_reduction, name="se")(x)
         if self.residual:
             res = nn.Conv(
-                self.features, kernel_size=(1,), use_bias=False, name="res_conv"
+                self.features, kernel_size=(1,), use_bias=False,
+                dtype=self.compute_dtype, param_dtype=jnp.float32,
+                name="res_conv",
             )(inp)
             res = _BatchNorm(self.features, name="res_bn")(res)
             x = x + res
@@ -111,15 +121,23 @@ class TitaNet(nn.Module):
     num_mels: int = 80
     sample_rate: int = 16000
     attention_bottleneck: int = 128
+    compute_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        c = self.channels
-        self.prologue = _TitaBlock(c, 3, repeat=1, residual=False, name="prologue")
+        c, dt = self.channels, self.compute_dtype
+        self.prologue = _TitaBlock(
+            c, 3, repeat=1, residual=False, compute_dtype=dt, name="prologue"
+        )
         self.megas = [
-            _TitaBlock(c, k, repeat=self.repeat, residual=True, name=f"mega{i}")
+            _TitaBlock(
+                c, k, repeat=self.repeat, residual=True, compute_dtype=dt,
+                name=f"mega{i}",
+            )
             for i, k in enumerate(self.mega_kernels)
         ]
-        self.epilogue = _TitaBlock(3 * c, 1, repeat=1, residual=False, name="epilogue")
+        self.epilogue = _TitaBlock(
+            3 * c, 1, repeat=1, residual=False, compute_dtype=dt, name="epilogue"
+        )
         # channel-attentive stats pooling (attention over [x; mean; std],
         # split into local/global matmuls as in our ECAPA head)
         self.att_local = nn.Dense(self.attention_bottleneck, name="att_local")
@@ -154,8 +172,11 @@ class TitaNet(nn.Module):
         return self.trunk_from_features(self.features(waveform))
 
     def trunk_from_features(self, feats: jnp.ndarray) -> jnp.ndarray:
-        """(batch, frames, num_mels) -> (batch, frames, 3*channels)."""
-        x = self.prologue(feats)
+        """(batch, frames, num_mels) -> (batch, frames, 3*channels).
+
+        Runs in ``compute_dtype``; the mel frontend and the pooling-head
+        statistics stay f32."""
+        x = self.prologue(feats.astype(self.compute_dtype))
         for mega in self.megas:
             x = mega(x)
         return self.epilogue(x)

@@ -78,7 +78,9 @@ def test_fused_head_matches_standard_head(monkeypatch):
     trunk_std = model.apply(params, wave, method="trunk")
     assert trunk_std.shape[-1] == 1500
 
-    monkeypatch.setattr(emb_mod, "pallas_enabled", lambda env: True)
+    from diart_tpu import precision
+
+    monkeypatch.setattr(precision, "enabled", lambda f: f == "pallas_head")
     trunk_fused = model.apply(params, wave, method="trunk")
     assert trunk_fused.shape[-1] == 512  # stops before the final projection
     fused = model.apply(params, trunk_fused, weights, method="head")
@@ -96,7 +98,9 @@ def test_fused_head_no_weights_squeeze(monkeypatch):
     params = model.init(jax.random.PRNGKey(6), wave)
     standard = model.apply(params, wave)
 
-    monkeypatch.setattr(emb_mod, "pallas_enabled", lambda env: True)
+    from diart_tpu import precision
+
+    monkeypatch.setattr(precision, "enabled", lambda f: f == "pallas_head")
     fused = model.apply(params, wave)
     assert fused.shape == standard.shape == (2, 512)
     np.testing.assert_allclose(fused, standard, rtol=1e-4, atol=1e-4)
