@@ -203,10 +203,18 @@ def _pallas_sweep(proj_t, w_hh, interpret, flip_dir1):
     """proj_t: (T, 2, B, 4H) time-major; -> (T, 2, B, H)."""
     time, dirs, batch, gates4 = proj_t.shape
     hidden = gates4 // 4
+    # Mosaic tiles the (B, 4H) trailing dims, so the per-step DMA slices
+    # need a sublane-aligned batch; tiny batches (e.g. the batch-1 latency
+    # path) are zero-padded — batch rows are independent in the recurrence,
+    # and the padded rows are sliced off below.
+    pad = (-batch) % 8
+    if pad:
+        proj_t = jnp.pad(proj_t, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        batch += pad
     # a bf16 projection stream also runs the recurrent matmul at bf16
     # (f32 accumulation); an f32 stream keeps everything f32/bit-exact
     w_hh = w_hh.astype(proj_t.dtype)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         partial(_lstm_kernel, flip_dir1=flip_dir1),
         out_shape=jax.ShapeDtypeStruct((time, dirs, batch, hidden), proj_t.dtype),
         in_specs=[
@@ -226,6 +234,7 @@ def _pallas_sweep(proj_t, w_hh, interpret, flip_dir1):
             vmem_limit_bytes=int(1.2e8),
         ),
     )(proj_t, w_hh)
+    return out[:, :, : batch - pad] if pad else out
 
 
 def _run_kernel(proj, w_hh, interpret):

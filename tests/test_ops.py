@@ -301,6 +301,33 @@ class TestPallasLSTM:
         got = np.asarray(jnp.moveaxis(got_t, 0, 2))
         np.testing.assert_allclose(got, want, atol=1e-5)
 
+    def test_batch_one_padding(self, rng):
+        """The batch-1 latency path: Mosaic rejects sub-sublane DMA slices
+        of the (B, 4H)-tiled gate stream, so tiny batches are zero-padded
+        inside the sweep and sliced back (the engine at batch_size=1
+        crashed on TPU before this was pinned)."""
+        from diart_tpu.models.lstm import _bidirectional_scan
+        from diart_tpu.ops.pallas_lstm import lstm_sweep, lstm_sweep_tm
+
+        D, B, T, H = 2, 1, 11, 8
+        proj = jnp.asarray(rng.normal(size=(D, B, T, 4 * H)).astype(np.float32))
+        w_hh = jnp.asarray(
+            rng.normal(scale=0.3, size=(D, 4 * H, H)).astype(np.float32)
+        )
+        want = np.asarray(_bidirectional_scan(proj, w_hh, H))
+        got = np.asarray(lstm_sweep(proj, w_hh, interpret=True))
+        assert got.shape == (D, B, T, H)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+        flipped = jnp.stack([proj[0], proj[1][:, ::-1]], axis=0)
+        out = _bidirectional_scan(flipped, w_hh, H)
+        want_tm = np.asarray(jnp.stack([out[0], out[1][:, ::-1]], axis=0))
+        got_t = lstm_sweep_tm(jnp.moveaxis(proj, 2, 0), w_hh, interpret=True)
+        assert got_t.shape == (T, D, B, H)
+        np.testing.assert_allclose(
+            np.asarray(jnp.moveaxis(got_t, 0, 2)), want_tm, atol=1e-5
+        )
+
     def test_time_major_sweep_grad(self, rng):
         from diart_tpu.ops.pallas_lstm import _tm_reference, lstm_sweep_tm
 
