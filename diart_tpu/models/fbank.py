@@ -1,15 +1,25 @@
 """Log-mel filterbank frontend, as a pure jittable function.
 
-Feature extractor for the ECAPA-TDNN embedding family (the reference wraps
-speechbrain models that consume 80-dim fbanks, ``README.md:174-175`` model
-table). Framing is expressed as a strided gather + one rFFT so XLA fuses the
-window/power/mel chain; the mel matrix is a trace-time constant.
+Feature extractors for the mel-consuming embedding families (the reference
+wraps speechbrain / wespeaker / NeMo models that consume 80-dim fbanks,
+``README.md:172-178`` model table).
+
+TPU formulation: framing + windowing + DFT run as ONE strided convolution
+on the MXU — the DFT basis (with the window and any per-frame *linear* ops
+like Kaldi's DC-removal/pre-emphasis folded in) is a trace-time constant
+filterbank, exactly like the SincConv. This replaces the original
+strided-gather + ``jnp.fft.rfft`` formulation, which was measured 2-4x
+slower at serving shape on v5e (the gather walks the scalar core, and a
+400-point FFT takes XLA's Bluestein path) and *less accurate*: TPU rfft is
+~0.03 dB off a float64 oracle where the f32 ``precision=HIGHEST`` DFT
+convolution is ~4e-5 dB (see PERF.md).
 """
 
 from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -63,6 +73,47 @@ def num_fbank_frames(num_samples: int, n_fft: int = 400, hop: int = 160) -> int:
     return (num_samples - n_fft) // hop + 1
 
 
+def _dft_power(signal: jnp.ndarray, basis: np.ndarray, hop: int) -> jnp.ndarray:
+    """Power spectrum of hopped frames via a strided DFT convolution.
+
+    signal: (batch, samples), already padded so that frame ``t`` starts at
+    sample ``t * hop`` and the last frame fits. basis: (2 * bins, taps)
+    numpy constant — ``bins`` cosine rows then ``bins`` sine rows, window
+    (and any per-frame linear preprocessing) folded in. Returns
+    (batch, frames, bins) float32.
+
+    ``precision=HIGHEST`` keeps the f32 contraction exact-grade: measured
+    ~4e-5 dB off a float64 oracle (the TPU rfft this replaces was ~0.03 dB)
+    at about half the rfft path's runtime.
+    """
+    bins = basis.shape[0] // 2
+    y = jax.lax.conv_general_dilated(
+        signal[:, None, :],
+        jnp.asarray(basis)[:, None, :],
+        (hop,),
+        "VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (batch, 2 * bins, frames)
+    power = y[:, :bins] ** 2 + y[:, bins:] ** 2
+    return jnp.swapaxes(power, 1, 2)
+
+
+def _dft_rows(dft_size: int, taps: np.ndarray, bins: int, offset: int = 0):
+    """(cos, sin) DFT basis rows: ``basis[k, m] = cis(-2pi k (offset+m) /
+    dft_size)`` sampled at tap positions ``m`` — float64 for synthesis."""
+    k = np.arange(bins)[:, None].astype(np.float64)
+    n = (offset + np.arange(len(taps)))[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * k * n / dft_size
+    return np.cos(ang) * taps[None, :], np.sin(ang) * taps[None, :]
+
+
+@lru_cache(maxsize=None)
+def _hann_basis(n_fft: int) -> np.ndarray:
+    cos_r, sin_r = _dft_rows(n_fft, np.hanning(n_fft), n_fft // 2 + 1)
+    return np.concatenate([cos_r, sin_r], 0).astype(np.float32)
+
+
 def log_mel_filterbank(
     waveform: jnp.ndarray,
     num_mels: int = 80,
@@ -72,17 +123,12 @@ def log_mel_filterbank(
     eps: float = 1e-10,
 ) -> jnp.ndarray:
     """(batch, samples) -> (batch, frames, num_mels) log-mel energies."""
-    batch, samples = waveform.shape
-    num_frames = num_fbank_frames(samples, n_fft, hop)
-    idx = np.arange(num_frames)[:, None] * hop + np.arange(n_fft)[None, :]
-    frames = waveform[:, idx]  # (batch, frames, n_fft)
-    window = jnp.asarray(np.hanning(n_fft).astype(np.float32))
-    spec = jnp.fft.rfft(frames * window, axis=-1)
-    power = jnp.abs(spec) ** 2
+    power = _dft_power(waveform, _hann_basis(n_fft), hop)
     mel = jnp.einsum(
         "btf,mf->btm",
-        power.astype(jnp.float32),
+        power,
         jnp.asarray(mel_filter_matrix(num_mels, n_fft, sample_rate)),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return jnp.log(mel + eps)
 
@@ -131,21 +177,26 @@ def speechbrain_log_mel(
     pad = n_fft // 2
     padded = jnp.pad(waveform, ((0, 0), (pad, pad)))
     num_frames = samples // hop + 1
-    idx = np.arange(num_frames)[:, None] * hop + np.arange(n_fft)[None, :]
-    frames = padded[:, idx]  # (batch, frames, n_fft)
-    # torch.hamming_window(periodic=True)
-    n = np.arange(n_fft)
-    window = jnp.asarray((0.54 - 0.46 * np.cos(2 * np.pi * n / n_fft)).astype(np.float32))
-    spec = jnp.fft.rfft(frames * window, axis=-1)
-    power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2).astype(jnp.float32)
+    need = (num_frames - 1) * hop + n_fft
+    power = _dft_power(padded[:, :need], _hamming_basis(n_fft), hop)
     fbanks = jnp.einsum(
         "btf,mf->btm",
         power,
         jnp.asarray(speechbrain_mel_matrix(num_mels, n_fft, sample_rate, f_min, f_max)),
+        precision=jax.lax.Precision.HIGHEST,
     )
     x_db = 10.0 * jnp.log10(jnp.maximum(fbanks, amin))
     floor = jnp.max(x_db, axis=(1, 2), keepdims=True) - top_db
     return jnp.maximum(x_db, floor)
+
+
+@lru_cache(maxsize=None)
+def _hamming_basis(n_fft: int) -> np.ndarray:
+    # torch.hamming_window(periodic=True)
+    n = np.arange(n_fft)
+    window = 0.54 - 0.46 * np.cos(2 * np.pi * n / n_fft)
+    cos_r, sin_r = _dft_rows(n_fft, window, n_fft // 2 + 1)
+    return np.concatenate([cos_r, sin_r], 0).astype(np.float32)
 
 
 @lru_cache(maxsize=None)
@@ -213,22 +264,31 @@ def nemo_log_mel(
     pad = n_fft // 2
     padded = jnp.pad(waveform, ((0, 0), (pad, pad)), mode="reflect")
     num_frames = samples // hop + 1
-    idx = np.arange(num_frames)[:, None] * hop + np.arange(n_fft)[None, :]
-    frames = padded[:, idx]  # (batch, frames, n_fft)
-    # torch.hann_window(win_length, periodic=False), centered into n_fft
-    n = np.arange(win_length)
-    hann = 0.5 - 0.5 * np.cos(2 * np.pi * n / (win_length - 1))
-    window = np.zeros(n_fft, np.float32)
+    # the Hann(win_length) window is zero outside its centered span, so the
+    # DFT convolution only needs win_length taps, phase-offset by the left
+    # margin — the conv input starts `left` samples in
     left = (n_fft - win_length) // 2
-    window[left : left + win_length] = hann
-    spec = jnp.fft.rfft(frames * jnp.asarray(window), axis=-1)
-    power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2).astype(jnp.float32)
+    need = (num_frames - 1) * hop + win_length
+    power = _dft_power(
+        padded[:, left : left + need], _nemo_basis(n_fft, win_length), hop
+    )
     mel = jnp.einsum(
         "btf,mf->btm",
         power,
         jnp.asarray(librosa_mel_matrix(num_mels, n_fft, sample_rate)),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return jnp.log(mel + log_guard)
+
+
+@lru_cache(maxsize=None)
+def _nemo_basis(n_fft: int, win_length: int) -> np.ndarray:
+    # torch.hann_window(win_length, periodic=False), centered into n_fft
+    n = np.arange(win_length)
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * n / (win_length - 1))
+    left = (n_fft - win_length) // 2
+    cos_r, sin_r = _dft_rows(n_fft, hann, n_fft // 2 + 1, offset=left)
+    return np.concatenate([cos_r, sin_r], 0).astype(np.float32)
 
 
 @lru_cache(maxsize=None)
@@ -281,26 +341,36 @@ def kaldi_log_mel(
     these features (followed by per-utterance mean normalization).
     """
     batch, samples = waveform.shape
-    num_frames = 1 + (samples - frame_length) // hop
-    idx = np.arange(num_frames)[:, None] * hop + np.arange(frame_length)[None, :]
-    frames = waveform[:, idx]  # (batch, frames, flen)
-    if remove_dc:
-        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
-    if preemphasis:
-        first = frames[..., :1] - preemphasis * frames[..., :1]
-        rest = frames[..., 1:] - preemphasis * frames[..., :-1]
-        frames = jnp.concatenate([first, rest], axis=-1)
-    n = np.arange(frame_length)
-    povey = ((0.5 - 0.5 * np.cos(2 * np.pi * n / (frame_length - 1))) ** 0.85).astype(
-        np.float32
-    )
-    frames = frames * jnp.asarray(povey)
-    padded = 1 << (frame_length - 1).bit_length()  # next pow2
-    spec = jnp.fft.rfft(frames, n=padded, axis=-1)
-    power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2).astype(jnp.float32)
+    padded = 1 << (frame_length - 1).bit_length()  # next pow2 DFT size
+    # per-frame DC removal, pre-emphasis and the povey window are all LINEAR
+    # maps of the frame, so they live inside the DFT basis (float64 fold)
+    basis = _kaldi_basis(frame_length, padded, preemphasis, remove_dc)
+    power = _dft_power(waveform, basis, hop)
     mel = jnp.einsum(
         "btf,mf->btm",
-        power[..., : padded // 2],
+        power,
         jnp.asarray(kaldi_mel_matrix(num_mels, padded, sample_rate)),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return jnp.log(jnp.maximum(mel, np.finfo(np.float32).eps))
+
+
+@lru_cache(maxsize=None)
+def _kaldi_basis(
+    frame_length: int, padded: int, preemphasis: float, remove_dc: bool
+) -> np.ndarray:
+    flen = frame_length
+    linear = np.eye(flen)
+    if remove_dc:
+        linear = linear - np.full((flen, flen), 1.0 / flen)
+    if preemphasis:
+        pre = np.eye(flen) * 1.0
+        pre[0, 0] = 1.0 - preemphasis
+        for i in range(1, flen):
+            pre[i, i - 1] = -preemphasis
+        linear = pre @ linear
+    n = np.arange(flen)
+    povey = (0.5 - 0.5 * np.cos(2 * np.pi * n / (flen - 1))) ** 0.85
+    linear = povey[:, None] * linear
+    cos_r, sin_r = _dft_rows(padded, np.ones(flen), padded // 2)
+    return np.concatenate([cos_r @ linear, sin_r @ linear], 0).astype(np.float32)
