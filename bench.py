@@ -55,6 +55,13 @@ EMB_REGISTRY = {
     "titanet": "tpu/titanet",
 }
 
+SEG_REGISTRY = {
+    "pyannet": "tpu/pyannet",
+    # powerset multiclass head decoded to multilabel inside the jitted step —
+    # the `pyannote/segmentation-3.0` architecture shape
+    "powerset": "tpu/pyannet-powerset",
+}
+
 # bf16 peak matmul throughput per chip, by jax device_kind (public specs).
 # Override with --peak-tflops for other parts.
 PEAK_TFLOPS = {
@@ -105,7 +112,7 @@ def _build_engine(args):
     # practice and worth ~4% end-to-end). --dtype sets the segmentation
     # model, --emb-dtype the embedding trunk (pass both f32 for the fully
     # f32 configuration).
-    seg = SegmentationModel.from_registry("tpu/pyannet", dtype=args.dtype)
+    seg = SegmentationModel.from_registry(SEG_REGISTRY[args.seg], dtype=args.dtype)
     emb = None
     if not args.vad:
         emb = EmbeddingModel.from_registry(
@@ -133,6 +140,11 @@ def main():
     parser.add_argument(
         "--emb", default="xvector", choices=sorted(EMB_REGISTRY),
         help="embedding family (all natively implemented + conversion-proven)",
+    )
+    parser.add_argument(
+        "--seg", default="pyannet", choices=sorted(SEG_REGISTRY),
+        help="segmentation model (powerset = the segmentation-3.0-style "
+        "multiclass head, decoded on device)",
     )
     parser.add_argument(
         "--vad", action="store_true",
@@ -302,7 +314,8 @@ def main():
         else "cost_analysis-unavailable"
     )
     print(
-        f"# batch={batch} mesh={args.mesh or 1} emb={'-' if args.vad else args.emb} "
+        f"# batch={batch} mesh={args.mesh or 1} seg={args.seg} "
+        f"emb={'-' if args.vad else args.emb} "
         f"vad={args.vad} shared_frontend={args.shared_frontend} "
         f"int16={args.int16} dtype={args.dtype} emb_dtype={args.emb_dtype} "
         f"t_step_median={t_median*1000:.2f}ms t_step_best={t_best*1000:.2f}ms "

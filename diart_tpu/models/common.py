@@ -103,13 +103,31 @@ def attentive_stats_pool(
         jnp.concatenate([gmean, gstd], axis=-1)
     )
     hidden = jnp.tanh(att_bn(nn.relu(hidden)))  # (B, T, bottleneck)
-    alpha = jax.nn.softmax(att_scores(hidden), axis=1)  # (B, T, C)
 
-    af = alpha * f32
-    af2 = alpha * f32**2
-    pref = dict(preferred_element_type=jnp.float32)
-    den = jnp.maximum(jnp.einsum("btc,bst->bsc", alpha, weights, **pref), 1e-12)
-    mu = jnp.einsum("btc,bst->bsc", af, weights, **pref) / den
-    var = jnp.einsum("btc,bst->bsc", af2, weights, **pref) / den - mu**2
+    from .. import precision
+
+    if precision.enabled("pallas_attn") and not att_scores.is_initializing():
+        # fused path: the per-channel attention is where this head's HBM
+        # traffic lives — the (B, T, C) logits/product tensors stay in VMEM
+        # (ops/pallas_attn_stats.py); only (B, S, C) moments come back
+        from ..ops.pallas_attn_stats import fused_attentive_stats
+
+        params = att_scores.variables["params"]
+        den, s1, s2 = fused_attentive_stats(
+            frames, hidden, params["kernel"], params["bias"], weights
+        )
+        den = jnp.maximum(den, 1e-12)
+        mu = s1 / den
+        var = s2 / den - mu**2
+    else:
+        alpha = jax.nn.softmax(att_scores(hidden), axis=1)  # (B, T, C)
+        af = alpha * f32
+        af2 = alpha * f32**2
+        pref = dict(preferred_element_type=jnp.float32)
+        den = jnp.maximum(
+            jnp.einsum("btc,bst->bsc", alpha, weights, **pref), 1e-12
+        )
+        mu = jnp.einsum("btc,bst->bsc", af, weights, **pref) / den
+        var = jnp.einsum("btc,bst->bsc", af2, weights, **pref) / den - mu**2
     sg = jnp.sqrt(jnp.maximum(var, 1e-12))
     return jnp.concatenate([mu, sg], axis=-1), squeeze

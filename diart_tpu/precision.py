@@ -23,8 +23,8 @@ policy an explicit, serializable value:
 
 Env var mapping (set to ``0`` to disable, anything else to enable):
 ``DIART_TPU_PALLAS_LSTM``, ``DIART_TPU_PALLAS_HEAD``,
-``DIART_TPU_BF16_LSTM``, ``DIART_TPU_BF16_FRONTEND``,
-``DIART_TPU_STACK_FRONTEND``.
+``DIART_TPU_PALLAS_ATTN``, ``DIART_TPU_BF16_LSTM``,
+``DIART_TPU_BF16_FRONTEND``, ``DIART_TPU_STACK_FRONTEND``.
 """
 
 from __future__ import annotations
@@ -43,6 +43,7 @@ __all__ = ["Precision", "active", "enabled", "set_default", "use"]
 _ENV_VARS = {
     "pallas_lstm": "DIART_TPU_PALLAS_LSTM",
     "pallas_head": "DIART_TPU_PALLAS_HEAD",
+    "pallas_attn": "DIART_TPU_PALLAS_ATTN",
     "bf16_lstm": "DIART_TPU_BF16_LSTM",
     "bf16_frontend": "DIART_TPU_BF16_FRONTEND",
     "stack_frontend": "DIART_TPU_STACK_FRONTEND",
@@ -51,7 +52,7 @@ _ENV_VARS = {
 # layouts); they resolve to False anywhere else no matter what the policy
 # or the env says.
 _TPU_ONLY = frozenset(
-    ("pallas_lstm", "pallas_head", "bf16_lstm", "bf16_frontend")
+    ("pallas_lstm", "pallas_head", "pallas_attn", "bf16_lstm", "bf16_frontend")
 )
 
 
@@ -64,6 +65,8 @@ class Precision:
     pallas_lstm: fused Pallas LSTM sweep kernel (ops/pallas_lstm.py).
     pallas_head: fused projection+statistics embedding head
         (ops/pallas_stats.py).
+    pallas_attn: fused channel-attention + weighted statistics pooling for
+        the ECAPA/TitaNet heads (ops/pallas_attn_stats.py).
     bf16_lstm: bf16 storage for the LSTM's pre-projected gate stream
         (cell state and gate math stay f32).
     bf16_frontend: bf16 storage for the pre-pool SincNet activation
@@ -75,6 +78,7 @@ class Precision:
 
     pallas_lstm: bool = True
     pallas_head: bool = True
+    pallas_attn: bool = True
     bf16_lstm: bool = True
     bf16_frontend: bool = True
     stack_frontend: bool = False
@@ -98,6 +102,7 @@ class Precision:
         return Precision(
             pallas_lstm=False,
             pallas_head=False,
+            pallas_attn=False,
             bf16_lstm=False,
             bf16_frontend=False,
             stack_frontend=False,
