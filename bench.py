@@ -216,6 +216,16 @@ def main():
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
+    def sync(x):
+        # A real synchronization: fetch 4 bytes of the RESULT. In this dev
+        # environment the remote runtime's block_until_ready has been
+        # observed to return before the device finished (whole benches
+        # "measuring" 0.19 ms steps); a D2H fetch of a result element is a
+        # true data dependency. Costs the same one tunnel round trip per
+        # window that block_until_ready is supposed to cost.
+        jax.block_until_ready(x)
+        np.asarray(jax.device_get(x.ravel()[:1]))
+
     rng = np.random.default_rng(0)
     state = engine.init_state()
     blocks_host = rng.normal(
@@ -236,14 +246,14 @@ def main():
     for i in range(warmup):
         run = np.full((batch,), i + 1 >= warmup)
         state, out = engine.step(state, blocks[i], run_mask=run)
-    jax.block_until_ready(out.aggregated)
+    sync(out.aggregated)
 
     if args.profile:
         # trace a short steady-state burst (compilation already done above)
         with jax.profiler.trace(args.profile):
             for i in range(5):
                 state, out = engine.step(state, blocks[warmup + i % steps])
-            jax.block_until_ready(out.aggregated)
+            sync(out.aggregated)
         print(f"# xprof trace written to {args.profile}", file=sys.stderr)
 
     # Timed steady state: pipelined windows (block once per window, the way
@@ -261,12 +271,12 @@ def main():
         t0 = time.perf_counter()
         for i in range(window):
             state, out = engine.step(state, blocks[warmup + (w * window + i) % steps])
-        jax.block_until_ready(out.aggregated)
+        sync(out.aggregated)
         window_times.append((time.perf_counter() - t0) / window)
         for _ in range(2):
             t0 = time.perf_counter()
             state, out = engine.step(state, blocks[w % steps])
-            jax.block_until_ready(out.aggregated)
+            sync(out.aggregated)
             blocked_times.append(time.perf_counter() - t0)
 
     t_median = float(np.median(window_times))
@@ -291,7 +301,7 @@ def main():
     for i in range(2 if args.quick else 10):
         t0 = time.perf_counter()
         state, out = engine.step(state, blocks_host[i % steps])
-        jax.block_until_ready(out.aggregated)
+        sync(out.aggregated)
         xfer_times.append(time.perf_counter() - t0)
     t_xfer = float(np.median(xfer_times))
     streams_xfer = batch * engine.step_duration / t_xfer
