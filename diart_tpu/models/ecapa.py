@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .common import InferenceBatchNorm as _BatchNorm
@@ -109,17 +110,84 @@ class _SERes2Block(nn.Module):
     se_bottleneck: int = 128
     compute_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        residual = x
+    def setup(self):
+        # setup-style (attribute names set the param paths — identical to
+        # the previous compact layout) so the fused path can read submodule
+        # parameters without calling them, as the x-vector fused head does
         dt = self.compute_dtype
-        x = _TDNNBlock(self.features, 1, 1, compute_dtype=dt, name="tdnn1")(x)
-        x = _Res2Block(
+        self.tdnn1 = _TDNNBlock(self.features, 1, 1, compute_dtype=dt)
+        self.res2net = _Res2Block(
             self.features, self.kernel, self.dilation, self.res2_scale,
-            compute_dtype=dt, name="res2net",
-        )(x)
-        x = _TDNNBlock(self.features, 1, 1, compute_dtype=dt, name="tdnn2")(x)
-        x = _SEBlock(self.features, self.se_bottleneck, name="se")(x)
+            compute_dtype=dt,
+        )
+        self.tdnn2 = _TDNNBlock(self.features, 1, 1, compute_dtype=dt)
+        self.se = _SEBlock(self.features, self.se_bottleneck)
+
+    def _fused(self) -> bool:
+        """Whether the whole block runs as one Pallas kernel
+        (ops/pallas_res2.py) instead of 17+ XLA ops bouncing (B, T, C)
+        intermediates through HBM. ON by default on TPU
+        (``DIART_TPU_PALLAS_RES2=0`` opts out); during ``init`` the standard
+        path runs so every parameter is created."""
+        from .. import precision
+
+        return (
+            precision.enabled("pallas_res2")
+            and not self.is_initializing()
+            and self.features % self.res2_scale == 0
+        )
+
+    def _folded_params(self):
+        """Extract + fold the block's parameters into the kernel's 16-tuple
+        (inference batch norms become ``a = scale*rsqrt(var+eps)``,
+        ``c = bias - mean*a`` affines, exactly as InferenceBatchNorm)."""
+        fold = lambda p: (
+            p["scale"] * jax.lax.rsqrt(p["var"] + 1e-5),
+            p["bias"] - p["mean"] * p["scale"] * jax.lax.rsqrt(p["var"] + 1e-5),
+        )
+        t1 = self.tdnn1.variables["params"]
+        a1, c1 = fold(t1["bn"])
+        t2 = self.tdnn2.variables["params"]
+        a2, c2 = fold(t2["bn"])
+        rp = self.res2net.variables["params"]
+        wg, bg, ag, cg = [], [], [], []
+        for i in range(self.res2_scale - 1):
+            blk = rp[f"block{i}"]
+            wg.append(blk["conv"]["kernel"])  # (K, W, W)
+            bg.append(blk["conv"]["bias"])
+            gai, gci = fold(blk["bn"])
+            ag.append(gai)
+            cg.append(gci)
+        se = self.se.variables["params"]
+        return (
+            t1["conv"]["kernel"][0],
+            t1["conv"]["bias"],
+            a1,
+            c1,
+            jnp.stack(wg),
+            jnp.stack(bg),
+            jnp.stack(ag),
+            jnp.stack(cg),
+            t2["conv"]["kernel"][0],
+            t2["conv"]["bias"],
+            a2,
+            c2,
+            se["conv1"]["kernel"],
+            se["conv1"]["bias"],
+            se["conv2"]["kernel"],
+            se["conv2"]["bias"],
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self._fused():
+            from ..ops.pallas_res2 import fused_se_res2_block
+
+            return fused_se_res2_block(x, self._folded_params(), self.dilation)
+        residual = x
+        x = self.tdnn1(x)
+        x = self.res2net(x)
+        x = self.tdnn2(x)
+        x = self.se(x)
         return x + residual
 
 

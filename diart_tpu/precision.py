@@ -23,8 +23,9 @@ policy an explicit, serializable value:
 
 Env var mapping (set to ``0`` to disable, anything else to enable):
 ``DIART_TPU_PALLAS_LSTM``, ``DIART_TPU_PALLAS_HEAD``,
-``DIART_TPU_PALLAS_ATTN``, ``DIART_TPU_BF16_LSTM``,
-``DIART_TPU_BF16_FRONTEND``, ``DIART_TPU_STACK_FRONTEND``.
+``DIART_TPU_PALLAS_ATTN``, ``DIART_TPU_PALLAS_RES2``,
+``DIART_TPU_BF16_LSTM``, ``DIART_TPU_BF16_FRONTEND``,
+``DIART_TPU_STACK_FRONTEND``.
 """
 
 from __future__ import annotations
@@ -44,6 +45,7 @@ _ENV_VARS = {
     "pallas_lstm": "DIART_TPU_PALLAS_LSTM",
     "pallas_head": "DIART_TPU_PALLAS_HEAD",
     "pallas_attn": "DIART_TPU_PALLAS_ATTN",
+    "pallas_res2": "DIART_TPU_PALLAS_RES2",
     "bf16_lstm": "DIART_TPU_BF16_LSTM",
     "bf16_frontend": "DIART_TPU_BF16_FRONTEND",
     "stack_frontend": "DIART_TPU_STACK_FRONTEND",
@@ -52,7 +54,14 @@ _ENV_VARS = {
 # layouts); they resolve to False anywhere else no matter what the policy
 # or the env says.
 _TPU_ONLY = frozenset(
-    ("pallas_lstm", "pallas_head", "pallas_attn", "bf16_lstm", "bf16_frontend")
+    (
+        "pallas_lstm",
+        "pallas_head",
+        "pallas_attn",
+        "pallas_res2",
+        "bf16_lstm",
+        "bf16_frontend",
+    )
 )
 
 
@@ -67,6 +76,8 @@ class Precision:
         (ops/pallas_stats.py).
     pallas_attn: fused channel-attention + weighted statistics pooling for
         the ECAPA/TitaNet heads (ops/pallas_attn_stats.py).
+    pallas_res2: each ECAPA SE-Res2Block as one fused kernel
+        (ops/pallas_res2.py).
     bf16_lstm: bf16 storage for the LSTM's pre-projected gate stream
         (cell state and gate math stay f32).
     bf16_frontend: bf16 storage for the pre-pool SincNet activation
@@ -79,6 +90,10 @@ class Precision:
     pallas_lstm: bool = True
     pallas_head: bool = True
     pallas_attn: bool = True
+    # default off until verified compiled on real TPU hardware (the dev
+    # tunnel was down when this kernel landed); enable with
+    # DIART_TPU_PALLAS_RES2=1 or an explicit policy
+    pallas_res2: bool = False
     bf16_lstm: bool = True
     bf16_frontend: bool = True
     stack_frontend: bool = False
@@ -103,6 +118,7 @@ class Precision:
             pallas_lstm=False,
             pallas_head=False,
             pallas_attn=False,
+            pallas_res2=False,
             bf16_lstm=False,
             bf16_frontend=False,
             stack_frontend=False,
