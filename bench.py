@@ -53,6 +53,7 @@ EMB_REGISTRY = {
     "ecapa": "tpu/ecapa",
     "resnet34": "tpu/resnet34",
     "titanet": "tpu/titanet",
+    "xvect-sb": "tpu/xvect-sb",
 }
 
 SEG_REGISTRY = {

@@ -7,8 +7,9 @@ offline, producing the native ``.msgpack`` (+ config json) that
 worker start-up.
 
 Supported inputs: pyannote PyanNet / XVectorSincNet, speechbrain ECAPA-TDNN
-and wespeaker ResNet34 torch checkpoints (layout auto-detected), and
-pyannote model names when ``pyannote.audio`` is installed.
+and fbank Xvector, NeMo TitaNet and wespeaker ResNet34 torch checkpoints
+(layout auto-detected), and pyannote model names when ``pyannote.audio`` is
+installed.
 """
 
 import argparse

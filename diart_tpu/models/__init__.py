@@ -4,6 +4,7 @@ from .embedding import XVectorSincNet, weighted_stats_pool, resample_weights
 from .ecapa import EcapaTDNN
 from .resnet import ResNet34
 from .titanet import TitaNet
+from .xvect import XVectorFbank
 from .fbank import (
     kaldi_log_mel,
     log_mel_filterbank,
@@ -24,6 +25,7 @@ __all__ = [
     "EcapaTDNN",
     "ResNet34",
     "TitaNet",
+    "XVectorFbank",
     "kaldi_log_mel",
     "speechbrain_log_mel",
     "log_mel_filterbank",

@@ -137,6 +137,20 @@ class _EmbRegistryLoader:
                 channels=kwargs.get("channels", 1024),
                 compute_dtype=_dtype_kwarg(kwargs),
             )
+        elif name == "tpu/xvect-sb":
+            from .xvect import XVectorFbank
+
+            module = XVectorFbank(
+                embedding_dim=kwargs.get("embedding_dim", 512),
+                num_mels=kwargs.get("num_mels", 24),
+                tdnn_specs=tuple(
+                    kwargs.get(
+                        "tdnn_specs",
+                        ((5, 1, 512), (3, 2, 512), (3, 3, 512), (1, 1, 512), (1, 1, 1500)),
+                    )
+                ),
+                compute_dtype=_dtype_kwarg(kwargs),
+            )
         else:
             module = XVectorSincNet(
                 embedding_dim=kwargs.get("embedding_dim", 512),
@@ -295,6 +309,9 @@ _NATIVE_MODULE_CLASSES: Dict[str, Callable[[], type]] = {
     "TitaNet": lambda: __import__(
         "diart_tpu.models.titanet", fromlist=["TitaNet"]
     ).TitaNet,
+    "XVectorFbank": lambda: __import__(
+        "diart_tpu.models.xvect", fromlist=["XVectorFbank"]
+    ).XVectorFbank,
 }
 
 

@@ -18,8 +18,25 @@ __all__ = [
     "InferenceBatchNorm",
     "attentive_stats_pool",
     "pallas_enabled",
+    "reflect_pad_time",
     "resample_weights",
 ]
+
+
+def reflect_pad_time(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Reflect-pad the time axis of a (batch, time, channels) activation.
+
+    speechbrain's ``Conv1d`` defaults to ``padding="same",
+    padding_mode="reflect"`` (``speechbrain.nnet.CNN.Conv1d``), so every
+    'same' convolution in its model zoo — the ECAPA-TDNN and x-vector
+    families the reference loads via ``PretrainedSpeakerEmbedding``
+    (``/root/reference/src/diart/models.py:59``) — reflects at chunk edges
+    rather than zero-padding. Matching it matters for checkpoint fidelity:
+    the boundary frames feed the pooled statistics every embedding is built
+    from."""
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
 
 
 def pallas_enabled(env_var: str) -> bool:

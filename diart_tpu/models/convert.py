@@ -43,10 +43,12 @@ __all__ = [
     "pyannet_params_from_state_dict",
     "xvector_params_from_state_dict",
     "ecapa_params_from_state_dict",
+    "xvect_sb_params_from_state_dict",
     "resnet_params_from_state_dict",
     "load_pyannet_checkpoint",
     "load_xvector_checkpoint",
     "load_ecapa_checkpoint",
+    "load_xvect_sb_checkpoint",
     "load_resnet_checkpoint",
     "titanet_params_from_state_dict",
     "load_titanet_checkpoint",
@@ -258,6 +260,73 @@ def load_ecapa_checkpoint(path: Union[str, Path]):
     return module, params, {"sample_rate": 16000, "source": str(path)}
 
 
+def xvect_sb_params_from_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Map a speechbrain ``Xvector`` state dict (the ``embedding_model`` of
+    ``speechbrain/spkrec-xvect-voxceleb``) onto our
+    :class:`diart_tpu.models.xvect.XVectorFbank` parameter tree.
+
+    speechbrain lays the model out as a flat ``blocks`` ModuleList of
+    (Conv1d, activation, BatchNorm1d) triples followed by a parameter-free
+    ``StatisticsPooling`` and a ``Linear`` wrapper, so keys are
+    ``blocks.{3i}.conv.*``, ``blocks.{3i+2}.norm.*`` and ``blocks.N.w.*``.
+    """
+    conv_ids = sorted(
+        (
+            int(k.split(".")[1])
+            for k in sd
+            if k.startswith("blocks.") and k.endswith(".conv.weight")
+        ),
+    )
+    params: Dict[str, Any] = {}
+    for i, b in enumerate(conv_ids):
+        w = _get(sd, f"blocks.{b}.conv.weight")  # (out, in, k)
+        params[f"tdnn{i}"] = {
+            "kernel": w.transpose(2, 1, 0),
+            "bias": _get(sd, f"blocks.{b}.conv.bias"),
+        }
+        params[f"tdnn{i}_norm"] = _sb_bn(sd, f"blocks.{b + 2}.norm")
+    lin = max(
+        int(k.split(".")[1])
+        for k in sd
+        if k.startswith("blocks.") and k.endswith(".w.weight")
+    )
+    params["embedding"] = _dense(sd, f"blocks.{lin}.w")
+    return {"params": params}
+
+
+def _load_xvect_sb_from_sd(sd: Dict[str, Any], source: str = ""):
+    from .xvect import XVectorFbank
+
+    conv_ids = sorted(
+        int(k.split(".")[1])
+        for k in sd
+        if k.startswith("blocks.") and k.endswith(".conv.weight")
+    )
+    kernels = [int(_np(sd[f"blocks.{b}.conv.weight"]).shape[2]) for b in conv_ids]
+    channels = [int(_np(sd[f"blocks.{b}.conv.weight"]).shape[0]) for b in conv_ids]
+    # dilations are not recoverable from weight shapes; the (1,2,3,1,1)
+    # default is the speechbrain Xvector recipe (any other config needs an
+    # explicit module)
+    dilations = (1, 2, 3, 1, 1) if len(kernels) == 5 else (1,) * len(kernels)
+    lin = max(
+        int(k.split(".")[1])
+        for k in sd
+        if k.startswith("blocks.") and k.endswith(".w.weight")
+    )
+    module = XVectorFbank(
+        embedding_dim=int(_np(sd[f"blocks.{lin}.w.weight"]).shape[0]),
+        num_mels=int(_np(sd[f"blocks.{conv_ids[0]}.conv.weight"]).shape[1]),
+        tdnn_specs=tuple(zip(kernels, dilations, channels)),
+    )
+    params = _to_jax(xvect_sb_params_from_state_dict(sd))
+    return module, params, {"sample_rate": 16000, "source": source}
+
+
+def load_xvect_sb_checkpoint(path: Union[str, Path]):
+    """speechbrain x-vector checkpoint -> (module, params, meta)."""
+    return _load_xvect_sb_from_sd(_load_torch_state_dict(path), source=str(path))
+
+
 def _conv2d(sd: Dict[str, Any], key: str, transpose_hw: bool) -> Dict[str, np.ndarray]:
     """torch Conv2d weight (O, I, kH, kW) -> flax (kH, kW, I, O); with
     ``transpose_hw`` the two spatial dims swap (wespeaker lays the fbank
@@ -338,12 +407,17 @@ def _load_resnet_from_sd(sd: Dict[str, Any], source: str = ""):
 def load_embedding_checkpoint(path: Union[str, Path]):
     """Torch embedding checkpoint -> (module, params, meta); the layout is
     sniffed from the state-dict keys (pyannote XVectorSincNet, speechbrain
-    ECAPA-TDNN, or wespeaker ResNet)."""
+    ECAPA-TDNN, speechbrain fbank Xvector, NeMo TitaNet, or wespeaker
+    ResNet)."""
     sd = _load_torch_state_dict(path)
     if "seg_1.weight" in sd or "resnet.seg_1.weight" in sd:
         return _load_resnet_from_sd(sd, source=str(path))
     if any(k.startswith("encoder.encoder.") for k in sd):
         return _load_titanet_from_sd(sd, source=str(path))
+    if any(
+        k.startswith("blocks.") and k.endswith(".w.weight") for k in sd
+    ) and "blocks.0.conv.weight" in sd:
+        return _load_xvect_sb_from_sd(sd, source=str(path))
     if "fc.conv.weight" in sd or "blocks.0.conv.conv.weight" in sd:
         from .ecapa import EcapaTDNN
 

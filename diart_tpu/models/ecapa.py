@@ -30,14 +30,18 @@ import jax
 import jax.numpy as jnp
 
 from .common import InferenceBatchNorm as _BatchNorm
-from .common import attentive_stats_pool
+from .common import attentive_stats_pool, reflect_pad_time
 from .fbank import speechbrain_log_mel
 
 __all__ = ["EcapaTDNN"]
 
 
 class _TDNNBlock(nn.Module):
-    """speechbrain TDNNBlock: Conv1d -> ReLU -> BatchNorm1d."""
+    """speechbrain TDNNBlock: Conv1d -> ReLU -> BatchNorm1d.
+
+    The conv is 'same' with REFLECT padding (speechbrain's ``Conv1d``
+    default ``padding_mode="reflect"``), see
+    :func:`diart_tpu.models.common.reflect_pad_time`."""
 
     features: int
     kernel: int = 1
@@ -51,11 +55,11 @@ class _TDNNBlock(nn.Module):
             self.features,
             kernel_size=(self.kernel,),
             kernel_dilation=(self.dilation,),
-            padding=[(pad, pad)],
+            padding="VALID",
             dtype=self.compute_dtype,
             param_dtype=jnp.float32,
             name="conv",
-        )(x)
+        )(reflect_pad_time(x, pad))
         return _BatchNorm(self.features, name="bn")(nn.relu(x))
 
 

@@ -97,7 +97,9 @@ def se_res2_block_reference(
     pad = (taps - 1) * dilation // 2
     for i in range(groups):
         inp = chunks[i + 1] if y is None else chunks[i + 1] + y
-        padded = jnp.pad(inp, ((0, 0), (pad, pad), (0, 0)))
+        # speechbrain Conv1d pads 'same' with REFLECT mode (its default),
+        # see models/common.py:reflect_pad_time
+        padded = jnp.pad(inp, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
         acc = jnp.zeros(inp.shape[:2] + (width,), jnp.float32)
         for j in range(taps):
             sl = padded[:, j * dilation : j * dilation + inp.shape[1]]
@@ -184,15 +186,28 @@ def _res2_kernel(
         row = jax.lax.broadcasted_iota(jnp.int32, (time, width), 0)
 
         def shifted(v, s):
-            # v[t + s] with zeros outside [0, time): tpu rotate + iota mask
-            # (jnp.pad lowers to a sublane concat at unaligned offsets,
-            # which Mosaic rejects)
+            # v[t + s] with REFLECT boundary handling (speechbrain Conv1d
+            # pads 'same' in reflect mode): tpu rotate + iota mask for the
+            # bulk (jnp.pad lowers to a sublane concat at unaligned offsets,
+            # which Mosaic rejects), then one extra rotate + row-select per
+            # boundary row (<= dilation rows per edge) to substitute the
+            # mirrored sample v[-(t+s)] / v[2(time-1)-(t+s)] for the zeros.
             if s == 0:
                 return v
             r = pltpu.roll(v, (-s) % time, 0)  # roll requires shift >= 0
             if s > 0:
-                return jnp.where(row < time - s, r, 0).astype(v.dtype)
-            return jnp.where(row >= -s, r, 0).astype(v.dtype)
+                out = jnp.where(row < time - s, r, 0).astype(v.dtype)
+                for k in range(s):  # rows time-s+k read v[time-2-k]
+                    t, q = time - s + k, time - 2 - k
+                    rk = pltpu.roll(v, (t - q) % time, 0)
+                    out = jnp.where(row == t, rk, out).astype(v.dtype)
+                return out
+            out = jnp.where(row >= -s, r, 0).astype(v.dtype)
+            for k in range(-s):  # rows k read v[-s-k]
+                q = (-s) - k
+                rk = pltpu.roll(v, (k - q) % time, 0)
+                out = jnp.where(row == k, rk, out).astype(v.dtype)
+            return out
 
         outputs = [z1[:, :width]]
         y = None

@@ -300,6 +300,85 @@ class TestEcapaConversionFidelity:
         np.testing.assert_allclose(out, ref, atol=2e-4 * scale)
 
 
+class TestXvectSBConversionFidelity:
+    """Full-forward equivalence against a faithful torch replica of
+    speechbrain's Xvector lobes model (state-dict layout of
+    spkrec-xvect-voxceleb: fbank(24) frontend, reflect-padded TDNN stack,
+    statistics pooling with unbiased std + 1e-5)."""
+
+    def _converted(self, tmp_path, torch_net):
+        from diart_tpu.models import EmbeddingModel
+
+        path = tmp_path / "xvect_sb.pt"
+        torch.save(torch_net.state_dict(), path)
+        emb = EmbeddingModel.from_pretrained(str(path))
+        emb.load()
+        return emb
+
+    def test_feature_level_full_forward(self, tmp_path):
+        from torch_replicas import SBXVector
+
+        torch.manual_seed(41)
+        net = SBXVector(
+            in_channels=24, lin_neurons=96, tdnn_channels=(32, 32, 32, 32, 96)
+        ).eval()
+        emb = self._converted(tmp_path, net)
+        assert type(emb.module).__name__ == "XVectorFbank"
+        assert emb.embedding_dim == 96
+        assert emb.module.num_mels == 24
+
+        rng = np.random.default_rng(11)
+        feats = rng.normal(scale=1.0, size=(2, 120, 24)).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.from_numpy(feats)).numpy()
+        frames = emb.module.apply(
+            emb.params, jnp.asarray(feats), method="trunk_from_features"
+        )
+        out = np.asarray(emb.module.apply(emb.params, frames, method="head"))
+        scale = max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(out, ref, atol=2e-4 * scale)
+
+    def test_waveform_level_with_fbank(self, tmp_path):
+        from torch_replicas import SBXVector, sb_fbank
+
+        torch.manual_seed(42)
+        net = SBXVector(
+            in_channels=24, lin_neurons=48, tdnn_channels=(24, 24, 24, 24, 64)
+        ).eval()
+        emb = self._converted(tmp_path, net)
+        rng = np.random.default_rng(12)
+        wave = rng.normal(scale=0.2, size=(1, 1, 32000)).astype(np.float32)
+        with torch.no_grad():
+            feats = sb_fbank(torch.from_numpy(wave[:, 0]), n_mels=24)
+            feats = feats - feats.mean(dim=1, keepdim=True)
+            ref = net(feats).numpy()
+        out = np.asarray(emb(wave))
+        scale = max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(out, ref, atol=2e-4 * scale)
+
+    def test_weighted_head_matches_uniform(self, tmp_path):
+        """All-ones external weights reproduce the unweighted embedding
+        (the +1e-5 std offset and unbiased variance must agree between the
+        squeeze path and the per-speaker path)."""
+        from torch_replicas import SBXVector
+
+        torch.manual_seed(43)
+        net = SBXVector(
+            in_channels=24, lin_neurons=32, tdnn_channels=(16, 16, 16, 16, 48)
+        ).eval()
+        emb = self._converted(tmp_path, net)
+        rng = np.random.default_rng(13)
+        wave = rng.normal(scale=0.2, size=(2, 1, 16000)).astype(np.float32)
+        plain = np.asarray(emb(wave))
+        frames = emb.module.apply(emb.params, jnp.asarray(wave), method="trunk")
+        ones = jnp.ones((2, 3, 101), jnp.float32)
+        weighted = np.asarray(
+            emb.module.apply(emb.params, frames, ones, method="head")
+        )
+        assert weighted.shape == (2, 3, 32)
+        np.testing.assert_allclose(weighted[:, 1], plain, atol=1e-5)
+
+
 class TestResNetConversionFidelity:
     """Full-forward equivalence against a faithful torch replica of
     wespeaker's ResNet34 (state-dict layout of wespeaker-voxceleb-resnet34)."""

@@ -1,8 +1,9 @@
 """Every implemented embedding family through the fused engine (VERDICT r1
 missing 2: families were conversion-proven but never driven end-to-end).
 
-The reference's model table spans x-vector, ECAPA-TDNN, ResNet34 and
-TitaNet embeddings (``/root/reference/README.md:163-184``); each must work
+The reference's model table spans SincNet x-vector, ECAPA-TDNN, ResNet34,
+TitaNet and speechbrain fbank x-vector embeddings
+(``/root/reference/README.md:163-184``); each must work
 as the engine's embedding arm — trunk once per chunk, per-speaker pooled
 heads on the model's own frame grid (mel-fbank families have a different
 grid than SincNet; the head resamples the weights)."""
@@ -21,6 +22,10 @@ FAMILIES = {
     "tpu/ecapa": dict(embedding_dim=32, channels=32),
     "tpu/resnet34": dict(embedding_dim=32, base_channels=8),
     "tpu/titanet": dict(embedding_dim=32, channels=32),
+    "tpu/xvect-sb": dict(
+        embedding_dim=32,
+        tdnn_specs=((5, 1, 16), (3, 2, 16), (3, 3, 16), (1, 1, 16), (1, 1, 48)),
+    ),
 }
 
 

@@ -120,6 +120,28 @@ class TestWrappers:
             np.asarray(seg(x)), np.asarray(loaded(x)), atol=1e-6
         )
 
+    def test_save_load_roundtrip_xvect_sb(self, tmp_path):
+        """Native serialization reconstructs the speechbrain x-vector's
+        non-default geometry (nested tdnn_specs survive the JSON config)."""
+        emb = EmbeddingModel.from_pretrained(
+            "tpu/xvect-sb",
+            embedding_dim=24,
+            tdnn_specs=((5, 1, 16), (3, 2, 16), (3, 3, 16), (1, 1, 16), (1, 1, 48)),
+            init_samples=8000,
+        )
+        emb.load()
+        path = tmp_path / "xvect.msgpack"
+        emb.save(path)
+        loaded = EmbeddingModel.from_pretrained(str(path))
+        loaded.load()
+        assert loaded.module.tdnn_specs == emb.module.tdnn_specs
+        x = np.random.default_rng(1).normal(
+            scale=0.1, size=(1, 1, 8000)
+        ).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(emb(x)), np.asarray(loaded(x)), atol=1e-6
+        )
+
 
 class TestTraining:
     def test_pit_loss_permutation_invariance(self, rng):

@@ -106,6 +106,37 @@ def test_fused_head_no_weights_squeeze(monkeypatch):
     np.testing.assert_allclose(fused, standard, rtol=1e-4, atol=1e-4)
 
 
+def test_fused_head_matches_standard_head_xvect_fbank(monkeypatch):
+    """The speechbrain fbank x-vector shares the fused projection+moments
+    head (same 1x1 final TDNN geometry); fused == standard on the same
+    parameters, including the +1e-5 std offset."""
+    from diart_tpu.models import XVectorFbank
+
+    model = XVectorFbank(
+        embedding_dim=32,
+        tdnn_specs=((5, 1, 16), (3, 2, 16), (3, 3, 16), (1, 1, 16), (1, 1, 48)),
+    )
+    wave = jax.random.normal(jax.random.PRNGKey(7), (2, 1, 16000), jnp.float32)
+    params = model.init(jax.random.PRNGKey(8), wave)
+    weights = jax.nn.sigmoid(
+        jax.random.normal(jax.random.PRNGKey(9), (2, 3, 101), jnp.float32)
+    )
+    standard = model.apply(params, wave, weights)
+    trunk_std = model.apply(params, wave, method="trunk")
+    assert trunk_std.shape[-1] == 48
+
+    from diart_tpu import precision
+
+    monkeypatch.setattr(precision, "enabled", lambda f: f == "pallas_head")
+    trunk_fused = model.apply(params, wave, method="trunk")
+    assert trunk_fused.shape[-1] == 16  # stops before the final projection
+    fused = model.apply(params, trunk_fused, weights, method="head")
+    fused_call = model.apply(params, wave, weights)
+
+    np.testing.assert_allclose(fused, standard, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(fused_call, standard, rtol=1e-4, atol=1e-4)
+
+
 def test_grad_flows_through_kernel():
     """Training with the fused head on must work: the kernel's custom VJP
     differentiates the unfused reference, so grads match it exactly."""

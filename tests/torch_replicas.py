@@ -259,16 +259,20 @@ class TorchXVectorSincNet(nn.Module):
 
 
 class _SBConv1d(nn.Module):
-    """speechbrain.nnet.CNN.Conv1d: inner .conv, 'same' padding."""
+    """speechbrain.nnet.CNN.Conv1d: inner .conv, 'same' padding with the
+    REFLECT padding mode (speechbrain's default ``padding_mode="reflect"``
+    — boundary frames mirror instead of zero-filling)."""
 
     def __init__(self, in_channels, out_channels, kernel_size, dilation=1):
         super().__init__()
+        pad = (kernel_size - 1) * dilation // 2
         self.conv = nn.Conv1d(
             in_channels,
             out_channels,
             kernel_size,
             dilation=dilation,
-            padding=(kernel_size - 1) * dilation // 2,
+            padding=pad,
+            padding_mode="reflect" if pad else "zeros",
         )
 
     def forward(self, x):
@@ -450,6 +454,64 @@ def sb_fbank(waveform: torch.Tensor, n_mels=80, n_fft=400, hop=160, sample_rate=
     x_db = 10.0 * torch.log10(torch.clamp(fbanks, min=1e-10))
     floor = x_db.amax(dim=(1, 2), keepdim=True) - 80.0
     return torch.maximum(x_db, floor)
+
+
+# --------------------------------------------------------------------- #
+# speechbrain x-vector replica (lobes/models/Xvector.py), state-dict
+# layout of spkrec-xvect-voxceleb: a flat `blocks` ModuleList of
+# [Conv1d, LeakyReLU, BatchNorm1d] x 5 + StatisticsPooling + Linear, so
+# parameter keys are blocks.{0,3,6,9,12}.conv.* / blocks.{2,5,8,11,14}.norm.*
+# / blocks.16.w.*.
+# --------------------------------------------------------------------- #
+
+
+class _SBLinear(nn.Module):
+    """speechbrain.nnet.linear.Linear: inner .w."""
+
+    def __init__(self, in_features, out_features):
+        super().__init__()
+        self.w = nn.Linear(in_features, out_features)
+
+    def forward(self, x):
+        return self.w(x)
+
+
+class SBXVector(nn.Module):
+    """speechbrain Xvector over fbank features (B, T, mels).
+
+    StatisticsPooling: temporal mean + unbiased std, std + 1e-5. The
+    random eps-magnitude perturbation speechbrain adds to the mean
+    (<= 9e-5, applied even at inference) is omitted for determinism — it
+    sits below every fidelity tolerance.
+    """
+
+    def __init__(
+        self,
+        in_channels=24,
+        lin_neurons=512,
+        tdnn_channels=(512, 512, 512, 512, 1500),
+        tdnn_kernel_sizes=(5, 3, 3, 1, 1),
+        tdnn_dilations=(1, 2, 3, 1, 1),
+    ):
+        super().__init__()
+        self.blocks = nn.ModuleList()
+        in_c = in_channels
+        for out_c, k, d in zip(tdnn_channels, tdnn_kernel_sizes, tdnn_dilations):
+            self.blocks.extend(
+                [_SBConv1d(in_c, out_c, k, d), nn.LeakyReLU(), _SBBatchNorm1d(out_c)]
+            )
+            in_c = out_c
+        self.blocks.append(nn.Identity())  # StatisticsPooling (no params)
+        self.blocks.append(_SBLinear(tdnn_channels[-1] * 2, lin_neurons))
+
+    def forward(self, feats):
+        # feats: (B, T, mels) -> speechbrain transposes to (B, C, T)
+        x = feats.transpose(1, 2)
+        for layer in self.blocks[:-2]:
+            x = layer(x)
+        mean = x.mean(dim=2)
+        std = x.std(dim=2) + 1e-5
+        return self.blocks[-1](torch.cat([mean, std], dim=1))
 
 
 # --------------------------------------------------------------------- #
