@@ -76,6 +76,37 @@ def initialize_distributed(
     return True
 
 
+def _probe_default_backend(timeout: float = 120.0) -> Optional[int]:
+    """Device count of the process-default JAX platform, probed in a
+    SUBPROCESS so an unreachable remote platform (e.g. a dead tunnel to a
+    remote TPU) cannot hang this process — in-process ``jax.devices()``
+    blocks indefinitely inside the backend factory when the platform's
+    transport is down, and the init lock makes any thread-level timeout +
+    retry deadlock. Returns ``None`` when the probe fails or times out
+    (treat as "platform unreachable")."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            capture_output=True,
+            timeout=timeout,
+            text=True,
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            return int(out.stdout.strip().splitlines()[-1])
+    except (subprocess.TimeoutExpired, OSError, ValueError):
+        pass
+    return None
+
+
+def _backend_initialized() -> bool:
+    import jax._src.xla_bridge as _xb
+
+    return bool(getattr(_xb, "_backends", None))
+
+
 def provision_devices(n_devices: int) -> None:
     """Ensure ``n_devices`` JAX devices exist, provisioning a virtual CPU
     mesh if the real backend has fewer.
@@ -88,11 +119,33 @@ def provision_devices(n_devices: int) -> None:
     than the ``XLA_FLAGS`` host-device-count flag) sizes the CPU backend
     because ``XLA_FLAGS`` is parsed once at first backend init.
 
+    Before the first backend init the default platform is probed in a
+    subprocess (:func:`_probe_default_backend`): a remote-TPU tunnel that is
+    down would hang ``jax.devices()`` forever, and a single remote chip can
+    never satisfy a multi-device request anyway — both cases route straight
+    to the virtual CPU mesh without ever initializing the remote platform.
+    ``DIART_TPU_PLATFORM=cpu`` skips the probe entirely.
+
     In a multi-host process group the device set is fixed by the slice
     topology; asking for more devices than the group provides is an error
     rather than a silent virtual-CPU downgrade.
     """
     import jax
+
+    if not _backend_initialized() and not _distributed_ready:
+        # (in a process group the probe subprocess would only see its host's
+        # local devices — there, jax.devices() is the global list and safe)
+        platform = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+        if os.environ.get("DIART_TPU_PLATFORM") == "cpu":
+            probed: Optional[int] = None
+        elif platform.startswith("cpu") or not platform:
+            # local platform: in-process init below is safe and cheap
+            probed = n_devices
+        else:
+            probed = _probe_default_backend()
+        if probed is None or probed < n_devices:
+            jax.config.update("jax_num_cpu_devices", max(n_devices, 1))
+            jax.config.update("jax_platforms", "cpu")
 
     if len(jax.devices()) < n_devices:
         if jax.process_count() > 1:

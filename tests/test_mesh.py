@@ -69,6 +69,34 @@ class TestInitializeDistributed:
         assert mesh.devices.size == len(jax.devices())
         assert mesh.axis_names == ("streams",)
 
+    def test_provision_unreachable_platform_falls_back_to_cpu(self):
+        """A pinned remote platform whose transport is down hangs
+        ``jax.devices()`` forever; ``provision_devices`` must decide BEFORE
+        first backend init (subprocess probe) and route to the virtual CPU
+        mesh instead of initializing the dead platform. Exercised in a fresh
+        subprocess with the probe stubbed to 'unreachable'."""
+        code = (
+            "import jax\n"
+            # simulate a sitecustomize-style pin to a remote platform
+            "jax.config.update('jax_platforms', 'fakeremote')\n"
+            "from diart_tpu.parallel import mesh as m\n"
+            "m._probe_default_backend = lambda *a, **k: None\n"
+            "assert not m._backend_initialized()\n"
+            "m.provision_devices(4)\n"
+            "assert len(jax.devices()) >= 4\n"
+            "assert jax.devices()[0].platform == 'cpu'\n"
+            "print('FALLBACK-OK')\n"
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=120,
+            cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr
+        assert "FALLBACK-OK" in proc.stdout
+
     def test_real_single_process_group(self, tmp_path):
         """jax.distributed.initialize with a 1-process group is the exact
         code path a pod slice uses; exercise it for real in a subprocess
