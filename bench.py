@@ -200,6 +200,27 @@ def main():
     batch, steps = args.batch, args.steps
     if args.mesh and batch % args.mesh:
         sys.exit(f"batch ({batch}) must be divisible by --mesh ({args.mesh})")
+
+    # Fail FAST when the remote platform is unreachable: jax.devices() on a
+    # dead tunnel blocks forever with no error, which would silently eat the
+    # whole bench budget. One subprocess probe (devices-only, no compile)
+    # bounds that to 5 minutes. DIART_TPU_SKIP_PROBE=1 skips it.
+    import os
+
+    platform = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if (
+        platform
+        and not platform.startswith("cpu")
+        and os.environ.get("DIART_TPU_SKIP_PROBE") != "1"
+    ):
+        from diart_tpu.parallel.mesh import _probe_default_backend
+
+        if _probe_default_backend(timeout=300.0) is None:
+            sys.exit(
+                f"bench: JAX platform {platform!r} is unreachable (remote "
+                "tunnel down?) — refusing to hang on jax.devices()"
+            )
+
     engine = _build_engine(args)
 
     # Persistent compilation cache: the remote TPU compile service has high
