@@ -25,7 +25,7 @@ Env var mapping (set to ``0`` to disable, anything else to enable):
 ``DIART_TPU_PALLAS_LSTM``, ``DIART_TPU_PALLAS_HEAD``,
 ``DIART_TPU_PALLAS_ATTN``, ``DIART_TPU_PALLAS_RES2``,
 ``DIART_TPU_BF16_LSTM``, ``DIART_TPU_BF16_FRONTEND``,
-``DIART_TPU_STACK_FRONTEND``.
+``DIART_TPU_STACK_FRONTEND``, ``DIART_TPU_INT8_TRUNK``.
 """
 
 from __future__ import annotations
@@ -49,6 +49,7 @@ _ENV_VARS = {
     "bf16_lstm": "DIART_TPU_BF16_LSTM",
     "bf16_frontend": "DIART_TPU_BF16_FRONTEND",
     "stack_frontend": "DIART_TPU_STACK_FRONTEND",
+    "int8_trunk": "DIART_TPU_INT8_TRUNK",
 }
 # Paths that only exist for TPU backends (Pallas lowering, bf16 storage
 # layouts); they resolve to False anywhere else no matter what the policy
@@ -85,6 +86,13 @@ class Precision:
     stack_frontend: fold both models' distinct SincNet filterbanks into one
         stacked frontend convolution (measured slower on v5e — default off;
         see PERF.md "Measured and rejected").
+    int8_trunk: dynamic int8 quantization of the FLOP-bound embedding trunk
+        convolutions (ops/quant.py) — per-sample activation scales,
+        per-output-channel weight scales, s8xs8->s32 on the MXU (2x the
+        bf16 matmul rate on v5e/v6e). Inference-only and quality-affecting
+        (embedding cosine error ~1e-3), so default OFF; enable with
+        DIART_TPU_INT8_TRUNK=1 or an explicit policy after validating DER
+        on your data.
     """
 
     pallas_lstm: bool = True
@@ -97,6 +105,7 @@ class Precision:
     bf16_lstm: bool = True
     bf16_frontend: bool = True
     stack_frontend: bool = False
+    int8_trunk: bool = False
 
     def resolved(self) -> Dict[str, bool]:
         """The switches as they would actually resolve right now (env
@@ -122,6 +131,7 @@ class Precision:
             bf16_lstm=False,
             bf16_frontend=False,
             stack_frontend=False,
+            int8_trunk=False,
         )
 
 

@@ -1,0 +1,114 @@
+"""Dynamic int8 trunk quantization (ops/quant.py + the int8_trunk switch).
+
+The fast path is quality-affecting, so the tests pin (a) the op-level error
+against the exact f32 convolution, (b) the model-level embedding fidelity
+(cosine similarity through a full ResNet34 trunk), and (c) that the switch
+defaults OFF and reaches every trunk conv when ON.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diart_tpu import precision
+from diart_tpu.ops.quant import int8_conv, quantize_per_sample, quantize_weight
+
+
+def test_quantize_per_sample_roundtrip():
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=(3, 17, 9, 5)) * rng.uniform(0.1, 10, (3, 1, 1, 1))).astype(
+        np.float32
+    )
+    q, s = quantize_per_sample(jnp.asarray(x))
+    assert q.dtype == jnp.int8 and s.shape == (3, 1, 1, 1)
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(s) - x)
+    # worst-case rounding error is scale/2 per element
+    assert (err <= np.asarray(s) / 2 + 1e-7).all()
+
+
+def test_quantize_weight_per_channel():
+    rng = np.random.default_rng(1)
+    w = (rng.normal(size=(3, 3, 8, 16)) * rng.uniform(0.01, 5, (16,))).astype(
+        np.float32
+    )
+    q, s = quantize_weight(jnp.asarray(w))
+    assert q.dtype == jnp.int8 and s.shape == (16,)
+    # every channel uses its own full int8 range
+    assert (np.abs(np.asarray(q)).max(axis=(0, 1, 2)) == 127).all()
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(s) - w)
+    assert (err <= np.asarray(s) / 2 + 1e-7).all()
+
+
+@pytest.mark.parametrize("stride,pad", [(1, ((1, 1), (1, 1))), (2, ((0, 0), (0, 0)))])
+def test_int8_conv_close_to_f32(stride, pad):
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 20, 12, 16)).astype(np.float32)
+    w = (rng.normal(size=(3, 3, 16, 32)) * 0.1).astype(np.float32)
+    got = np.asarray(
+        int8_conv(jnp.asarray(x), jnp.asarray(w), (stride, stride), list(pad))
+    )
+    want = np.asarray(
+        jax.lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(w), (stride, stride), list(pad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    )
+    # 7-effective-bit uniform quantization of both operands measures ~1%
+    # relative RMS on a 144-long contraction of unit gaussians (the
+    # per-sample max-abs scale spends ~2 bits on the ~4-sigma tail)
+    rms = np.sqrt(np.mean((got - want) ** 2)) / (np.sqrt(np.mean(want**2)) + 1e-9)
+    assert rms < 0.02, rms
+
+
+def _resnet(dim=32):
+    from diart_tpu.models import EmbeddingModel
+
+    emb = EmbeddingModel.from_registry(
+        "tpu/resnet34", embedding_dim=dim, base_channels=8, init_samples=16000
+    )
+    emb.load()
+    return emb
+
+
+def test_int8_trunk_default_off():
+    assert precision.Precision().int8_trunk is False
+    assert precision.enabled("int8_trunk") is False
+    assert precision.Precision().resolved()["int8_trunk"] is False
+
+
+def test_resnet_trunk_int8_embedding_fidelity(monkeypatch):
+    """Full ResNet34 trunk with every conv quantized: pooled embeddings must
+    stay within clustering tolerance of the f32 path (cosine > 0.999 —
+    δ_new's cosine-distance threshold is 1.0)."""
+    emb = _resnet()
+    rng = np.random.default_rng(3)
+    wave = rng.normal(scale=0.2, size=(3, 1, 16000)).astype(np.float32)
+    base = np.asarray(emb.module.apply(emb.params, jnp.asarray(wave)))
+
+    monkeypatch.setattr(precision, "enabled", lambda f: f == "int8_trunk")
+    quant = np.asarray(emb.module.apply(emb.params, jnp.asarray(wave)))
+
+    assert not np.allclose(quant, base), "int8 path did not engage"
+    cos = np.sum(quant * base, -1) / (
+        np.linalg.norm(quant, axis=-1) * np.linalg.norm(base, axis=-1)
+    )
+    assert (cos > 0.999).all(), cos
+    rel = np.linalg.norm(quant - base, axis=-1) / np.linalg.norm(base, axis=-1)
+    assert (rel < 0.05).all(), rel
+
+
+def test_int8_policy_scoped_engagement():
+    """Precision.use scoping (not just env/monkeypatch) flips the path."""
+    emb = _resnet(dim=16)
+    rng = np.random.default_rng(4)
+    wave = rng.normal(scale=0.2, size=(1, 1, 16000)).astype(np.float32)
+    base = np.asarray(emb.module.apply(emb.params, jnp.asarray(wave)))
+    with precision.use(
+        precision.Precision(int8_trunk=True), force=True
+    ):
+        quant = np.asarray(emb.module.apply(emb.params, jnp.asarray(wave)))
+    assert not np.allclose(quant, base)
+    with precision.use(precision.Precision(), force=True):
+        again = np.asarray(emb.module.apply(emb.params, jnp.asarray(wave)))
+    np.testing.assert_allclose(again, base, atol=1e-6)
