@@ -16,7 +16,9 @@ import jax.numpy as jnp
 
 __all__ = [
     "InferenceBatchNorm",
+    "QuantizableConv",
     "attentive_stats_pool",
+    "int8_trunk_enabled",
     "pallas_enabled",
     "reflect_pad_time",
     "resample_weights",
@@ -57,6 +59,59 @@ def resample_weights(weights: jnp.ndarray, num_frames: int) -> jnp.ndarray:
         return weights
     idx = (jnp.arange(num_frames) * src) // num_frames
     return jnp.take(weights, idx, axis=-1)
+
+
+def int8_trunk_enabled() -> bool:
+    """Whether the dynamic-int8 trunk fast path applies (ops/quant.py): OFF
+    by default (quality-affecting, inference-only), opt-in via
+    ``Precision(int8_trunk=True)`` / ``DIART_TPU_INT8_TRUNK=1``."""
+    from .. import precision
+
+    return precision.enabled("int8_trunk")
+
+
+class QuantizableConv(nn.Module):
+    """``nn.Conv``-parameter-compatible convolution (kernel
+    (*window, in, out), no bias) that executes either as a plain XLA
+    convolution in ``compute_dtype`` or, with the ``int8_trunk`` fast path
+    on, as a dynamically-quantized s8 x s8 -> s32 convolution
+    (:func:`diart_tpu.ops.quant.int8_conv`, 2x the bf16 MXU rate).
+    Parameter path/layout is identical either way, so converted checkpoints
+    and serialized params are oblivious to the switch. Used for the
+    FLOP-dominant trunk convolutions of the conv-heavy embedding families
+    (ResNet34 3x3/1x1, TitaNet pointwise); bandwidth-bound convs (depthwise,
+    tiny-channel stems) stay in ``compute_dtype``."""
+
+    features: int
+    kernel_size: Tuple[int, ...] = (3, 3)
+    strides: Optional[Tuple[int, ...]] = None
+    padding: Optional[Tuple[Tuple[int, int], ...]] = None
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            tuple(self.kernel_size) + (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        strides = self.strides or (1,) * len(self.kernel_size)
+        padding = list(self.padding or ((0, 0),) * len(self.kernel_size))
+        if int8_trunk_enabled() and not self.is_initializing():
+            from ..ops.quant import int8_conv
+
+            return int8_conv(x, kernel, strides, padding, self.compute_dtype)
+        dt = self.compute_dtype
+        spatial = len(self.kernel_size)
+        spec = "N" + "HWD"[:spatial] + "C"
+        return jax.lax.conv_general_dilated(
+            x.astype(dt),
+            kernel.astype(dt),
+            strides,
+            padding,
+            dimension_numbers=(spec, "HWD"[:spatial] + "IO", spec),
+        )
 
 
 class InferenceBatchNorm(nn.Module):

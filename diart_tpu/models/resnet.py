@@ -29,58 +29,10 @@ import jax
 import jax.numpy as jnp
 
 from .common import InferenceBatchNorm as _BatchNorm
-from .common import resample_weights
+from .common import QuantizableConv, resample_weights
 from .fbank import kaldi_log_mel
 
 __all__ = ["ResNet34"]
-
-
-def _int8_trunk_enabled() -> bool:
-    """Whether the dynamic-int8 fast path applies (ops/quant.py): OFF by
-    default (quality-affecting, inference-only), opt-in via
-    ``Precision(int8_trunk=True)`` / ``DIART_TPU_INT8_TRUNK=1``."""
-    from .. import precision
-
-    return precision.enabled("int8_trunk")
-
-
-class _QuantizableConv(nn.Module):
-    """``nn.Conv``-parameter-compatible conv (kernel (kh, kw, in, out), no
-    bias) that executes either as a plain XLA convolution in
-    ``compute_dtype`` or, with the ``int8_trunk`` fast path on, as a
-    dynamically-quantized s8 x s8 -> s32 convolution
-    (:func:`diart_tpu.ops.quant.int8_conv`). Parameter path/layout is
-    identical either way, so converted checkpoints and serialized params are
-    oblivious to the switch."""
-
-    features: int
-    kernel_size: Tuple[int, int] = (3, 3)
-    strides: Tuple[int, int] = (1, 1)
-    padding: Tuple[Tuple[int, int], Tuple[int, int]] = ((1, 1), (1, 1))
-    compute_dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            self.kernel_size + (x.shape[-1], self.features),
-            jnp.float32,
-        )
-        if _int8_trunk_enabled() and not self.is_initializing():
-            from ..ops.quant import int8_conv
-
-            return int8_conv(
-                x, kernel, self.strides, list(self.padding), self.compute_dtype
-            )
-        dt = self.compute_dtype
-        return jax.lax.conv_general_dilated(
-            x.astype(dt),
-            kernel.astype(dt),
-            self.strides,
-            list(self.padding),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
 
 
 class _BasicBlock(nn.Module):
@@ -94,18 +46,19 @@ class _BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         conv_kw = dict(compute_dtype=self.compute_dtype)
+        pad3 = ((1, 1), (1, 1))
         residual = x
-        y = _QuantizableConv(
+        y = QuantizableConv(
             self.features, (3, 3), strides=(self.stride, self.stride),
-            name="conv1", **conv_kw,
+            padding=pad3, name="conv1", **conv_kw,
         )(x)
         y = nn.relu(_BatchNorm(self.features, name="bn1")(y))
-        y = _QuantizableConv(self.features, (3, 3), name="conv2", **conv_kw)(y)
+        y = QuantizableConv(self.features, (3, 3), padding=pad3, name="conv2", **conv_kw)(y)
         y = _BatchNorm(self.features, name="bn2")(y)
         if self.stride != 1 or x.shape[-1] != self.features:
-            residual = _QuantizableConv(
+            residual = QuantizableConv(
                 self.features, (1, 1), strides=(self.stride, self.stride),
-                padding=((0, 0), (0, 0)), name="downsample_conv", **conv_kw,
+                name="downsample_conv", **conv_kw,
             )(x)
             residual = _BatchNorm(self.features, name="downsample_bn")(residual)
         return nn.relu(y + residual)

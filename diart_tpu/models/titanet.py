@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .common import InferenceBatchNorm as _BatchNorm
-from .common import attentive_stats_pool
+from .common import QuantizableConv, attentive_stats_pool
 from .fbank import nemo_log_mel
 
 __all__ = ["TitaNet"]
@@ -52,7 +52,12 @@ class _SeparableConvBnRelu(nn.Module):
             name="dw",
             **conv_kw,
         )(x)
-        x = nn.Conv(self.features, kernel_size=(1,), name="pw", **conv_kw)(x)
+        # the pointwise conv carries the block's FLOPs (C x C matmul over
+        # every frame) — int8-able via the shared QuantizableConv; the
+        # depthwise conv above is bandwidth-bound and stays in compute_dtype
+        x = QuantizableConv(
+            self.features, (1,), name="pw", compute_dtype=self.compute_dtype
+        )(x)
         x = _BatchNorm(self.features, name="bn")(x)
         return nn.relu(x) if self.relu else x
 
@@ -96,10 +101,9 @@ class _TitaBlock(nn.Module):
             )(x)
         x = _SqueezeExcite(self.features, self.se_reduction, name="se")(x)
         if self.residual:
-            res = nn.Conv(
-                self.features, kernel_size=(1,), use_bias=False,
-                dtype=self.compute_dtype, param_dtype=jnp.float32,
-                name="res_conv",
+            res = QuantizableConv(
+                self.features, (1,), name="res_conv",
+                compute_dtype=self.compute_dtype,
             )(inp)
             res = _BatchNorm(self.features, name="res_bn")(res)
             x = x + res

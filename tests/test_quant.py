@@ -98,6 +98,29 @@ def test_resnet_trunk_int8_embedding_fidelity(monkeypatch):
     assert (rel < 0.05).all(), rel
 
 
+def test_titanet_trunk_int8_embedding_fidelity(monkeypatch):
+    """TitaNet's pointwise/residual 1x1 convs quantized: same embedding
+    fidelity bar as ResNet34."""
+    from diart_tpu.models import EmbeddingModel
+
+    emb = EmbeddingModel.from_registry(
+        "tpu/titanet", embedding_dim=32, channels=64, init_samples=16000
+    )
+    emb.load()
+    rng = np.random.default_rng(5)
+    wave = rng.normal(scale=0.2, size=(3, 1, 16000)).astype(np.float32)
+    base = np.asarray(emb.module.apply(emb.params, jnp.asarray(wave)))
+
+    monkeypatch.setattr(precision, "enabled", lambda f: f == "int8_trunk")
+    quant = np.asarray(emb.module.apply(emb.params, jnp.asarray(wave)))
+
+    assert not np.allclose(quant, base), "int8 path did not engage"
+    cos = np.sum(quant * base, -1) / (
+        np.linalg.norm(quant, axis=-1) * np.linalg.norm(base, axis=-1)
+    )
+    assert (cos > 0.999).all(), cos
+
+
 def test_int8_policy_scoped_engagement():
     """Precision.use scoping (not just env/monkeypatch) flips the path."""
     emb = _resnet(dim=16)
