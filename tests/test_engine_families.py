@@ -36,6 +36,47 @@ def small_seg() -> SegmentationModel:
     )
 
 
+def test_xvect_sb_through_blocks_pipeline():
+    """The host/eager blocks path (reference-exact `SpeakerDiarization`)
+    with the speechbrain x-vector family — the engine test below covers the
+    fused device path; this covers the pipeline composition the reference
+    API exposes."""
+    from diart_tpu import SpeakerDiarization, SpeakerDiarizationConfig
+    from diart_tpu.core import SlidingWindow, SlidingWindowFeature
+
+    emb = EmbeddingModel.from_registry(
+        "tpu/xvect-sb",
+        embedding_dim=16,
+        tdnn_specs=((5, 1, 8), (3, 2, 8), (1, 1, 24)),
+        init_samples=int(DURATION * SAMPLE_RATE),
+    )
+    config = SpeakerDiarizationConfig(
+        segmentation=small_seg(),
+        embedding=emb,
+        duration=DURATION,
+        step=STEP,
+        latency=STEP,
+        max_speakers=4,
+    )
+    pipe = SpeakerDiarization(config)
+    rng = np.random.default_rng(1)
+    audio = rng.normal(scale=0.1, size=(int(3.5 * SAMPLE_RATE), 1)).astype(
+        np.float32
+    )
+    chunk_s, step_s = int(DURATION * SAMPLE_RATE), int(STEP * SAMPLE_RATE)
+    res = 1.0 / SAMPLE_RATE
+    outputs = []
+    for start in range(0, audio.shape[0] - chunk_s + 1, step_s):
+        sw = SlidingWindow(start=start / SAMPLE_RATE, duration=res, step=res)
+        outputs.extend(
+            pipe([SlidingWindowFeature(audio[start : start + chunk_s], sw)])
+        )
+    assert len(outputs) >= 2
+    # every output is an (annotation, feature) pair on the expected grid
+    for ann, _ in outputs:
+        assert ann is not None
+
+
 @pytest.mark.parametrize("family", sorted(FAMILIES))
 def test_family_through_engine(family):
     kwargs = dict(FAMILIES[family])
