@@ -19,14 +19,20 @@ checkpoint changes, exact f32 parameters stay the source of truth:
   ``s_x * s_w`` and proceed in f32 (batch-norm folding, residual adds and
   pooling statistics are unchanged).
 
-Uniform-quantization error is ~0.3% RMS per tensor (7 effective bits);
-through a ResNet34 trunk the pooled-embedding cosine stays > 0.999
-(``tests/test_quant.py``), well inside the clustering threshold margin
-(δ_new defaults to 1.0 in cosine distance, reference
+Uniform-quantization error is ~1% RMS per tensor (7 effective bits with a
+max-abs scale); through a ResNet34 trunk the pooled-embedding cosine stays
+> 0.999 (``tests/test_quant.py``), well inside the clustering threshold
+margin (δ_new defaults to 1.0 in cosine distance, reference
 ``/root/reference/src/diart/blocks/diarization.py``). Still, it IS a
 quality-affecting approximation, so the ``int8_trunk`` precision switch
-defaults OFF and is inference-only (no custom VJP: rounding has zero
-gradient almost everywhere — training paths must keep it disabled).
+defaults OFF.
+
+Differentiable via the STRAIGHT-THROUGH estimator (the standard QAT
+treatment): rounding has zero gradient almost everywhere, so the backward
+pass is the exact f32 convolution's VJP at the unquantized operands — the
+same fast-forward/reference-backward pattern as the Pallas kernels
+(``ops/pallas_*.py``). Fine-tuning with the fast path on therefore trains
+the f32 master weights while the forward sees quantization noise.
 
 Reference behavior being accelerated: the embedding model forwards the
 reference runs in torch/ONNX (``/root/reference/src/diart/models.py:
@@ -36,7 +42,8 @@ reference does not have.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple, Union
+from functools import lru_cache
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -72,31 +79,68 @@ def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
-def int8_conv(
-    x: jnp.ndarray,
-    kernel: jnp.ndarray,
-    strides: Sequence[int],
-    padding: Union[str, Sequence[Tuple[int, int]]],
-    out_dtype: jnp.dtype = jnp.float32,
-) -> jnp.ndarray:
-    """Dynamically-quantized convolution: f32/bf16 in, f32/bf16 out, int8
-    multiplies inside.
+def _conv_specs(spatial: int) -> Tuple[str, str, str]:
+    lhs_spec = "N" + "HWD"[:spatial] + "C"
+    return lhs_spec, "HWD"[:spatial] + "IO", lhs_spec
 
-    x: (batch, *spatial, in_ch); kernel: (*window, in_ch, out_ch) — the
-    flax ``nn.Conv`` NHWC/HWIO layout for any spatial rank lax supports.
-    """
+
+def _int8_conv_forward(x, kernel, strides, padding, out_dtype):
     q_x, s_x = quantize_per_sample(x)
     q_w, s_w = quantize_weight(kernel)
-    spatial = kernel.ndim - 2
-    lhs_spec = "N" + "HWD"[:spatial] + "C"
-    rhs_spec = "HWD"[:spatial] + "IO"
     acc = lax.conv_general_dilated(
         q_x,
         q_w,
-        tuple(strides),
-        padding if isinstance(padding, str) else list(padding),
-        dimension_numbers=(lhs_spec, rhs_spec, lhs_spec),
+        strides,
+        list(padding),
+        dimension_numbers=_conv_specs(kernel.ndim - 2),
         preferred_element_type=jnp.int32,
     )
     # s_x broadcasts over batch (keepdims rank), s_w over the channel axis
     return (acc.astype(jnp.float32) * (s_x * s_w)).astype(out_dtype)
+
+
+@lru_cache(maxsize=None)
+def _with_ste_vjp(strides: Tuple[int, ...], padding, out_dtype):
+    """int8 forward, straight-through (exact f32 conv VJP) backward."""
+
+    def f32_conv(x, kernel):
+        return lax.conv_general_dilated(
+            x.astype(jnp.float32),
+            kernel.astype(jnp.float32),
+            strides,
+            list(padding),
+            dimension_numbers=_conv_specs(kernel.ndim - 2),
+        ).astype(out_dtype)
+
+    @jax.custom_vjp
+    def run(x, kernel):
+        return _int8_conv_forward(x, kernel, strides, padding, out_dtype)
+
+    def fwd(x, kernel):
+        return run(x, kernel), (x, kernel)
+
+    def bwd(residuals, cotangent):
+        _, vjp = jax.vjp(f32_conv, *residuals)
+        return vjp(cotangent)
+
+    run.defvjp(fwd, bwd)
+    return run
+
+
+def int8_conv(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    strides: Sequence[int],
+    padding: Sequence[Tuple[int, int]],
+    out_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Dynamically-quantized convolution: f32/bf16 in, f32/bf16 out, int8
+    multiplies inside, straight-through gradients.
+
+    x: (batch, *spatial, in_ch); kernel: (*window, in_ch, out_ch) — the
+    flax ``nn.Conv`` NHWC/HWIO layout for any spatial rank lax supports.
+    """
+    padding = tuple((int(lo), int(hi)) for lo, hi in padding)
+    return _with_ste_vjp(tuple(int(s) for s in strides), padding, out_dtype)(
+        x, kernel
+    )

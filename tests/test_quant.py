@@ -61,6 +61,31 @@ def test_int8_conv_close_to_f32(stride, pad):
     assert rms < 0.02, rms
 
 
+def test_int8_conv_straight_through_gradient():
+    """Training with the fast path on must work: the STE backward is the
+    exact f32 convolution's VJP at the unquantized operands."""
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 10, 8)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(3, 8, 12)) * 0.1).astype(np.float32))
+
+    def loss_int8(x, w):
+        return jnp.sum(int8_conv(x, w, (1,), [(1, 1)]) ** 2) / 100
+
+    def loss_f32(x, w):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1,), [(1, 1)], dimension_numbers=("NHC", "HIO", "NHC")
+        )
+        return jnp.sum(y**2) / 100
+
+    gx_q, gw_q = jax.grad(loss_int8, argnums=(0, 1))(x, w)
+    gx_f, gw_f = jax.grad(loss_f32, argnums=(0, 1))(x, w)
+    # cotangents differ only through the (quantized) forward inside the
+    # loss; the pullback itself is the exact f32 conv VJP
+    np.testing.assert_allclose(np.asarray(gx_q), np.asarray(gx_f), rtol=0.05, atol=0.02)
+    np.testing.assert_allclose(np.asarray(gw_q), np.asarray(gw_f), rtol=0.05, atol=0.02)
+    assert np.isfinite(np.asarray(gx_q)).all() and np.abs(np.asarray(gx_q)).max() > 0
+
+
 def _resnet(dim=32):
     from diart_tpu.models import EmbeddingModel
 
