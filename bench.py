@@ -204,21 +204,24 @@ def main():
     # Fail FAST when the remote platform is unreachable: jax.devices() on a
     # dead tunnel blocks forever with no error, which would silently eat the
     # whole bench budget. One subprocess probe (devices-only, no compile)
-    # bounds that to 5 minutes. DIART_TPU_SKIP_PROBE=1 skips it.
+    # bounds that to 5 minutes; the result is memoized so provision_devices
+    # does not probe again. An UNSET platform is probed too — JAX's default
+    # selection may still pick a remote plugin. DIART_TPU_SKIP_PROBE=1
+    # skips it.
     import os
 
-    platform = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    from diart_tpu.parallel.mesh import _probe_default_backend, effective_platform
+
+    platform = effective_platform()
     if (
-        platform
-        and not platform.startswith("cpu")
+        not platform.startswith("cpu")
         and os.environ.get("DIART_TPU_SKIP_PROBE") != "1"
     ):
-        from diart_tpu.parallel.mesh import _probe_default_backend
-
-        if _probe_default_backend(timeout=300.0) is None:
+        if _probe_default_backend(platform, timeout=300.0) is None:
             sys.exit(
-                f"bench: JAX platform {platform!r} is unreachable (remote "
-                "tunnel down?) — refusing to hang on jax.devices()"
+                f"bench: JAX platform {platform or '<default>'!r} is "
+                "unreachable (remote tunnel down?) — refusing to hang on "
+                "jax.devices()"
             )
 
     engine = _build_engine(args)

@@ -102,15 +102,15 @@ class QuantizableConv(nn.Module):
             from ..ops.quant import int8_conv
 
             return int8_conv(x, kernel, strides, padding, self.compute_dtype)
+        from ..ops.quant import _conv_specs
+
         dt = self.compute_dtype
-        spatial = len(self.kernel_size)
-        spec = "N" + "HWD"[:spatial] + "C"
         return jax.lax.conv_general_dilated(
             x.astype(dt),
             kernel.astype(dt),
             strides,
             padding,
-            dimension_numbers=(spec, "HWD"[:spatial] + "IO", spec),
+            dimension_numbers=_conv_specs(len(self.kernel_size)),
         )
 
 

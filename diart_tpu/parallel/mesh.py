@@ -76,29 +76,70 @@ def initialize_distributed(
     return True
 
 
-def _probe_default_backend(timeout: float = 120.0) -> Optional[int]:
-    """Device count of the process-default JAX platform, probed in a
-    SUBPROCESS so an unreachable remote platform (e.g. a dead tunnel to a
-    remote TPU) cannot hang this process — in-process ``jax.devices()``
-    blocks indefinitely inside the backend factory when the platform's
-    transport is down, and the init lock makes any thread-level timeout +
-    retry deadlock. Returns ``None`` when the probe fails or times out
-    (treat as "platform unreachable")."""
+def effective_platform() -> str:
+    """The JAX platform this process will actually initialize, resolved the
+    ONE way every diart_tpu entry point agrees on: the ``DIART_TPU_PLATFORM``
+    knob, then an in-process ``jax.config`` override (e.g. a sitecustomize
+    pin or a test harness forcing CPU — it shadows the env var), then the
+    ``JAX_PLATFORMS`` env var. Empty string = JAX's default selection
+    (which may still pick a remote plugin — treat as unknown, not as
+    local)."""
+    knob = os.environ.get("DIART_TPU_PLATFORM")
+    if knob:
+        return knob
+    import sys
+
+    if "jax" in sys.modules:
+        import jax
+
+        value = jax.config.jax_platforms
+        if value:
+            return value
+    return os.environ.get("JAX_PLATFORMS", "")
+
+
+_probe_results: dict = {}
+
+
+def _probe_default_backend(
+    platform: str = "", timeout: float = 120.0
+) -> Optional[int]:
+    """Device count of ``platform`` (or the default selection when empty),
+    probed in a SUBPROCESS so an unreachable remote platform (e.g. a dead
+    tunnel to a remote TPU) cannot hang this process — in-process
+    ``jax.devices()`` blocks indefinitely inside the backend factory when
+    the platform's transport is down, and the init lock makes any
+    thread-level timeout + retry deadlock. The parent's resolved platform is
+    passed to the child via ``JAX_PLATFORMS`` so an in-process
+    ``jax.config`` pin probes the same backend it pins (a sitecustomize
+    that re-pins in the child shadows it identically on both sides).
+    Returns ``None`` when the probe fails or times out (treat as "platform
+    unreachable"); results are memoized per platform for the process
+    lifetime so stacked entry points (bench → provision_devices) pay one
+    handshake, not three."""
+    if platform in _probe_results:
+        return _probe_results[platform]
     import subprocess
     import sys
 
+    env = dict(os.environ)
+    if platform:
+        env["JAX_PLATFORMS"] = platform
+    result = None
     try:
         out = subprocess.run(
             [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
             capture_output=True,
             timeout=timeout,
             text=True,
+            env=env,
         )
         if out.returncode == 0 and out.stdout.strip():
-            return int(out.stdout.strip().splitlines()[-1])
+            result = int(out.stdout.strip().splitlines()[-1])
     except (subprocess.TimeoutExpired, OSError, ValueError):
         pass
-    return None
+    _probe_results[platform] = result
+    return result
 
 
 def _backend_initialized() -> bool:
@@ -135,14 +176,20 @@ def provision_devices(n_devices: int) -> None:
     if not _backend_initialized() and not _distributed_ready:
         # (in a process group the probe subprocess would only see its host's
         # local devices — there, jax.devices() is the global list and safe)
-        platform = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
-        if os.environ.get("DIART_TPU_PLATFORM") == "cpu":
-            probed: Optional[int] = None
-        elif platform.startswith("cpu") or not platform:
-            # local platform: in-process init below is safe and cheap
-            probed = n_devices
+        knob = os.environ.get("DIART_TPU_PLATFORM")
+        if knob:
+            # the knob is authoritative — apply it before first init (it
+            # must beat a sitecustomize config pin, which shadows env vars)
+            jax.config.update("jax_platforms", knob)
+        platform = effective_platform()
+        if platform.startswith("cpu"):
+            # explicitly local: in-process init below is safe and cheap;
+            # the post-init resize handles the device count
+            probed: Optional[int] = n_devices
         else:
-            probed = _probe_default_backend()
+            # non-cpu OR unset (the default selection may still pick a
+            # remote plugin — unknown is probed, not trusted)
+            probed = _probe_default_backend(platform)
         if probed is None or probed < n_devices:
             jax.config.update("jax_num_cpu_devices", max(n_devices, 1))
             jax.config.update("jax_platforms", "cpu")

@@ -478,27 +478,14 @@ class Benchmark:
 
 
 def _effective_platform() -> Optional[Text]:
-    """The JAX platform override to propagate into worker processes.
+    """The JAX platform override to propagate into worker processes (spawn
+    workers would otherwise re-initialize on the default platform and, on
+    remote-compile TPU tunnels, block for minutes per worker). One shared
+    resolution rule lives in :func:`diart_tpu.parallel.mesh
+    .effective_platform`."""
+    from ..parallel.mesh import effective_platform
 
-    Resolution order: the ``DIART_TPU_PLATFORM`` env knob, then the parent's
-    in-process ``jax.config`` override (e.g. a test harness that forced the
-    CPU backend — spawn workers would otherwise re-initialize on the default
-    platform and, on remote-compile TPU tunnels, block for minutes per
-    worker).
-    """
-    import os
-    import sys
-
-    knob = os.environ.get("DIART_TPU_PLATFORM")
-    if knob:
-        return knob
-    if "jax" in sys.modules:
-        import jax
-
-        value = jax.config.jax_platforms
-        if value:
-            return value
-    return None
+    return effective_platform() or None
 
 
 def _parent_cache_dir() -> Optional[Text]:
