@@ -86,6 +86,8 @@ class QuantizableConv(nn.Module):
     kernel_size: Tuple[int, ...] = (3, 3)
     strides: Optional[Tuple[int, ...]] = None
     padding: Optional[Tuple[Tuple[int, int], ...]] = None
+    kernel_dilation: Optional[Tuple[int, ...]] = None
+    use_bias: bool = False
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -96,22 +98,35 @@ class QuantizableConv(nn.Module):
             tuple(self.kernel_size) + (x.shape[-1], self.features),
             jnp.float32,
         )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
         strides = self.strides or (1,) * len(self.kernel_size)
         padding = list(self.padding or ((0, 0),) * len(self.kernel_size))
+        dilation = self.kernel_dilation or (1,) * len(self.kernel_size)
         if int8_trunk_enabled() and not self.is_initializing():
             from ..ops.quant import int8_conv
 
-            return int8_conv(x, kernel, strides, padding, self.compute_dtype)
-        from ..ops.quant import _conv_specs
+            y = int8_conv(
+                x, kernel, strides, padding, self.compute_dtype, dilation
+            )
+        else:
+            from ..ops.quant import _conv_specs
 
-        dt = self.compute_dtype
-        return jax.lax.conv_general_dilated(
-            x.astype(dt),
-            kernel.astype(dt),
-            strides,
-            padding,
-            dimension_numbers=_conv_specs(len(self.kernel_size)),
-        )
+            dt = self.compute_dtype
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt),
+                kernel.astype(dt),
+                strides,
+                padding,
+                rhs_dilation=dilation,
+                dimension_numbers=_conv_specs(len(self.kernel_size)),
+            )
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class InferenceBatchNorm(nn.Module):

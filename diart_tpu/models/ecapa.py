@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from .common import InferenceBatchNorm as _BatchNorm
-from .common import attentive_stats_pool, reflect_pad_time
+from .common import QuantizableConv, attentive_stats_pool, reflect_pad_time
 from .fbank import speechbrain_log_mel
 
 __all__ = ["EcapaTDNN"]
@@ -51,13 +51,12 @@ class _TDNNBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad = (self.kernel - 1) * self.dilation // 2
-        x = nn.Conv(
+        x = QuantizableConv(
             self.features,
             kernel_size=(self.kernel,),
             kernel_dilation=(self.dilation,),
-            padding="VALID",
-            dtype=self.compute_dtype,
-            param_dtype=jnp.float32,
+            use_bias=True,
+            compute_dtype=self.compute_dtype,
             name="conv",
         )(reflect_pad_time(x, pad))
         return _BatchNorm(self.features, name="bn")(nn.relu(x))

@@ -39,7 +39,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import InferenceBatchNorm, reflect_pad_time, resample_weights
+from .common import (
+    InferenceBatchNorm,
+    QuantizableConv,
+    reflect_pad_time,
+    resample_weights,
+)
 from .embedding import stats_from_moments, weighted_stats_pool
 from .fbank import speechbrain_log_mel
 
@@ -68,14 +73,15 @@ class XVectorFbank(nn.Module):
 
     def setup(self):
         self.tdnns = [
-            nn.Conv(
+            # 'same' padding happens via an explicit reflect pre-pad in
+            # trunk_from_features; the conv itself is VALID
+            QuantizableConv(
                 features=channels,
                 kernel_size=(kernel,),
                 kernel_dilation=(dilation,),
-                padding="VALID",  # 'same' via explicit reflect pre-pad
+                use_bias=True,
                 name=f"tdnn{i}",
-                dtype=self.compute_dtype,
-                param_dtype=jnp.float32,
+                compute_dtype=self.compute_dtype,
             )
             for i, (kernel, dilation, channels) in enumerate(self.tdnn_specs)
         ]

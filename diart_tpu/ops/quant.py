@@ -84,7 +84,7 @@ def _conv_specs(spatial: int) -> Tuple[str, str, str]:
     return lhs_spec, "HWD"[:spatial] + "IO", lhs_spec
 
 
-def _int8_conv_forward(x, kernel, strides, padding, out_dtype):
+def _int8_conv_forward(x, kernel, strides, padding, dilation, out_dtype):
     q_x, s_x = quantize_per_sample(x)
     q_w, s_w = quantize_weight(kernel)
     acc = lax.conv_general_dilated(
@@ -92,6 +92,7 @@ def _int8_conv_forward(x, kernel, strides, padding, out_dtype):
         q_w,
         strides,
         list(padding),
+        rhs_dilation=dilation,
         dimension_numbers=_conv_specs(kernel.ndim - 2),
         preferred_element_type=jnp.int32,
     )
@@ -100,7 +101,7 @@ def _int8_conv_forward(x, kernel, strides, padding, out_dtype):
 
 
 @lru_cache(maxsize=None)
-def _with_ste_vjp(strides: Tuple[int, ...], padding, out_dtype):
+def _with_ste_vjp(strides: Tuple[int, ...], padding, dilation, out_dtype):
     """int8 forward, straight-through (exact f32 conv VJP) backward."""
 
     def f32_conv(x, kernel):
@@ -109,12 +110,13 @@ def _with_ste_vjp(strides: Tuple[int, ...], padding, out_dtype):
             kernel.astype(jnp.float32),
             strides,
             list(padding),
+            rhs_dilation=dilation,
             dimension_numbers=_conv_specs(kernel.ndim - 2),
         ).astype(out_dtype)
 
     @jax.custom_vjp
     def run(x, kernel):
-        return _int8_conv_forward(x, kernel, strides, padding, out_dtype)
+        return _int8_conv_forward(x, kernel, strides, padding, dilation, out_dtype)
 
     def fwd(x, kernel):
         return run(x, kernel), (x, kernel)
@@ -133,14 +135,19 @@ def int8_conv(
     strides: Sequence[int],
     padding: Sequence[Tuple[int, int]],
     out_dtype: jnp.dtype = jnp.float32,
+    dilation: Sequence[int] = None,
 ) -> jnp.ndarray:
     """Dynamically-quantized convolution: f32/bf16 in, f32/bf16 out, int8
     multiplies inside, straight-through gradients.
 
     x: (batch, *spatial, in_ch); kernel: (*window, in_ch, out_ch) — the
     flax ``nn.Conv`` NHWC/HWIO layout for any spatial rank lax supports.
+    ``dilation`` is the kernel (rhs) dilation.
     """
     padding = tuple((int(lo), int(hi)) for lo, hi in padding)
-    return _with_ste_vjp(tuple(int(s) for s in strides), padding, out_dtype)(
-        x, kernel
+    dilation = tuple(
+        int(d) for d in (dilation or (1,) * (kernel.ndim - 2))
     )
+    return _with_ste_vjp(
+        tuple(int(s) for s in strides), padding, dilation, out_dtype
+    )(x, kernel)

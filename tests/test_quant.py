@@ -146,6 +146,40 @@ def test_titanet_trunk_int8_embedding_fidelity(monkeypatch):
     assert (cos > 0.999).all(), cos
 
 
+@pytest.mark.parametrize(
+    "name,kwargs",
+    [
+        ("tpu/ecapa", dict(embedding_dim=32, channels=32)),
+        (
+            "tpu/xvect-sb",
+            dict(
+                embedding_dim=32,
+                tdnn_specs=((5, 1, 16), (3, 2, 16), (3, 3, 16), (1, 1, 16), (1, 1, 48)),
+            ),
+        ),
+    ],
+)
+def test_tdnn_trunk_int8_embedding_fidelity(monkeypatch, name, kwargs):
+    """ECAPA and speechbrain x-vector TDNN trunks (incl. dilated + biased
+    convs through the shared QuantizableConv): same fidelity bar."""
+    from diart_tpu.models import EmbeddingModel
+
+    emb = EmbeddingModel.from_registry(name, init_samples=16000, **kwargs)
+    emb.load()
+    rng = np.random.default_rng(7)
+    wave = rng.normal(scale=0.2, size=(3, 1, 16000)).astype(np.float32)
+    base = np.asarray(emb.module.apply(emb.params, jnp.asarray(wave)))
+
+    monkeypatch.setattr(precision, "enabled", lambda f: f == "int8_trunk")
+    quant = np.asarray(emb.module.apply(emb.params, jnp.asarray(wave)))
+
+    assert not np.allclose(quant, base), "int8 path did not engage"
+    cos = np.sum(quant * base, -1) / (
+        np.linalg.norm(quant, axis=-1) * np.linalg.norm(base, axis=-1)
+    )
+    assert (cos > 0.999).all(), cos
+
+
 def test_int8_policy_scoped_engagement():
     """Precision.use scoping (not just env/monkeypatch) flips the path."""
     emb = _resnet(dim=16)
