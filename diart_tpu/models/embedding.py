@@ -31,7 +31,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import InferenceBatchNorm, resample_weights
+from .common import InferenceBatchNorm, QuantizableConv, resample_weights
 from .sincnet import SincNet
 
 __all__ = [
@@ -139,14 +139,16 @@ class XVectorSincNet(nn.Module):
             name="sincnet",
         )
         self.tdnns = [
-            nn.Conv(
+            # VALID padding (pyannote's convention); int8-able trunk matmuls
+            # via the shared QuantizableConv (kernel/bias paths identical to
+            # nn.Conv, so converters and the fused head are oblivious)
+            QuantizableConv(
                 features=channels,
                 kernel_size=(kernel,),
                 kernel_dilation=(dilation,),
-                padding="VALID",
+                use_bias=True,
                 name=f"tdnn{i}",
-                dtype=self.compute_dtype,
-                param_dtype=jnp.float32,
+                compute_dtype=self.compute_dtype,
             )
             for i, (kernel, dilation, channels) in enumerate(self.tdnn_specs)
         ]

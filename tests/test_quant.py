@@ -150,6 +150,7 @@ def test_titanet_trunk_int8_embedding_fidelity(monkeypatch):
     "name,kwargs",
     [
         ("tpu/ecapa", dict(embedding_dim=32, channels=32)),
+        ("tpu/xvector", dict(embedding_dim=32)),
         (
             "tpu/xvect-sb",
             dict(
