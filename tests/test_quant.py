@@ -181,6 +181,25 @@ def test_tdnn_trunk_int8_embedding_fidelity(monkeypatch, name, kwargs):
     assert (cos > 0.999).all(), cos
 
 
+def test_int8_batch_independence(monkeypatch):
+    """Serving invariant: a stream's embedding must not depend on which
+    other streams share its batch. Per-SAMPLE activation scales guarantee
+    it (a per-tensor scale would couple streams through the batch max)."""
+    emb = _resnet(dim=16)
+    rng = np.random.default_rng(8)
+    quiet = rng.normal(scale=0.01, size=(1, 1, 16000)).astype(np.float32)
+    loud = rng.normal(scale=5.0, size=(1, 1, 16000)).astype(np.float32)
+
+    monkeypatch.setattr(precision, "enabled", lambda f: f == "int8_trunk")
+    alone = np.asarray(emb.module.apply(emb.params, jnp.asarray(quiet)))
+    batched = np.asarray(
+        emb.module.apply(
+            emb.params, jnp.asarray(np.concatenate([quiet, loud], axis=0))
+        )
+    )
+    np.testing.assert_allclose(batched[:1], alone, atol=1e-5)
+
+
 def test_int8_policy_scoped_engagement():
     """Precision.use scoping (not just env/monkeypatch) flips the path."""
     emb = _resnet(dim=16)
