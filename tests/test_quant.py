@@ -214,3 +214,68 @@ def test_int8_policy_scoped_engagement():
     with precision.use(precision.Precision(), force=True):
         again = np.asarray(emb.module.apply(emb.params, jnp.asarray(wave)))
     np.testing.assert_allclose(again, base, atol=1e-6)
+
+
+def test_int8_trunk_through_engine():
+    """Serving invariant at the ENGINE level: enabling the int8 trunk on a
+    `MultiStreamEngine` leaves the emitted diarization (near-)unchanged —
+    same active centroid slots, centroid cosine > 0.999, aggregated scores
+    within a small tolerance of the f32 engine's. The segmentation arm is
+    untouched by the switch, so divergence can only enter through the
+    embedding->clustering path; this pins that it stays inside the
+    clustering margins end-to-end (reference decision thresholds:
+    /root/reference/src/diart/blocks/diarization.py:21-86)."""
+    from diart_tpu.models import EmbeddingModel, SegmentationModel
+    from diart_tpu.parallel import MultiStreamEngine
+
+    seg = SegmentationModel.from_registry(
+        "tpu/pyannet",
+        lstm_hidden=16,
+        lstm_layers=1,
+        linear_dims=(16,),
+        init_samples=32000,
+    )
+    emb = EmbeddingModel.from_registry(
+        "tpu/xvector", embedding_dim=32, init_samples=32000
+    )
+    kw = dict(
+        segmentation=seg,
+        embedding=emb,
+        duration=2.0,
+        step=0.5,
+        latency=0.5,
+        sample_rate=16000,
+        tau_active=0.2,  # low gate so random-init scores activate speakers
+        max_speakers=4,
+        batch_size=2,
+    )
+    base = MultiStreamEngine(**kw, precision=precision.Precision())
+    quant = MultiStreamEngine(
+        **kw, precision=precision.Precision(int8_trunk=True)
+    )
+
+    rng = np.random.default_rng(3)
+    sb, sq = base.init_state(), quant.init_state()
+    ob = oq = None
+    for _ in range(8):
+        blk = rng.normal(scale=0.2, size=(2, base.step_samples)).astype(
+            np.float32
+        )
+        sb, ob = base.step(sb, blk)
+        sq, oq = quant.step(sq, blk)
+
+    cb, cq = np.asarray(sb.centers), np.asarray(sq.centers)
+    active = np.asarray(sb.center_active).astype(bool)
+    assert active.any(), "no speakers activated; the test exercised nothing"
+    assert np.isfinite(cq).all()
+    # the int8 path engaged (centroid sums carry quantization noise)...
+    assert not np.allclose(cq, cb)
+    # ...but stayed inside the clustering margins:
+    np.testing.assert_array_equal(np.asarray(sq.center_active), active)
+    dot = (cb * cq).sum(-1)
+    norms = np.linalg.norm(cb, axis=-1) * np.linalg.norm(cq, axis=-1)
+    cos = np.where(active, dot / np.maximum(norms, 1e-9), 1.0)
+    assert (cos > 0.999).all(), cos
+    np.testing.assert_allclose(
+        np.asarray(oq.aggregated), np.asarray(ob.aggregated), atol=0.02
+    )
