@@ -192,8 +192,14 @@ def _res2_kernel(
             # which Mosaic rejects), then one extra rotate + row-select per
             # boundary row (<= dilation rows per edge) to substitute the
             # mirrored sample v[-(t+s)] / v[2(time-1)-(t+s)] for the zeros.
+            # Mosaic's dynamic_rotate only handles 32-bit lanes, so sub-f32
+            # inputs (the bf16 trunk) roll as their exact f32 upcast and
+            # cast back after the row selects.
             if s == 0:
                 return v
+            out_dt = v.dtype
+            if jnp.dtype(out_dt).itemsize < 4:
+                v = v.astype(jnp.float32)
             r = pltpu.roll(v, (-s) % time, 0)  # roll requires shift >= 0
             if s > 0:
                 out = jnp.where(row < time - s, r, 0).astype(v.dtype)
@@ -201,13 +207,13 @@ def _res2_kernel(
                     t, q = time - s + k, time - 2 - k
                     rk = pltpu.roll(v, (t - q) % time, 0)
                     out = jnp.where(row == t, rk, out).astype(v.dtype)
-                return out
+                return out.astype(out_dt)
             out = jnp.where(row >= -s, r, 0).astype(v.dtype)
             for k in range(-s):  # rows k read v[-s-k]
                 q = (-s) - k
                 rk = pltpu.roll(v, (k - q) % time, 0)
                 out = jnp.where(row == k, rk, out).astype(v.dtype)
-            return out
+            return out.astype(out_dt)
 
         outputs = [z1[:, :width]]
         y = None
@@ -235,8 +241,18 @@ def _res2_kernel(
         cat = jnp.concatenate(outputs, axis=-1)  # (T, C)
         z2 = tdnn(cat, w2_ref, v2_ref)
 
-        # squeeze-excitation: mean over T, bottleneck MLP, sigmoid gate
+        # squeeze-excitation: mean over T, bottleneck MLP, sigmoid gate.
+        # The MLP must NOT run as a (1, C) matmul: Mosaic compiles a
+        # SINGLE-sublane f32 matmul through a reduced-precision path
+        # (measured ~3e-2 abs error on O(4) values — bf16-level, while
+        # n>=2 sublanes are bit-exact). Plain broadcast rows get
+        # canonicalized back to the 1-sublane form, so the mean row is
+        # placed in row 0 of an iota-masked (8, C) tile (rows 1..7 zero) —
+        # distinct rows survive canonicalization, and the zero rows cost
+        # nothing at this size.
         s = jnp.mean(z2.astype(jnp.float32), axis=0, keepdims=True)  # (1, C)
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, s.shape[1]), 0)
+        s = jnp.where(rows8 == 0, jnp.broadcast_to(s, rows8.shape), 0.0)
         s = jax.lax.dot_general(
             s, ws1_ref[...], dimension_numbers=dims,
             preferred_element_type=jnp.float32,
@@ -246,7 +262,7 @@ def _res2_kernel(
             s, ws2_ref[...], dimension_numbers=dims,
             preferred_element_type=jnp.float32,
         )
-        gate = jax.nn.sigmoid(s + vs2_ref[...])  # (1, C)
+        gate = jax.nn.sigmoid(s[0:1] + vs2_ref[...])  # (1, C)
         out_ref[r] = x_r + (z2 * gate.astype(dt)).astype(dt)
 
 
