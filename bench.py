@@ -304,12 +304,33 @@ def main():
             sync(out.aggregated)
             blocked_times.append(time.perf_counter() - t0)
 
+    # Pure measurement-plumbing cost of one sync: re-syncing an already-
+    # materialized result does zero device work, so its wall time is the
+    # tunnel/driver round trips that `sync` itself costs (block_until_ready
+    # + the 4-byte D2H fetch). On production PCIe this is microseconds; on
+    # the dev tunnel it is tens of ms and would otherwise be misread as a
+    # latency regression in the artifact trend (r01 p50 38.7 ms vs r02
+    # 60.3 ms was plumbing, not device time).
+    resync_times = []
+    for _ in range(3 if args.quick else 8):
+        t0 = time.perf_counter()
+        sync(out.aggregated)
+        resync_times.append(time.perf_counter() - t0)
+    t_resync = float(np.median(resync_times))
+
     t_median = float(np.median(window_times))
     t_best = float(np.min(window_times))
     p50 = float(np.percentile(blocked_times, 50))
     p99 = float(np.percentile(blocked_times, 99))
     streams = batch * engine.step_duration / t_median
     streams_best = batch * engine.step_duration / t_best
+    # Window-amortized estimate of pure device step time: one window pays
+    # `window` dispatches (async, free) + ONE sync; subtract that sync's
+    # plumbing. The blocked per-hop latency pays the same plumbing once per
+    # hop, so `sync_overhead` is the share of p50 that is measurement/tunnel
+    # rather than chip.
+    t_device = max(0.0, t_median - t_resync / window)
+    sync_overhead = max(0.0, p50 - t_device)
 
     # Absolute utilization from the XLA cost model of the compiled step.
     device_kind = jax.devices()[0].device_kind
@@ -356,6 +377,7 @@ def main():
         f"t_step_median={t_median*1000:.2f}ms t_step_best={t_best*1000:.2f}ms "
         f"streams_best={streams_best:.0f} "
         f"p50_chunk_latency={p50*1000:.2f}ms p99_chunk_latency={p99*1000:.2f}ms "
+        f"t_device_est={t_device*1000:.2f}ms sync_overhead={sync_overhead*1000:.2f}ms "
         f"transfer_inclusive={t_xfer*1000:.1f}ms/{streams_xfer:.0f}streams "
         f"(tunnel-bound in this dev env; PCIe-negligible in production) "
         f"{mfu} "

@@ -58,7 +58,11 @@ def _init_params(module, seed: int, samples: int):
     from .. import precision
 
     try:
-        cpu = jax.devices("cpu")[0]
+        # local_devices, not devices: in a multi-host process group
+        # jax.devices() is the GLOBAL list, and its first CPU belongs to
+        # process 0 — placing eager init computations on a non-addressable
+        # device crashes every other process (caught by tests/test_dcn.py)
+        cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
     dummy = jnp.zeros((1, 1, samples))
