@@ -97,7 +97,27 @@ def _distinct_filterbanks(emb) -> bool:
     return True
 
 
-def _build_engine(args):
+def _parse_set(spec):
+    """``--set pallas_res2=1,int8_trunk=1`` -> explicit Precision policy
+    (flagship defaults with the named switches overridden). Returns None when
+    no spec was given, so the engine keeps its ambient-policy default."""
+    if not spec:
+        return None
+    import dataclasses
+
+    from diart_tpu.precision import Precision
+
+    overrides = {}
+    for item in spec.split(","):
+        key, _, value = item.partition("=")
+        key = key.strip()
+        if key not in {f.name for f in dataclasses.fields(Precision)}:
+            sys.exit(f"--set: unknown precision switch {key!r}")
+        overrides[key] = value.strip() not in ("0", "false", "False", "")
+    return dataclasses.replace(Precision(), **overrides)
+
+
+def _build_engine(args, precision=None):
     from diart_tpu.models import EmbeddingModel, SegmentationModel
     from diart_tpu.parallel import MultiStreamEngine
 
@@ -131,6 +151,7 @@ def _build_engine(args):
         max_speakers=20,
         batch_size=args.batch,
         mesh=mesh,
+        precision=precision,
     )
 
 
@@ -182,6 +203,18 @@ def main():
         "the detected device kind)",
     )
     parser.add_argument(
+        "--set", default=None, metavar="FIELD=0|1,...",
+        help="explicit precision-policy overrides on top of the flagship "
+        "defaults (e.g. --set int8_trunk=1,pallas_res2=1); see "
+        "diart_tpu/precision.py for the switch list",
+    )
+    parser.add_argument(
+        "--ab", action="store_true",
+        help="measure the default policy AND the --set variant back-to-back "
+        "in one process (the only trustworthy comparison on the time-shared "
+        "dev chip); prints both stat lines plus a delta on stderr",
+    )
+    parser.add_argument(
         "--quick", action="store_true",
         help="tiny measurement windows (smoke/CI mode — e.g. the CPU-mesh "
         "end-to-end test; numbers are NOT publication-grade)",
@@ -224,7 +257,16 @@ def main():
                 "jax.devices()"
             )
 
-    engine = _build_engine(args)
+    if args.ab and not args.set:
+        sys.exit("--ab requires --set (the variant policy to compare)")
+
+    # In --ab mode the first engine is the BASELINE (default policy); in
+    # single mode --set applies directly to the one engine measured.
+    engine = (
+        _build_engine(args)
+        if args.ab
+        else _build_engine(args, precision=_parse_set(args.set))
+    )
 
     # Persistent compilation cache: the remote TPU compile service has high
     # latency variance (observed 1-30 min for the same program); cached
@@ -241,16 +283,52 @@ def main():
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
-    def sync(x):
-        # A real synchronization: fetch 4 bytes of the RESULT. In this dev
-        # environment the remote runtime's block_until_ready has been
-        # observed to return before the device finished (whole benches
-        # "measuring" 0.19 ms steps); a D2H fetch of a result element is a
-        # true data dependency. Costs the same one tunnel round trip per
-        # window that block_until_ready is supposed to cost.
-        jax.block_until_ready(x)
-        np.asarray(jax.device_get(x.ravel()[:1]))
+    if args.ab:
+        # Back-to-back A/B in ONE process (the dev chip is time-shared;
+        # PERF.md's measurement rule): baseline policy first, then the
+        # --set variant, same pre-staged blocks. The driver-facing JSON
+        # headline reports the BASELINE so `--ab` never changes what a
+        # plain `python bench.py` would have recorded.
+        stats_a = _measure(engine, args, profile=None)
+        _report(stats_a, args, engine, label="A/base")
+        variant = _build_engine(args, precision=_parse_set(args.set))
+        stats_b = _measure(variant, args, profile=None)
+        _report(stats_b, args, variant, label=f"B/{args.set}")
+        delta = stats_b["t_median"] - stats_a["t_median"]
+        print(
+            f"# AB delta t_step_median={delta*1000:+.2f}ms "
+            f"({stats_a['t_median']*1000:.2f} -> {stats_b['t_median']*1000:.2f}ms, "
+            f"{100.0 * delta / stats_a['t_median']:+.1f}%)",
+            file=sys.stderr,
+        )
+        _print_headline(stats_a)
+        return
 
+    stats = _measure(engine, args, profile=args.profile)
+    _report(stats, args, engine)
+    _print_headline(stats)
+
+
+def _sync(x):
+    # A real synchronization: fetch 4 bytes of the RESULT. In this dev
+    # environment the remote runtime's block_until_ready has been
+    # observed to return before the device finished (whole benches
+    # "measuring" 0.19 ms steps); a D2H fetch of a result element is a
+    # true data dependency. Costs the same one tunnel round trip per
+    # window that block_until_ready is supposed to cost.
+    import jax
+
+    jax.block_until_ready(x)
+    np.asarray(jax.device_get(x.ravel()[:1]))
+
+
+def _measure(engine, args, profile=None):
+    """Warm up + compile, then measure one engine's steady state. Returns a
+    stats dict (see keys below); stderr reporting is separate so ``--ab``
+    can run two engines in one process and report both."""
+    import jax
+
+    batch, steps = args.batch, args.steps
     rng = np.random.default_rng(0)
     state = engine.init_state()
     blocks_host = rng.normal(
@@ -271,15 +349,15 @@ def main():
     for i in range(warmup):
         run = np.full((batch,), i + 1 >= warmup)
         state, out = engine.step(state, blocks[i], run_mask=run)
-    sync(out.aggregated)
+    _sync(out.aggregated)
 
-    if args.profile:
+    if profile:
         # trace a short steady-state burst (compilation already done above)
-        with jax.profiler.trace(args.profile):
+        with jax.profiler.trace(profile):
             for i in range(5):
                 state, out = engine.step(state, blocks[warmup + i % steps])
-            sync(out.aggregated)
-        print(f"# xprof trace written to {args.profile}", file=sys.stderr)
+            _sync(out.aggregated)
+        print(f"# xprof trace written to {profile}", file=sys.stderr)
 
     # Timed steady state: pipelined windows (block once per window, the way
     # a serving loop drains) for throughput; per-hop blocked steps for
@@ -296,12 +374,12 @@ def main():
         t0 = time.perf_counter()
         for i in range(window):
             state, out = engine.step(state, blocks[warmup + (w * window + i) % steps])
-        sync(out.aggregated)
+        _sync(out.aggregated)
         window_times.append((time.perf_counter() - t0) / window)
         for _ in range(2):
             t0 = time.perf_counter()
             state, out = engine.step(state, blocks[w % steps])
-            sync(out.aggregated)
+            _sync(out.aggregated)
             blocked_times.append(time.perf_counter() - t0)
 
     # Pure measurement-plumbing cost of one sync: re-syncing an already-
@@ -314,7 +392,7 @@ def main():
     resync_times = []
     for _ in range(3 if args.quick else 8):
         t0 = time.perf_counter()
-        sync(out.aggregated)
+        _sync(out.aggregated)
         resync_times.append(time.perf_counter() - t0)
     t_resync = float(np.median(resync_times))
 
@@ -322,8 +400,6 @@ def main():
     t_best = float(np.min(window_times))
     p50 = float(np.percentile(blocked_times, 50))
     p99 = float(np.percentile(blocked_times, 99))
-    streams = batch * engine.step_duration / t_median
-    streams_best = batch * engine.step_duration / t_best
     # Window-amortized estimate of pure device step time: one window pays
     # `window` dispatches (async, free) + ONE sync; subtract that sync's
     # plumbing. The blocked per-hop latency pays the same plumbing once per
@@ -347,38 +423,67 @@ def main():
     for i in range(2 if args.quick else 10):
         t0 = time.perf_counter()
         state, out = engine.step(state, blocks_host[i % steps])
-        sync(out.aggregated)
+        _sync(out.aggregated)
         xfer_times.append(time.perf_counter() - t0)
     t_xfer = float(np.median(xfer_times))
-    streams_xfer = batch * engine.step_duration / t_xfer
+    return {
+        "t_median": t_median,
+        "t_best": t_best,
+        "p50": p50,
+        "p99": p99,
+        "t_device": t_device,
+        "sync_overhead": sync_overhead,
+        "t_xfer": t_xfer,
+        "streams": batch * engine.step_duration / t_median,
+        "streams_best": batch * engine.step_duration / t_best,
+        "streams_xfer": batch * engine.step_duration / t_xfer,
+        "flops": flops,
+        "tflops_per_s": tflops_per_s,
+        "pct_peak": pct_peak,
+        "device_kind": device_kind,
+    }
+
+
+def _print_headline(stats):
     print(
         json.dumps(
             {
                 "metric": "realtime_streams_per_chip",
-                "value": round(streams, 1),
+                "value": round(stats["streams"], 1),
                 "unit": "streams",
-                "vs_baseline": round(streams / 10.0, 2),
+                "vs_baseline": round(stats["streams"] / 10.0, 2),
             }
         )
     )
+
+
+def _report(stats, args, engine, label=""):
+    flops = stats["flops"]
+    pct_peak = stats["pct_peak"]
+    device_kind = stats["device_kind"]
     mfu = (
-        f"flops/step={flops:.3e} tflops_per_s={tflops_per_s:.1f} "
+        f"flops/step={flops:.3e} tflops_per_s={stats['tflops_per_s']:.1f} "
         f"pct_peak={pct_peak:.1f}%"
         if pct_peak is not None
         else f"flops/step={flops:.3e} (no peak figure for {device_kind!r})"
         if flops
         else "cost_analysis-unavailable"
     )
+    tag = f" [{label}]" if label else ""
     print(
-        f"# batch={batch} mesh={args.mesh or 1} seg={args.seg} "
+        f"#{tag} batch={args.batch} mesh={args.mesh or 1} seg={args.seg} "
         f"emb={'-' if args.vad else args.emb} "
         f"vad={args.vad} shared_frontend={args.shared_frontend} "
         f"int16={args.int16} dtype={args.dtype} emb_dtype={args.emb_dtype} "
-        f"t_step_median={t_median*1000:.2f}ms t_step_best={t_best*1000:.2f}ms "
-        f"streams_best={streams_best:.0f} "
-        f"p50_chunk_latency={p50*1000:.2f}ms p99_chunk_latency={p99*1000:.2f}ms "
-        f"t_device_est={t_device*1000:.2f}ms sync_overhead={sync_overhead*1000:.2f}ms "
-        f"transfer_inclusive={t_xfer*1000:.1f}ms/{streams_xfer:.0f}streams "
+        f"t_step_median={stats['t_median']*1000:.2f}ms "
+        f"t_step_best={stats['t_best']*1000:.2f}ms "
+        f"streams_best={stats['streams_best']:.0f} "
+        f"p50_chunk_latency={stats['p50']*1000:.2f}ms "
+        f"p99_chunk_latency={stats['p99']*1000:.2f}ms "
+        f"t_device_est={stats['t_device']*1000:.2f}ms "
+        f"sync_overhead={stats['sync_overhead']*1000:.2f}ms "
+        f"transfer_inclusive={stats['t_xfer']*1000:.1f}ms/"
+        f"{stats['streams_xfer']:.0f}streams "
         f"(tunnel-bound in this dev env; PCIe-negligible in production) "
         f"{mfu} "
         f"precision={json.dumps(engine.precision.resolved())} "

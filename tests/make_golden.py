@@ -14,7 +14,12 @@ import sys
 
 sys.path.insert(0, str(Path(__file__).parent))
 
-from golden_config import GOLDEN_LATENCIES, GOLDEN_TURNS, TOTAL, run_golden  # noqa: E402
+from golden_config import (  # noqa: E402
+    GOLDEN_LATENCIES,
+    GRID_LATENCIES,
+    run_golden,
+    run_golden_grid,
+)
 
 
 def main():
@@ -25,6 +30,15 @@ def main():
         path = out_dir / f"synth_latency{latency}.rttm"
         path.write_text(rttm)
         print(f"wrote {path}")
+    for latency in GRID_LATENCIES:
+        rttm = run_golden_grid(latency)
+        path = out_dir / f"synth5s_latency{latency}.rttm"
+        path.write_text(rttm)
+        print(f"wrote {path}")
+    rttm = run_golden_grid(5.0, tuned=True)
+    path = out_dir / "synth5s_tuned_latency5.0.rttm"
+    path.write_text(rttm)
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":

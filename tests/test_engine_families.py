@@ -107,3 +107,40 @@ def test_family_through_engine(family):
     centers = np.asarray(session.state.centers)
     assert np.isfinite(centers).all()
     assert centers.shape[-1] == FAMILIES[family]["embedding_dim"]
+
+
+@pytest.mark.slow
+def test_full_size_ecapa_production_geometry():
+    """One mel family at PRODUCTION size and geometry on CPU (VERDICT r2
+    weak-coverage item): full-size ECAPA (512 channels, 192-dim embeddings —
+    the speechbrain voxceleb recipe) + full-size PyanNet, 5 s / 0.5 s,
+    max_speakers 20. The toy-dim family tests above can't catch
+    production-shape bugs (frame grid, weight resampling, head dims); this
+    drives the exact serving shape a few steps."""
+    duration, step = 5.0, 0.5
+    seg = SegmentationModel.from_registry("tpu/pyannet")
+    emb = EmbeddingModel.from_registry("tpu/ecapa")
+    engine = MultiStreamEngine(
+        segmentation=seg,
+        embedding=emb,
+        duration=duration,
+        step=step,
+        latency=step,
+        sample_rate=SAMPLE_RATE,
+        max_speakers=20,
+        batch_size=2,
+    )
+    assert engine.embedding_dim == 192
+
+    session = MultiStreamSession(engine, collect_audio=False)
+    rng = np.random.default_rng(0)
+    outputs = []
+    for _ in range(int(duration / step) + 2):
+        blocks = rng.normal(scale=0.1, size=(2, engine.step_samples)).astype(
+            np.float32
+        )
+        outputs.extend(o for o in session.push(blocks) if o is not None)
+    assert len(outputs) >= 2
+    centers = np.asarray(session.state.centers)
+    assert np.isfinite(centers).all()
+    assert centers.shape == (2, 20, 192)
