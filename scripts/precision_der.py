@@ -1,0 +1,238 @@
+"""Precision-policy vs DER on the synthetic benchmark (VERDICT r2 task 7).
+
+The int8 trunk switch ships with "validate DER on your data"
+(``diart_tpu/precision.py``); this script is the framework's own validation
+so users have a reference point. Fake models would bypass the real compute
+paths the switches control, so it first TRAINS a real (small) PyanNet —
+SincNet frontend + BiLSTM + dense, the exact serving architecture — on
+synthetic 3-speaker tone scenarios with the package's own PIT-BCE trainer
+(``diart_tpu/train/segmentation.py``), then runs the fused engine over
+held-out synthetic streams under three numerics policies:
+
+* ``portable``  — every fast path off, f32 everywhere (the oracle);
+* ``flagship``  — the serving default (Pallas kernels + bf16 trunk storage);
+* ``int8``      — flagship + ``int8_trunk=True`` (dynamic int8 embedding
+  trunk convolutions, ``ops/quant.py``).
+
+Reported per policy: DER against the synthetic ground truth and DER against
+the portable policy's own output (the isolation of what the fast paths
+change). Run ON TPU for a meaningful table — the Pallas/bf16 switches
+resolve to off on CPU.
+
+Usage: ``python scripts/precision_der.py [train_steps]`` (default 400).
+Prints one JSON line per policy.
+"""
+
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+
+SAMPLE_RATE = 16000
+DURATION, STEP = 2.0, 0.5
+CHUNK = int(DURATION * SAMPLE_RATE)
+NUM_SPEAKERS = 3
+SPEAKER_FREQS = (500.0, 1500.0, 3000.0)
+TONE_AMPLITUDE = 0.3
+TOTAL = 12.0
+
+# Held-out evaluation scenarios (never seen in training: training draws
+# random turns from a different generator seed).
+from fakes import Turn  # noqa: E402
+
+EVAL_TURNS = [
+    [Turn(0.0, 3.0, 0), Turn(4.0, 7.0, 1), Turn(8.0, 10.5, 0)],
+    [Turn(1.0, 4.0, 2), Turn(5.0, 9.0, 0), Turn(9.5, 11.5, 2)],
+    [Turn(0.5, 2.0, 1), Turn(2.5, 5.0, 2), Turn(6.0, 10.0, 1)],
+    [Turn(0.0, 11.0, 0)],
+    [Turn(0.0, 4.0, 1), Turn(3.0, 6.5, 0), Turn(7.0, 11.0, 2)],  # overlap
+    [Turn(2.0, 5.0, 2), Turn(6.0, 8.0, 1)],
+]
+
+
+def _random_scenario(rng):
+    """Random per-chunk speaker activity masks + waveform."""
+    t = np.arange(CHUNK) / SAMPLE_RATE
+    wave = 0.002 * rng.standard_normal(CHUNK).astype(np.float32)
+    active = np.zeros((CHUNK, NUM_SPEAKERS), np.float32)
+    for k in range(NUM_SPEAKERS):
+        if rng.random() < 0.3:
+            continue  # silent speaker
+        for _ in range(rng.integers(1, 3)):
+            start = rng.uniform(0.0, DURATION - 0.3)
+            end = min(DURATION, start + rng.uniform(0.3, 1.5))
+            mask = (t >= start) & (t < end)
+            wave[mask] += (
+                TONE_AMPLITUDE
+                * np.sin(2 * np.pi * SPEAKER_FREQS[k] * t[mask])
+            ).astype(np.float32)
+            active[mask, k] = 1.0
+    return wave, active
+
+
+def _frame_targets(active, num_frames):
+    """Sample per-sample activity at frame centers -> (frames, speakers)."""
+    centers = ((np.arange(num_frames) + 0.5) * CHUNK / num_frames).astype(int)
+    return active[np.minimum(centers, CHUNK - 1)]
+
+
+def train_segmentation(train_steps):
+    import jax
+    import jax.numpy as jnp
+
+    from diart_tpu import precision
+    from diart_tpu.models import SegmentationModel
+    from diart_tpu.train.segmentation import make_train_state, train_step
+
+    seg = SegmentationModel.from_registry(
+        "tpu/pyannet",
+        num_speakers=NUM_SPEAKERS,
+        lstm_hidden=64,
+        lstm_layers=1,
+        linear_dims=(64,),
+        init_samples=CHUNK,
+    )
+    seg.load()
+    apply_fn = seg.apply_fn()
+
+    # Probe the model's frame grid once.
+    probe = np.zeros((1, 1, CHUNK), np.float32)
+    with precision.use(precision.Precision.portable(), force=True):
+        num_frames = int(np.asarray(apply_fn(seg.params, probe)).shape[1])
+
+        state, tx = make_train_state(seg.params, learning_rate=1e-3)
+        step = jax.jit(lambda s, w, y: train_step(apply_fn, tx, s, w, y))
+        rng = np.random.default_rng(42)
+        batch = 16
+        t0 = time.time()
+        for i in range(train_steps):
+            waves, targets = [], []
+            for _ in range(batch):
+                w, a = _random_scenario(rng)
+                waves.append(w)
+                targets.append(_frame_targets(a, num_frames))
+            state, loss = step(
+                state,
+                jnp.asarray(np.stack(waves)[:, None, :]),
+                jnp.asarray(np.stack(targets)),
+            )
+            if i % 100 == 0 or i == train_steps - 1:
+                print(
+                    f"# train step {i}: pit_bce={float(loss):.4f} "
+                    f"({time.time()-t0:.0f}s)",
+                    file=sys.stderr,
+                    flush=True,
+                )
+    seg.params = jax.device_get(state.params)
+    return seg
+
+
+def evaluate(seg, policy_name, policy, emb_dtype, emb_params):
+    from diart_tpu.metrics import DiarizationErrorRate
+    from diart_tpu.models import EmbeddingModel
+    from diart_tpu.parallel import MultiStreamEngine, MultiStreamSession
+    from diart_tpu.runtime.sinks import PredictionAccumulator
+    from fakes import synth_audio, turns_to_annotation
+
+    emb = EmbeddingModel.from_registry(
+        "tpu/xvector", embedding_dim=64, dtype=emb_dtype, init_samples=CHUNK
+    )
+    emb.load()
+    emb.params = emb_params  # identical weights across policies
+
+    batch = len(EVAL_TURNS)
+    engine = MultiStreamEngine(
+        segmentation=seg,
+        embedding=emb,
+        duration=DURATION,
+        step=STEP,
+        latency=STEP,
+        sample_rate=SAMPLE_RATE,
+        tau_active=0.5,
+        rho_update=0.1,
+        delta_new=0.7,
+        max_speakers=8,
+        batch_size=batch,
+        precision=policy,
+    )
+    session = MultiStreamSession(engine, tau_active=0.5, collect_audio=False)
+    audios = [synth_audio(t, TOTAL, seed=100 + i) for i, t in enumerate(EVAL_TURNS)]
+    step_s = engine.step_samples
+    accs = [PredictionAccumulator(f"s{i}") for i in range(batch)]
+    for blk in range(int(TOTAL * SAMPLE_RATE) // step_s):
+        blocks = np.stack([a[0, blk * step_s : (blk + 1) * step_s] for a in audios])
+        for i, out in enumerate(session.push(blocks)):
+            if out is not None:
+                accs[i].on_next(out[0])
+    preds = [acc.get_prediction() for acc in accs]
+    ders = [
+        DiarizationErrorRate()(turns_to_annotation(t, uri=f"s{i}"), preds[i])
+        for i, t in enumerate(EVAL_TURNS)
+    ]
+    return preds, float(np.mean(ders)), engine.precision.resolved()
+
+
+def main():
+    import jax
+
+    from diart_tpu.precision import Precision
+
+    train_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    print(
+        f"# backend={jax.default_backend()} device={jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+    seg = train_segmentation(train_steps)
+
+    # One set of embedding weights shared by every policy (dtype only
+    # changes compute precision, but pin the params to be safe).
+    from diart_tpu.models import EmbeddingModel
+
+    ref_emb = EmbeddingModel.from_registry(
+        "tpu/xvector", embedding_dim=64, dtype="f32", init_samples=CHUNK
+    )
+    ref_emb.load()
+    emb_params = ref_emb.params
+
+    policies = [
+        ("portable", Precision.portable(), "f32"),
+        ("flagship", Precision(), "bf16"),
+        ("int8", dataclasses.replace(Precision(), int8_trunk=True), "bf16"),
+    ]
+    portable_preds = None
+    from diart_tpu.metrics import DiarizationErrorRate
+
+    for name, policy, emb_dtype in policies:
+        preds, der_truth, resolved = evaluate(seg, name, policy, emb_dtype, emb_params)
+        if portable_preds is None:
+            portable_preds = preds
+            der_vs_portable = 0.0
+        else:
+            der_vs_portable = float(
+                np.mean(
+                    [
+                        DiarizationErrorRate()(portable_preds[i], preds[i])
+                        for i in range(len(preds))
+                    ]
+                )
+            )
+        print(
+            json.dumps(
+                {
+                    "policy": name,
+                    "der_vs_truth": round(der_truth, 5),
+                    "der_vs_portable": round(der_vs_portable, 5),
+                    "resolved": resolved,
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
