@@ -103,18 +103,12 @@ def _parse_set(spec):
     no spec was given, so the engine keeps its ambient-policy default."""
     if not spec:
         return None
-    import dataclasses
-
     from diart_tpu.precision import Precision
 
-    overrides = {}
-    for item in spec.split(","):
-        key, _, value = item.partition("=")
-        key = key.strip()
-        if key not in {f.name for f in dataclasses.fields(Precision)}:
-            sys.exit(f"--set: unknown precision switch {key!r}")
-        overrides[key] = value.strip() not in ("0", "false", "False", "")
-    return dataclasses.replace(Precision(), **overrides)
+    try:
+        return Precision.parse(spec)
+    except ValueError as e:
+        sys.exit(f"--set: {e}")
 
 
 def _build_engine(args, precision=None):

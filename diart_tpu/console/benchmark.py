@@ -12,7 +12,11 @@ from .. import argdoc
 from .. import models as m
 from .. import utils
 from ..runtime import Benchmark, Parallelize
-from .stream import add_common_model_args, add_common_pipeline_args
+from .stream import (
+    add_common_model_args,
+    add_common_pipeline_args,
+    apply_precision_arg,
+)
 
 
 def run():
@@ -50,6 +54,7 @@ def run():
         "reference repo's multi-URI corpus goldens (expected_outputs/)",
     )
     args = parser.parse_args()
+    apply_precision_arg(args)
 
     if args.score_against is not None:
         from ..metrics.parity import score_rttm

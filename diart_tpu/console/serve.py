@@ -12,7 +12,11 @@ from .. import models as m
 from .. import utils
 from ..parallel import MultiStreamEngine
 from ..runtime.server import StreamingServer
-from .stream import add_common_model_args, add_common_pipeline_args
+from .stream import (
+    add_common_model_args,
+    add_common_pipeline_args,
+    apply_precision_arg,
+)
 
 
 def run():
@@ -42,6 +46,7 @@ def run():
         "bytes per hop; ~96 dB quantization floor, dequantized on device)",
     )
     args = parser.parse_args()
+    apply_precision_arg(args)
 
     if args.cpu:
         import jax

@@ -55,6 +55,21 @@ def add_common_pipeline_args(parser: argparse.ArgumentParser):
     )
     parser.add_argument("--cpu", action="store_true", help=f"{argdoc.CPU}")
     parser.add_argument("--hf-token", default="true", type=str, help=f"{argdoc.HF_TOKEN}")
+    parser.add_argument("--precision", default=None, type=str, help=f"{argdoc.PRECISION}")
+
+
+def apply_precision_arg(args) -> None:
+    """Install the ``--precision`` policy as the process default (picked up
+    by every subsequently constructed pipeline/engine). Accepts the
+    ``switch=0|1,...`` spec or the literal ``portable``."""
+    spec = getattr(args, "precision", None)
+    if not spec:
+        return
+    from ..precision import Precision, set_default
+
+    set_default(
+        Precision.portable() if spec.strip() == "portable" else Precision.parse(spec)
+    )
 
 
 def run():
@@ -75,6 +90,7 @@ def run():
     parser.add_argument("--no-plot", dest="no_plot", action="store_true", help="Skip plotting")
     parser.add_argument("--output", type=str, help=f"{argdoc.OUTPUT}")
     args = parser.parse_args()
+    apply_precision_arg(args)
 
     if args.cpu:
         import jax

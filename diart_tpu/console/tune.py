@@ -13,7 +13,11 @@ from .. import models as m
 from .. import utils
 from ..blocks.base import HyperParameter
 from ..optim import Optimizer, Study
-from .stream import add_common_model_args, add_common_pipeline_args
+from .stream import (
+    add_common_model_args,
+    add_common_pipeline_args,
+    apply_precision_arg,
+)
 
 
 def run():
@@ -54,6 +58,7 @@ def run():
     )
     parser.add_argument("--output", type=Path, help="Output directory for the study database")
     args = parser.parse_args()
+    apply_precision_arg(args)
 
     if args.cpu:
         import jax

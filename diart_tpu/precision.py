@@ -121,6 +121,25 @@ class Precision:
         return Precision(**{k: bool(v) for k, v in d.items() if k in known})
 
     @staticmethod
+    def parse(spec: str) -> "Precision":
+        """Build a policy from a ``field=0|1,...`` spec on top of the
+        flagship defaults — the format the CLIs' ``--precision`` flag and
+        ``bench.py --set`` accept (e.g. ``"int8_trunk=1,pallas_res2=0"``)."""
+        overrides: Dict[str, bool] = {}
+        known = {f.name for f in dataclasses.fields(Precision)}
+        for item in spec.split(","):
+            if not item.strip():
+                continue
+            key, _, value = item.partition("=")
+            key = key.strip()
+            if key not in known:
+                raise ValueError(
+                    f"unknown precision switch {key!r}; known: {sorted(known)}"
+                )
+            overrides[key] = value.strip() not in ("0", "false", "False", "")
+        return dataclasses.replace(Precision(), **overrides)
+
+    @staticmethod
     def portable() -> "Precision":
         """Everything off: the pure-XLA f32 reference formulation."""
         return Precision(

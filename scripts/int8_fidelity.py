@@ -21,8 +21,11 @@ Run on the real TPU (default platform); prints one JSON line per family.
 
 import json
 import sys
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 FAMILIES = {
     "xvector": "tpu/xvector",

@@ -133,3 +133,39 @@ class TestEngineIntegration:
                 batch_size=1,
             )
         assert engine.precision.stack_frontend is True
+
+
+class TestParseAndCLI:
+    def test_parse_spec(self):
+        p = Precision.parse("int8_trunk=1,pallas_res2=1,bf16_lstm=0")
+        assert p.int8_trunk and p.pallas_res2 and not p.bf16_lstm
+        # untouched switches keep the flagship defaults
+        assert p.pallas_head is True
+
+    def test_parse_rejects_unknown(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="unknown precision switch"):
+            Precision.parse("warp_speed=1")
+
+    def test_cli_precision_arg_sets_process_default(self):
+        import argparse
+
+        from diart_tpu.console.stream import apply_precision_arg
+        from diart_tpu.precision import active, set_default
+
+        before = active()
+        try:
+            args = argparse.Namespace(precision="int8_trunk=1")
+            apply_precision_arg(args)
+            assert active().int8_trunk is True
+
+            args = argparse.Namespace(precision="portable")
+            apply_precision_arg(args)
+            assert active() == Precision.portable()
+
+            args = argparse.Namespace(precision=None)
+            apply_precision_arg(args)  # no-op
+            assert active() == Precision.portable()
+        finally:
+            set_default(before)
