@@ -87,6 +87,13 @@ class BiLSTM(nn.Module):
         use_pallas = (
             _use_pallas_default() if self.use_pallas is None else self.use_pallas
         )
+        # The sweep kernel slices each H-wide gate out of the 4H stream in
+        # the lane dimension, and Mosaic requires lane slices to be aligned
+        # to the 128-lane tile: non-multiple-of-128 hidden sizes (custom
+        # small models; the production PyanNet uses 128) fall back to the
+        # XLA scan instead of failing to compile.
+        if self.hidden_size % 128:
+            use_pallas = False
         # The sweep is HBM-bound: the pre-projected gate stream is ~300 MB
         # per layer at batch 256 (written by the projection matmul, re-read
         # by the recurrence). Streaming it in bf16 halves that traffic and

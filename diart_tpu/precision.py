@@ -98,10 +98,13 @@ class Precision:
     pallas_lstm: bool = True
     pallas_head: bool = True
     pallas_attn: bool = True
-    # default off until verified compiled on real TPU hardware (the dev
-    # tunnel was down when this kernel landed); enable with
-    # DIART_TPU_PALLAS_RES2=1 or an explicit policy
-    pallas_res2: bool = False
+    # ON since round 3: compiled-Mosaic parity verified on the chip against
+    # a float64 oracle at all three production dilations (the round-2
+    # "parity failure" was an ill-conditioned test harness, not a
+    # miscompile — see tests/test_pallas_res2.py:_params and
+    # scripts/res2_parity_tpu.py); A/B: ECAPA 26.61 -> 25.93 ms at
+    # batch 256. Opt out with DIART_TPU_PALLAS_RES2=0.
+    pallas_res2: bool = True
     bf16_lstm: bool = True
     bf16_frontend: bool = True
     stack_frontend: bool = False

@@ -94,7 +94,7 @@ def train_segmentation(train_steps):
     seg = SegmentationModel.from_registry(
         "tpu/pyannet",
         num_speakers=NUM_SPEAKERS,
-        lstm_hidden=64,
+        lstm_hidden=128,  # multiple of 128 so the pallas sweep engages
         lstm_layers=1,
         linear_dims=(64,),
         init_samples=CHUNK,

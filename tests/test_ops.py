@@ -268,6 +268,23 @@ class TestResample:
 
 
 class TestPallasLSTM:
+    def test_unaligned_hidden_falls_back_to_scan(self, rng, monkeypatch):
+        """Mosaic needs 128-lane-aligned gate slices, so BiLSTM must route
+        non-multiple-of-128 hidden sizes (custom small models) to the XLA
+        scan even when the pallas path is requested — a hidden=64 model
+        previously failed to compile on TPU (memref slice alignment)."""
+        import diart_tpu.ops.pallas_lstm as pallas_lstm
+        from diart_tpu.models.lstm import BiLSTM
+
+        def boom(*_a, **_k):  # the kernel must never be invoked
+            raise AssertionError("pallas sweep called for unaligned hidden")
+
+        monkeypatch.setattr(pallas_lstm, "lstm_sweep_tm", boom)
+        x = jnp.asarray(rng.normal(size=(2, 9, 12)).astype(np.float32))
+        model = BiLSTM(hidden_size=96, num_layers=1, use_pallas=True)
+        out, _ = model.init_with_output(jax.random.PRNGKey(0), x)
+        assert out.shape == (2, 9, 2 * 96)
+
     def test_interpret_matches_scan(self, rng):
         from diart_tpu.models.lstm import _bidirectional_scan
         from diart_tpu.ops.pallas_lstm import lstm_sweep

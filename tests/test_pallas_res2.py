@@ -23,21 +23,36 @@ def _rand(key, *shape):
 
 
 def _params(key, chans, scale, taps, hidden):
+    """Unit-gain random block parameters.
+
+    Weight scales are 0.5/sqrt(fan_in), i.e. spectral norm ~1 per stage —
+    the regime real BN-folded checkpoints live in. This conditioning is
+    load-bearing: with O(1)-entry random weights (the original 0.2 scale),
+    w1's spectral norm is ~9 and each group conv's ~5, so the 7-group
+    sequential cascade amplifies benign f32 rounding noise by ~1e5 and
+    turns relu threshold flips into O(10) output divergence — measured at
+    the ECAPA geometry as f32-reference-vs-f64 max error 24.9 and
+    tap-reorder sensitivity 0.65 (scripts/res2_conditioning_check.py).
+    That chaos was misread as a compiled-kernel parity failure in round 2;
+    every kernel variant (different grids, boundary handling, scratch
+    materialization) reproduced the identical error pattern, proving the
+    divergence lives in the formulation's conditioning, not the lowering.
+    """
     width = chans // scale
     groups = scale - 1
     ks = jax.random.split(key, 12)
-    mk = lambda k, *s: _rand(k, *s) * 0.2
+    mk = lambda k, *s: _rand(k, *s) * (0.5 / np.sqrt(s[-2]))
     return (
         mk(ks[0], chans, chans),  # w1
-        mk(ks[1], chans) * 0.5,  # b1
+        _rand(ks[1], chans) * 0.1,  # b1
         1.0 + 0.1 * _rand(ks[2], chans),  # a1
         0.1 * _rand(ks[3], chans),  # c1
-        mk(ks[4], groups, taps, width, width),  # wg
+        _rand(ks[4], groups, taps, width, width) * (0.5 / np.sqrt(taps * width)),  # wg
         0.1 * _rand(ks[5], groups, width),  # bg
         1.0 + 0.1 * _rand(ks[6], groups, width),  # ag
         0.1 * _rand(ks[7], groups, width),  # cg
         mk(ks[8], chans, chans),  # w2
-        mk(ks[9], chans) * 0.5,  # b2
+        _rand(ks[9], chans) * 0.1,  # b2
         1.0 + 0.1 * _rand(ks[10], chans),  # a2
         0.1 * _rand(ks[11], chans),  # c2
         mk(ks[0], chans, hidden),  # ws1
