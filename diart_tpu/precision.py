@@ -88,11 +88,17 @@ class Precision:
         see PERF.md "Measured and rejected").
     int8_trunk: dynamic int8 quantization of the FLOP-bound embedding trunk
         convolutions (ops/quant.py) — per-sample activation scales,
-        per-output-channel weight scales, s8xs8->s32 on the MXU (2x the
-        bf16 matmul rate on v5e/v6e). Inference-only and quality-affecting
-        (embedding cosine error ~1e-3), so default OFF; enable with
-        DIART_TPU_INT8_TRUNK=1 or an explicit policy after validating DER
-        on your data.
+        per-output-channel weight scales, s8xs8->s32 on the MXU.
+        Measured on v5e (PERF.md "TPU-verified round 3"): a −7% step-time
+        win for ECAPA, neutral for the x-vector families, SLOWER for
+        ResNet34/TitaNet — XLA's s8 conv emitter only reaches 1.03–1.09×
+        the bf16 rate, so the dynamic-quantization glue wins or loses on
+        how concentrated the trunk's matmul cost is. Inference-only and
+        quality-affecting (on-device embedding cosine ≥ 0.99994 vs f32,
+        PRECISION.md), default OFF; enable with DIART_TPU_INT8_TRUNK=1 or
+        an explicit policy after validating DER on your data. With
+        ``pallas_res2`` on, the ECAPA res2 blocks run in the fused kernel
+        (bf16) regardless — int8 then applies to the stem/MFA convs only.
     """
 
     pallas_lstm: bool = True
