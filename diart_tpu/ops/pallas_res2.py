@@ -221,16 +221,21 @@ def _res2_kernel(
             inp = z1[:, (i + 1) * width : (i + 2) * width]
             if y is not None:
                 inp = inp + y
-            # dilated 'same' conv as shifted matmuls on (T, W)
-            acc = jnp.zeros((time, width), jnp.float32)
-            for j in range(taps):
-                sl = shifted(inp, (j * dilation) - pad)
-                base = (i * taps + j) * width
-                acc = acc + jax.lax.dot_general(
-                    sl, wg_ref[base : base + width],
-                    dimension_numbers=dims,
-                    preferred_element_type=jnp.float32,
-                )
+            # dilated 'same' conv as ONE shifted-concat matmul on (T, K*W):
+            # the K tap slices concatenate along lanes and contract against
+            # the (K*W, W) stacked tap weights in a single MXU pass — K=3
+            # taps of W=64 give a 192-deep contraction (75% of the 128-lane
+            # MXU tile) where three separate W=64 dots ran at 50%.
+            sl_cat = jnp.concatenate(
+                [shifted(inp, (j * dilation) - pad) for j in range(taps)],
+                axis=-1,
+            )
+            base = i * taps * width
+            acc = jax.lax.dot_general(
+                sl_cat, wg_ref[base : base + taps * width],
+                dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
             acc = jnp.maximum(acc + vg_ref[3 * i : 3 * i + 1], 0.0)
             y = (
                 acc * vg_ref[3 * i + 1 : 3 * i + 2]

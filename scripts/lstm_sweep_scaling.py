@@ -28,13 +28,16 @@ sys.path.insert(0, str(_ROOT))
 from diart_tpu.ops.pallas_lstm import lstm_sweep_tm  # noqa: E402
 
 
-def bench(fn, *args, iters=30):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def bench(fn, proj_t, w_hh, iters=30):
+    """Each iteration perturbs w_hh by a distinct tiny epsilon: the axon
+    terminal caches results for identical (executable, inputs) pairs, so
+    repeated identical calls measure the cache, not the chip."""
+    outs = fn(proj_t, w_hh + 0.0)
+    jax.block_until_ready(outs)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    for i in range(iters):
+        outs = fn(proj_t, w_hh + (i + 1) * 1e-9)
+    jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / iters * 1e3
 
 

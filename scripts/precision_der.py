@@ -134,7 +134,84 @@ def train_segmentation(train_steps):
     return seg
 
 
-def evaluate(seg, policy_name, policy, emb_dtype, emb_params):
+def train_embedding(train_steps=600):
+    """Train the real x-vector on speaker classification of the tone
+    speakers (softmax head over L2-normalized embeddings), so the engine's
+    online clustering operates on DISCRIMINATIVE embeddings. Untrained
+    relu nets embed everything along one dominant direction (measured:
+    cosine distances < every plausible delta_new, collapsing all speakers
+    into one centroid and making DER insensitive to the clustering
+    hparams)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from diart_tpu import precision
+    from diart_tpu.models import EmbeddingModel
+
+    emb = EmbeddingModel.from_registry(
+        "tpu/xvector", embedding_dim=64, dtype="f32", init_samples=CHUNK
+    )
+    emb.load()
+    module = emb.module
+
+    head = 0.1 * np.random.default_rng(7).standard_normal((64, NUM_SPEAKERS))
+    params = {"emb": emb.params, "head": jnp.asarray(head, jnp.float32)}
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, waves, labels):
+        e = module.apply(p["emb"], waves)  # (B, dim)
+        e = e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-6)
+        logits = 10.0 * (e @ p["head"])
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels
+        ).mean()
+
+    @jax.jit
+    def step(p, o, waves, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(p, waves, labels)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    rng = np.random.default_rng(123)
+    t = np.arange(CHUNK) / SAMPLE_RATE
+    t0 = time.time()
+    with precision.use(precision.Precision.portable(), force=True):
+        for i in range(train_steps):
+            waves, labels = [], []
+            for _ in range(16):
+                k = int(rng.integers(NUM_SPEAKERS))
+                w = 0.002 * rng.standard_normal(CHUNK).astype(np.float32)
+                dur = rng.uniform(0.8, DURATION)
+                start = rng.uniform(0.0, DURATION - dur)
+                mask = (t >= start) & (t < start + dur)
+                w[mask] += (
+                    TONE_AMPLITUDE
+                    * np.sin(2 * np.pi * SPEAKER_FREQS[k] * t[mask])
+                ).astype(np.float32)
+                waves.append(w)
+                labels.append(k)
+            params, opt_state, loss = step(
+                params,
+                opt_state,
+                jnp.asarray(np.stack(waves)[:, None, :]),
+                jnp.asarray(labels),
+            )
+            if i % 100 == 0 or i == train_steps - 1:
+                print(
+                    f"# emb train step {i}: ce={float(loss):.4f} "
+                    f"({time.time()-t0:.0f}s)",
+                    file=sys.stderr,
+                    flush=True,
+                )
+    import jax as _jax
+
+    return _jax.device_get(params["emb"])
+
+
+def evaluate(seg, policy_name, policy, emb_dtype, emb_params,
+             tau_active=0.5, delta_new=0.7):
     from diart_tpu.metrics import DiarizationErrorRate
     from diart_tpu.models import EmbeddingModel
     from diart_tpu.parallel import MultiStreamEngine, MultiStreamSession
@@ -155,14 +232,14 @@ def evaluate(seg, policy_name, policy, emb_dtype, emb_params):
         step=STEP,
         latency=STEP,
         sample_rate=SAMPLE_RATE,
-        tau_active=0.5,
+        tau_active=tau_active,
         rho_update=0.1,
-        delta_new=0.7,
+        delta_new=delta_new,
         max_speakers=8,
         batch_size=batch,
         precision=policy,
     )
-    session = MultiStreamSession(engine, tau_active=0.5, collect_audio=False)
+    session = MultiStreamSession(engine, tau_active=tau_active, collect_audio=False)
     audios = [synth_audio(t, TOTAL, seed=100 + i) for i, t in enumerate(EVAL_TURNS)]
     step_s = engine.step_samples
     accs = [PredictionAccumulator(f"s{i}") for i in range(batch)]
@@ -192,14 +269,31 @@ def main():
     seg = train_segmentation(train_steps)
 
     # One set of embedding weights shared by every policy (dtype only
-    # changes compute precision, but pin the params to be safe).
-    from diart_tpu.models import EmbeddingModel
+    # changes compute precision) — trained on tone-speaker classification
+    # so the clustering stage operates on discriminative embeddings.
+    emb_params = train_embedding(max(200, train_steps // 4))
 
-    ref_emb = EmbeddingModel.from_registry(
-        "tpu/xvector", embedding_dim=64, dtype="f32", init_samples=CHUNK
-    )
-    ref_emb.load()
-    emb_params = ref_emb.params
+    # The embedding model is real-architecture but UNTRAINED (no egress,
+    # no pretrained checkpoints): random-projection embeddings of the tone
+    # speakers are discriminative, but the clustering operating point
+    # differs from pretrained-checkpoint defaults. Pick delta_new by a
+    # small sweep under the PORTABLE policy (the reference tunes its
+    # clustering hparams per dataset the same way, README.md:386-394),
+    # then compare the policies at that operating point. hparams are
+    # dynamic step inputs, so the sweep reuses one compiled engine.
+    best, best_der = None, None
+    for tau in (0.2, 0.35, 0.5, 0.65):
+        for delta in (0.4, 0.7, 1.0):
+            _, der, _ = evaluate(
+                seg, "sweep", Precision.portable(), "f32", emb_params, tau, delta
+            )
+            print(
+                f"# tau={tau} delta_new={delta}: portable DER={der:.4f}",
+                file=sys.stderr, flush=True,
+            )
+            if best_der is None or der < best_der:
+                best, best_der = (tau, delta), der
+    print(f"# chosen (tau, delta_new)={best} DER={best_der:.4f}", file=sys.stderr)
 
     policies = [
         ("portable", Precision.portable(), "f32"),
@@ -210,7 +304,9 @@ def main():
     from diart_tpu.metrics import DiarizationErrorRate
 
     for name, policy, emb_dtype in policies:
-        preds, der_truth, resolved = evaluate(seg, name, policy, emb_dtype, emb_params)
+        preds, der_truth, resolved = evaluate(
+            seg, name, policy, emb_dtype, emb_params, *best
+        )
         if portable_preds is None:
             portable_preds = preds
             der_vs_portable = 0.0

@@ -86,8 +86,20 @@ def _kernel(
             inp = z1[:, (i + 1) * width : (i + 2) * width]
             if y is not None:
                 inp = inp + y
-            acc = jnp.zeros((time, width), jnp.float32)
-            for j in range(taps):
+            if variant == "tapcat":
+                sl_cat = jnp.concatenate(
+                    [shifted(inp, (j * dilation) - pad) for j in range(taps)],
+                    axis=-1,
+                )
+                base = i * taps * width
+                acc = jax.lax.dot_general(
+                    sl_cat, wg_ref[base : base + taps * width],
+                    dimension_numbers=dims,
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+              acc = jnp.zeros((time, width), jnp.float32)
+              for j in range(taps):
                 sl = shifted(inp, (j * dilation) - pad)
                 if variant == "scratch":
                     sl_scr[...] = sl
@@ -181,8 +193,39 @@ def reference(x, params, dilation, zero_boundary=False):
     return jnp.concatenate(outputs, axis=-1)
 
 
+def time_variants():
+    """Back-to-back timing of the taps-loop vs tap-concat group-conv
+    formulations at the production shape (B=256, bf16). Perturbs w1 per
+    iteration: the axon terminal caches results for identical
+    (executable, inputs) pairs."""
+    import time as _time
+
+    batch, time, chans, scale, dilation = 256, 501, 512, 8, 3
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    x = _rand(keys[0], batch, time, chans).astype(jnp.bfloat16)
+    params = list(_params(keys[1], chans, scale, 3, 128))
+    fns = {}
+    for name in ("base", "tapcat"):
+        fns[name] = jax.jit(
+            lambda x, params, v=name: run_variant(x, tuple(params), dilation, v)
+        )
+        jax.block_until_ready(fns[name](x, params))
+    for name in ("base", "tapcat", "base", "tapcat"):
+        iters = 10
+        t0 = _time.perf_counter()
+        for i in range(iters):
+            params[0] = params[0] + 1e-9
+            out = fns[name](x, params)
+        jax.block_until_ready(out)
+        ms = (_time.perf_counter() - t0) / iters * 1e3
+        print(f"{name}: {ms:.3f} ms/block (B={batch}, bf16)", flush=True)
+
+
 def main():
     print(f"# backend={jax.default_backend()}", file=sys.stderr)
+    if "--time" in sys.argv:
+        time_variants()
+        return
     batch, time, chans, scale, dilation = 8, 501, 512, 8, 3
     keys = jax.random.split(jax.random.PRNGKey(0), 2)
     x = _rand(keys[0], batch, time, chans)
