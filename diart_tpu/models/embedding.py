@@ -158,6 +158,10 @@ class XVectorSincNet(nn.Module):
         ]
         self.embedding = nn.Dense(self.embedding_dim, name="embedding")
 
+    # the engine may feed the phase-decomposed waveform layout directly
+    # (``phased=True``; see models/sincnet.py SincConv)
+    supports_phased_wave = True
+
     def __call__(
         self, waveform: jnp.ndarray, weights: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
@@ -184,15 +188,19 @@ class XVectorSincNet(nn.Module):
             and not self.is_initializing()
         )
 
-    def trunk(self, waveform: jnp.ndarray, sinc_pooled=None) -> jnp.ndarray:
+    def trunk(
+        self, waveform: jnp.ndarray, sinc_pooled=None, phased: bool = False
+    ) -> jnp.ndarray:
         """waveform: (batch, 1, samples) -> (batch, frames, channels).
 
         With the fused Pallas head active the trunk stops before the final
         (1x1, 1500-channel) TDNN — that projection happens inside the head
         kernel, fused with the pooling contractions. ``sinc_pooled``:
         optional precomputed pooled sinc-conv activation (engine
-        stacked-frontend path)."""
-        x = self.sincnet(waveform, pooled=sinc_pooled)
+        stacked-frontend path). ``phased``: waveform is the engine's
+        phase-major ring layout (batch, stride, samples/stride) — see
+        models/sincnet.py SincConv."""
+        x = self.sincnet(waveform, pooled=sinc_pooled, phased=phased)
         x = jnp.swapaxes(x, 1, 2).astype(self.compute_dtype)  # (B, T, 60)
         stack = list(zip(self.tdnns, self.tdnn_norms))
         if self._fused_head():

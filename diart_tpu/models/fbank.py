@@ -36,6 +36,29 @@ __all__ = [
 ]
 
 
+# Test/benchmark hook: when set, forces the DFT/mel contraction precision
+# regardless of the active policy (scripts/fbank_precision_bench.py).
+_DFT_PRECISION_OVERRIDE = None
+
+
+def _dft_precision():
+    """Matmul precision for the DFT convolution and mel contraction.
+
+    ``HIGHEST`` (6-pass bf16, exact-grade: ~4e-5 dB off a float64 oracle)
+    unless the ``fast_fbank`` policy switch is on, which selects ``HIGH``
+    (3-pass bf16) — measured indistinguishable at feature level (see
+    PERF.md "fast_fbank") at ~2x the MXU rate. Consulted at trace time,
+    like every other precision switch.
+    """
+    if _DFT_PRECISION_OVERRIDE is not None:
+        return _DFT_PRECISION_OVERRIDE
+    from .. import precision as _precision
+
+    if _precision.enabled("fast_fbank"):
+        return jax.lax.Precision.HIGH
+    return jax.lax.Precision.HIGHEST
+
+
 def _hz_to_mel(hz):
     return 2595.0 * np.log10(1.0 + np.asarray(hz) / 700.0)
 
@@ -111,7 +134,7 @@ def _dft_power(signal: jnp.ndarray, basis: np.ndarray, hop: int) -> jnp.ndarray:
         (1,),
         "VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_dft_precision(),
     )  # (batch, 2 * bins, frames)
     power = y[:, :bins] ** 2 + y[:, bins:] ** 2
     return jnp.swapaxes(power, 1, 2)
@@ -146,7 +169,7 @@ def log_mel_filterbank(
         "btf,mf->btm",
         power,
         jnp.asarray(mel_filter_matrix(num_mels, n_fft, sample_rate)),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_dft_precision(),
     )
     return jnp.log(mel + eps)
 
@@ -201,7 +224,7 @@ def speechbrain_log_mel(
         "btf,mf->btm",
         power,
         jnp.asarray(speechbrain_mel_matrix(num_mels, n_fft, sample_rate, f_min, f_max)),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_dft_precision(),
     )
     x_db = 10.0 * jnp.log10(jnp.maximum(fbanks, amin))
     floor = jnp.max(x_db, axis=(1, 2), keepdims=True) - top_db
@@ -294,7 +317,7 @@ def nemo_log_mel(
         "btf,mf->btm",
         power,
         jnp.asarray(librosa_mel_matrix(num_mels, n_fft, sample_rate)),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_dft_precision(),
     )
     return jnp.log(mel + log_guard)
 
@@ -368,7 +391,7 @@ def kaldi_log_mel(
         "btf,mf->btm",
         power,
         jnp.asarray(kaldi_mel_matrix(num_mels, padded, sample_rate)),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_dft_precision(),
     )
     return jnp.log(jnp.maximum(mel, np.finfo(np.float32).eps))
 

@@ -43,21 +43,28 @@ class PyanNet(nn.Module):
     linear_dims: tuple = (128, 128)
     powerset_classes: int = 0
 
+    # the engine may feed the phase-decomposed waveform layout directly
+    # (``phased=True``; see models/sincnet.py SincConv)
+    supports_phased_wave = True
+
     @nn.compact
-    def __call__(self, waveform: jnp.ndarray, sinc_pooled=None) -> jnp.ndarray:
+    def __call__(
+        self, waveform: jnp.ndarray, sinc_pooled=None, phased: bool = False
+    ) -> jnp.ndarray:
         """waveform: (batch, 1, samples) -> (batch, frames, speakers)
 
         Output activations are in [0, 1] (multilabel sigmoid) unless
         ``powerset_classes`` is set, in which case raw log-softmax powerset
         scores are returned. ``sinc_pooled``: optional precomputed pooled
         sinc-conv activation (engine stacked-frontend path — see
-        :class:`diart_tpu.models.sincnet.SincNet`).
+        :class:`diart_tpu.models.sincnet.SincNet`). ``phased``: waveform is
+        the engine's phase-major ring layout (batch, stride, samples/stride).
         """
         x = SincNet(
             sample_rate=self.sample_rate,
             compute_dtype=self.compute_dtype,
             name="sincnet",
-        )(waveform, pooled=sinc_pooled)
+        )(waveform, pooled=sinc_pooled, phased=phased)
         x = jnp.swapaxes(x, 1, 2)  # (batch, frames, 60)
         # keep the LSTM stack's time-major layout through the per-frame
         # Dense layers (layout-agnostic) and transpose only the K-wide

@@ -68,8 +68,18 @@ class SincConv(nn.Module):
     min_band_hz: float = 50.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: (batch, 1, samples) -> (batch, num_filters, frames)"""
+    def __call__(self, x: jnp.ndarray, phased: bool = False) -> jnp.ndarray:
+        """x: (batch, 1, samples) -> (batch, num_filters, frames)
+
+        ``phased``: ``x`` is already the phase-decomposed view
+        ``(batch, stride, samples // stride)`` with sample ``s`` at
+        ``[b, s % stride, s // stride]`` — the multi-stream engine stores
+        its rolling audio window in this layout so the full-window
+        relayout below (transpose + reshape of the whole 5 s waveform,
+        ~0.46 ms/step at batch 256 on v5e) happens once per 0.5 s block
+        instead of once per step. The convolution consumes identical
+        values either way.
+        """
         assert self.num_filters % 2 == 0, "num_filters must be even (cos+sin pairs)"
         assert self.kernel_size % 2 == 1, "kernel_size must be odd"
         cutoff = self.num_filters // 2
@@ -97,14 +107,22 @@ class SincConv(nn.Module):
             # (same contraction, identical results up to fp reassociation).
             #   y[t] = sum_tau x[s*t + tau] w[tau],  tau = s*j + r
             #        = sum_r sum_j x[s*(t+j) + r] w10[r, j]
-            samples = x.shape[-1]
+            if phased:
+                assert x.shape[1] == self.stride, (
+                    f"phased input must be (B, stride={self.stride}, "
+                    f"samples/stride); got {x.shape}"
+                )
+                samples = x.shape[1] * x.shape[2]
+                xp = x
+            else:
+                samples = x.shape[-1]
+                pad_s = (-samples) % self.stride
+                xp = jnp.pad(x[:, 0, :], ((0, 0), (0, pad_s)))
+                xp = jnp.transpose(
+                    xp.reshape(x.shape[0], -1, self.stride), (0, 2, 1)
+                )  # (B, stride, samples/stride)
             frames = (samples - self.kernel_size) // self.stride + 1
             blocks = -(-self.kernel_size // self.stride)  # ceil
-            pad_s = (-samples) % self.stride
-            xp = jnp.pad(x[:, 0, :], ((0, 0), (0, pad_s)))
-            xp = jnp.transpose(
-                xp.reshape(x.shape[0], -1, self.stride), (0, 2, 1)
-            )  # (B, stride, samples/stride)
             wp = jnp.pad(
                 filters, ((0, 0), (0, blocks * self.stride - self.kernel_size))
             )
@@ -224,7 +242,10 @@ class SincNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, waveform: jnp.ndarray, pooled: Optional[jnp.ndarray] = None
+        self,
+        waveform: jnp.ndarray,
+        pooled: Optional[jnp.ndarray] = None,
+        phased: bool = False,
     ) -> jnp.ndarray:
         """waveform: (batch, 1, samples) -> (batch, 60, frames)
 
@@ -235,14 +256,25 @@ class SincNet(nn.Module):
         (:meth:`diart_tpu.parallel.engine.MultiStreamEngine`). When given,
         the wav-norm/conv/pool stage is skipped; parameters are still
         declared so the module's tree is identical either way.
+
+        ``phased``: ``waveform`` is the phase-decomposed view
+        ``(batch, stride, samples // stride)`` the engine's phase-major
+        audio ring stores (see :class:`SincConv`). The waveform instance
+        norm reduces over the same per-stream sample set either way.
         """
         scale0 = self.param("wav_norm_scale", nn.initializers.ones, (1,))
         bias0 = self.param("wav_norm_bias", nn.initializers.zeros, (1,))
         if pooled is None:
-            x = _instance_norm(waveform, scale0, bias0)
+            if phased:
+                mean = jnp.mean(waveform, axis=(1, 2), keepdims=True)
+                var = jnp.var(waveform, axis=(1, 2), keepdims=True)
+                x = (waveform - mean) * jax.lax.rsqrt(var + 1e-5)
+                x = x * scale0[0] + bias0[0]
+            else:
+                x = _instance_norm(waveform, scale0, bias0)
             x = SincConv(
                 stride=self.stride, sample_rate=self.sample_rate, name="sinc"
-            )(x)
+            )(x, phased=phased)
             # The pre-pool activation is the largest tensor of the whole
             # pipeline (~650 MB at batch 256) and purely HBM-bound: the TPU
             # conv emitter already multiplies in bf16, so storing the f32

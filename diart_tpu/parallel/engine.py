@@ -233,6 +233,41 @@ class MultiStreamEngine:
                 self._sinc_seg, self._sinc_emb = sp, ep
                 self._sinc_geometry = geo_seg
 
+        # Phase-major audio ring: when every model's frontend is a
+        # stride-s SincNet (s > 1) that accepts the phase-decomposed
+        # waveform layout directly (``supports_phased_wave``), the engine
+        # stores its rolling window ALREADY as (B, s, samples/s) — sample
+        # i at [b, i % s, i // s], exactly what the SincNet convolution
+        # consumes. Otherwise each step relays out the full 5 s window
+        # (a {1,0}->{0,1} copy + phase reshape, ~0.46 ms/step at batch 256
+        # on v5e — XProf: copy.469 + reshape.354 in the r3 flagship trace);
+        # phase-major, only the incoming 0.5 s block is reshaped. Pure
+        # layout change — identical contraction, engaged on every backend.
+        # Opt out (e.g. to A/B) with DIART_TPU_PHASED_RING=0 or a
+        # ``phased_ring=False`` precision policy.
+        self._phase = 0
+        with precision_policy.use(self.precision):
+            phased_on = precision_policy.enabled("phased_ring")
+        if not self._stacked and phased_on:
+            mods = [segmentation.module] + (
+                [] if self.is_vad else [embedding.module]
+            )
+            strides = {
+                _sincnet_geometry(m)[0] for m in mods if m is not None
+            }
+            if (
+                all(m is not None for m in mods)
+                and all(getattr(m, "supports_phased_wave", False) for m in mods)
+                and len(strides) == 1
+            ):
+                s = strides.pop()
+                if (
+                    s > 1
+                    and self.chunk_samples % s == 0
+                    and self.step_samples % s == 0
+                ):
+                    self._phase = s
+
         # Probe the frame grid once (traced shapes are static thereafter).
         with precision_policy.use(self.precision):
             probe = jax.eval_shape(
@@ -333,8 +368,13 @@ class MultiStreamEngine:
     def init_state(self, batch_size: Optional[int] = None) -> StreamState:
         b = batch_size or self.batch_size
         W = self.geometry.num_windows
+        audio_shape = (
+            (b, self._phase, self.chunk_samples // self._phase)
+            if self._phase
+            else (b, self.chunk_samples)
+        )
         state = StreamState(
-            audio=jnp.zeros((b, self.chunk_samples), jnp.float32),
+            audio=jnp.zeros(audio_shape, jnp.float32),
             ring=jnp.zeros((b, W, self.num_frames, self._score_dims), jnp.float32),
             centers=jnp.zeros((b, self.max_speakers, self.embedding_dim), jnp.float32),
             center_active=jnp.zeros((b, self.max_speakers), bool),
@@ -398,9 +438,15 @@ class MultiStreamEngine:
     def _frame_scores(
         self, audio: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """(B, samples) -> (segmentation (B, F, K), embeddings (B, K, E))."""
-        wave = audio[:, None, :]
+        """(B, samples) or phase-major (B, s, samples/s) ->
+        (segmentation (B, F, K), embeddings (B, K, E))."""
         seg_kw, emb_kw = {}, {}
+        if self._phase:
+            wave = audio  # models consume the phase-major layout directly
+            seg_kw = {"phased": True}
+            emb_kw = {"phased": True}
+        else:
+            wave = audio[:, None, :]
         if self._stacked:
             seg_pooled, emb_pooled = self._stacked_frontend(wave)
             seg_kw = {"sinc_pooled": seg_pooled}
@@ -445,10 +491,22 @@ class MultiStreamEngine:
             # hop ships half the bytes over PCIe/ICI (and most sources are
             # 16-bit PCM to begin with); dequantize on device.
             blocks = blocks.astype(jnp.float32) / 32768.0
-        rolled = jnp.concatenate(
-            [state.audio[:, self.step_samples :], blocks], axis=1
-        )
-        audio = jnp.where(audio_mask[:, None], rolled, state.audio)
+        if self._phase:
+            s = self._phase
+            # incoming 0.5 s block -> its phase-major view (B, s, hops);
+            # the ring shift then runs entirely in the conv's layout
+            new = jnp.swapaxes(
+                blocks.reshape(blocks.shape[0], -1, s), 1, 2
+            )
+            rolled = jnp.concatenate(
+                [state.audio[:, :, self.step_samples // s :], new], axis=2
+            )
+            audio = jnp.where(audio_mask[:, None, None], rolled, state.audio)
+        else:
+            rolled = jnp.concatenate(
+                [state.audio[:, self.step_samples :], blocks], axis=1
+            )
+            audio = jnp.where(audio_mask[:, None], rolled, state.audio)
         seg, emb = self._frame_scores(audio, gamma, beta)
 
         if self.is_vad:

@@ -25,7 +25,8 @@ Env var mapping (set to ``0`` to disable, anything else to enable):
 ``DIART_TPU_PALLAS_LSTM``, ``DIART_TPU_PALLAS_HEAD``,
 ``DIART_TPU_PALLAS_ATTN``, ``DIART_TPU_PALLAS_RES2``,
 ``DIART_TPU_BF16_LSTM``, ``DIART_TPU_BF16_FRONTEND``,
-``DIART_TPU_STACK_FRONTEND``, ``DIART_TPU_INT8_TRUNK``.
+``DIART_TPU_STACK_FRONTEND``, ``DIART_TPU_INT8_TRUNK``,
+``DIART_TPU_FAST_FBANK``, ``DIART_TPU_PHASED_RING``.
 """
 
 from __future__ import annotations
@@ -50,6 +51,8 @@ _ENV_VARS = {
     "bf16_frontend": "DIART_TPU_BF16_FRONTEND",
     "stack_frontend": "DIART_TPU_STACK_FRONTEND",
     "int8_trunk": "DIART_TPU_INT8_TRUNK",
+    "fast_fbank": "DIART_TPU_FAST_FBANK",
+    "phased_ring": "DIART_TPU_PHASED_RING",
 }
 # Paths that only exist for TPU backends (Pallas lowering, bf16 storage
 # layouts); they resolve to False anywhere else no matter what the policy
@@ -62,6 +65,7 @@ _TPU_ONLY = frozenset(
         "pallas_res2",
         "bf16_lstm",
         "bf16_frontend",
+        "fast_fbank",
     )
 )
 
@@ -115,6 +119,18 @@ class Precision:
     bf16_frontend: bool = True
     stack_frontend: bool = False
     int8_trunk: bool = False
+    # fast_fbank: run the mel-fbank DFT convolution + mel contraction at
+    # matmul Precision.HIGH (3-pass bf16) instead of HIGHEST (6-pass).
+    # Default OFF until the on-chip fidelity/speed measurement lands
+    # (scripts/fbank_precision_bench.py); see PERF.md.
+    fast_fbank: bool = False
+    # phased_ring: the multi-stream engine stores its rolling audio window
+    # pre-transposed in the SincNet convolution's phase-major layout
+    # (B, stride, samples/stride), so the per-step full-window relayout
+    # (~0.46 ms at batch 256) happens only for the incoming 0.5 s block.
+    # Pure layout change — identical contraction values; engaged on every
+    # backend when all models in the engine accept the layout.
+    phased_ring: bool = True
 
     def resolved(self) -> Dict[str, bool]:
         """The switches as they would actually resolve right now (env
@@ -160,6 +176,8 @@ class Precision:
             bf16_frontend=False,
             stack_frontend=False,
             int8_trunk=False,
+            fast_fbank=False,
+            phased_ring=False,
         )
 
 
