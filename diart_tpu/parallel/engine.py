@@ -79,10 +79,32 @@ def _sincnet_geometry(module):
     )
 
 
+class _ConvRingSpec(NamedTuple):
+    """Per-frontend geometry of the incremental conv-output ring
+    (``conv_ring`` fast path; see ``MultiStreamEngine.__init__``)."""
+
+    params: dict  # low/band cutoffs + wav-norm affine of this frontend
+    stride: int
+    kernel: int
+    min_low: float
+    min_band: float
+    sample_rate: int
+    channels: int  # sinc filters (ring channel dim)
+    fpb: int  # conv frames produced per 0.5 s block (step_samples/stride)
+    nb: int  # blocks per window (chunk/step)
+    trim: int  # leading chron frames to drop ((kernel-1)//stride)
+    tail: int  # previous-block samples a block conv needs (trim*stride)
+    pooled: int  # maxpool(3) output frames (== the model's own grid)
+
+
 class StreamState(NamedTuple):
     """Batched per-stream state (leading axis = streams)."""
 
     audio: jnp.ndarray  # (B, chunk_samples) rolling waveform window
+    # (in conv_ring mode this field instead holds the incremental-frontend
+    # pytree: {"rings": per-frontend conv-output rings, "sums": per-block
+    # waveform moment sums, "tail": boundary samples, "blocks": received
+    # block counters} — see MultiStreamEngine.__init__)
     ring: jnp.ndarray  # (B, W, frames, M) permuted score ring, newest first
     centers: jnp.ndarray  # (B, M, E) centroid sums
     center_active: jnp.ndarray  # (B, M)
@@ -268,6 +290,72 @@ class MultiStreamEngine:
                 ):
                     self._phase = s
 
+        # Incremental conv-output ring (``conv_ring``): the SincNet stage-1
+        # convolution is linear, and the waveform instance-norm is an affine
+        # map with per-stream scalars, so conv(norm(x)) == a*conv(x) +
+        # c*tapsums — meaning the conv output of the 4.5 s of UNCHANGED
+        # samples can live in a per-frontend device ring across hops. Each
+        # step convolves only the incoming 0.5 s block (1/10 of the window)
+        # and a fused Pallas kernel (ops/pallas_convring.py) performs the
+        # rotated chronological read + affine + |.| + maxpool(3) with the
+        # ring touching HBM exactly once. Replaces BOTH the full-window
+        # sinc convolutions and the raw audio ring (window moments update
+        # incrementally from per-block sums). Rotation is per-stream
+        # (streams pause/resume independently); a paused stream's writes
+        # land in a trailing trash slot, branch-free. Opt out with
+        # DIART_TPU_CONV_RING=0 or a ``conv_ring=False`` policy.
+        self._convring: Optional[Tuple[_ConvRingSpec, ...]] = None
+        with precision_policy.use(self.precision):
+            convring_on = precision_policy.enabled("conv_ring")
+        if convring_on and not self._stacked and self.chunk_samples % self.step_samples == 0:
+            pairs = [(segmentation.module, self._seg_params)]
+            if not self.is_vad:
+                pairs.append((embedding.module, self._emb_params))
+            specs = []
+            for module, params in pairs:
+                sp = _sincnet_params(params)
+                if (
+                    module is None
+                    or sp is None
+                    or not getattr(module, "supports_phased_wave", False)
+                ):
+                    specs = None
+                    break
+                stride, kernel, min_low, min_band, sr = _sincnet_geometry(module)
+                trim = (kernel - 1) // stride
+                frames = (self.chunk_samples - kernel) // stride + 1
+                if (
+                    stride <= 0
+                    or self.step_samples % stride != 0
+                    # a block conv may reach back at most one block
+                    or trim * stride > self.step_samples
+                    or frames < 3
+                ):
+                    specs = None
+                    break
+                fpb = self.step_samples // stride
+                nb = self.chunk_samples // self.step_samples
+                assert nb * fpb - trim == frames  # holds for any odd kernel
+                specs.append(
+                    _ConvRingSpec(
+                        params=sp,
+                        stride=stride,
+                        kernel=kernel,
+                        min_low=min_low,
+                        min_band=min_band,
+                        sample_rate=sr,
+                        channels=2 * int(np.shape(sp["low"])[0]),
+                        fpb=fpb,
+                        nb=nb,
+                        trim=trim,
+                        tail=trim * stride,
+                        pooled=frames // 3,
+                    )
+                )
+            if specs:
+                self._convring = tuple(specs)
+                self._phase = 0  # no raw-audio window is stored at all
+
         # Probe the frame grid once (traced shapes are static thereafter).
         with precision_policy.use(self.precision):
             probe = jax.eval_shape(
@@ -365,16 +453,39 @@ class MultiStreamEngine:
         return float(self._hparams[4])
 
     # ------------------------------------------------------------------ #
+    def _ring_dtype(self):
+        """Conv-ring storage dtype: follows the bf16-frontend storage fast
+        path (the ring IS the pre-pool activation's storage)."""
+        with precision_policy.use(self.precision):
+            bf16 = precision_policy.enabled("bf16_frontend")
+        return jnp.bfloat16 if bf16 else jnp.float32
+
     def init_state(self, batch_size: Optional[int] = None) -> StreamState:
         b = batch_size or self.batch_size
         W = self.geometry.num_windows
-        audio_shape = (
-            (b, self._phase, self.chunk_samples // self._phase)
-            if self._phase
-            else (b, self.chunk_samples)
-        )
+        if self._convring is not None:
+            nb = self._convring[0].nb
+            max_tail = max(s.tail for s in self._convring)
+            dt = self._ring_dtype()
+            audio = {
+                # +1 slot: branch-free masked writes land in the trash slot
+                "rings": tuple(
+                    jnp.zeros((b, s.channels, (s.nb + 1) * s.fpb), dt)
+                    for s in self._convring
+                ),
+                "sums": jnp.zeros((b, nb + 1, 2), jnp.float32),
+                "tail": jnp.zeros((b, max(max_tail, 1)), jnp.float32),
+                "blocks": jnp.zeros((b,), jnp.int32),
+            }
+        else:
+            audio_shape = (
+                (b, self._phase, self.chunk_samples // self._phase)
+                if self._phase
+                else (b, self.chunk_samples)
+            )
+            audio = jnp.zeros(audio_shape, jnp.float32)
         state = StreamState(
-            audio=jnp.zeros(audio_shape, jnp.float32),
+            audio=audio,
             ring=jnp.zeros((b, W, self.num_frames, self._score_dims), jnp.float32),
             centers=jnp.zeros((b, self.max_speakers, self.embedding_dim), jnp.float32),
             center_active=jnp.zeros((b, self.max_speakers), bool),
@@ -393,7 +504,9 @@ class MultiStreamEngine:
     def reset_stream(self, state: StreamState, index: int) -> StreamState:
         """Zero one stream's slot (new session joining the batch)."""
         return StreamState(
-            audio=state.audio.at[index].set(0.0),
+            audio=jax.tree_util.tree_map(
+                lambda x: x.at[index].set(jnp.zeros((), x.dtype)), state.audio
+            ),
             ring=state.ring.at[index].set(0.0),
             centers=state.centers.at[index].set(0.0),
             center_active=state.center_active.at[index].set(False),
@@ -435,13 +548,122 @@ class MultiStreamEngine:
         split = fs.shape[0]
         return pooled[:, :split], pooled[:, split:]
 
+    def _convring_advance(self, st: dict, blocks: jnp.ndarray, audio_mask):
+        """Advance the incremental frontend state by one hop and compute
+        each frontend's pooled activation for the CURRENT window.
+
+        st: the conv-ring state pytree (see ``init_state``); blocks:
+        (B, step_samples) f32. Returns (new_st, [pooled per frontend]).
+        """
+        from ..ops.pallas_convring import rotated_pooled
+
+        nb = self._convring[0].nb
+        max_tail = st["tail"].shape[1]
+        r = st["blocks"]
+        # paused streams write into the trailing trash slot (branch-free)
+        slot = jnp.where(audio_mask, jnp.mod(r, nb), nb)
+        new_rings = []
+        for spec, ring in zip(self._convring, st["rings"]):
+            filters = sinc_filters(
+                spec.params["low"],
+                spec.params["band"],
+                kernel_size=spec.kernel,
+                sample_rate=spec.sample_rate,
+                min_low_hz=spec.min_low,
+                min_band_hz=spec.min_band,
+            )
+            x = blocks
+            if spec.tail:
+                x = jnp.concatenate(
+                    [st["tail"][:, max_tail - spec.tail :], blocks], axis=1
+                )
+            y = jax.lax.conv_general_dilated(
+                x[:, None, :],
+                filters[:, None, :],
+                window_strides=(spec.stride,),
+                padding="VALID",
+                dimension_numbers=("NCH", "OIH", "NCH"),
+            ).astype(ring.dtype)  # (B, C, fpb)
+            new_rings.append(
+                jax.vmap(
+                    lambda rr, blk, s, f=spec.fpb: jax.lax.dynamic_update_slice(
+                        rr, blk, (0, s * f)
+                    )
+                )(ring, y, slot)
+            )
+        bs = jnp.stack(
+            [jnp.sum(blocks, axis=1), jnp.sum(blocks * blocks, axis=1)], axis=-1
+        )  # (B, 2)
+        sums = jax.vmap(
+            lambda sr, v, s: jax.lax.dynamic_update_slice(sr, v[None], (s, 0))
+        )(st["sums"], bs, slot)
+        tail = jnp.where(
+            audio_mask[:, None], blocks[:, -max_tail:], st["tail"]
+        )
+        r_new = r + audio_mask.astype(jnp.int32)
+
+        # window moments from the nb live slots (missing blocks are zero —
+        # identical to the zero-filled warm-up window of the direct path)
+        tot = jnp.sum(sums[:, :nb], axis=1)
+        n = float(self.chunk_samples)
+        mean = tot[:, 0] / n
+        var = jnp.maximum(tot[:, 1] / n - mean * mean, 0.0)
+        rstd = jax.lax.rsqrt(var + 1e-5)
+
+        pooled = []
+        for spec, ring in zip(self._convring, new_rings):
+            filters = sinc_filters(
+                spec.params["low"],
+                spec.params["band"],
+                kernel_size=spec.kernel,
+                sample_rate=spec.sample_rate,
+                min_low_hz=spec.min_low,
+                min_band_hz=spec.min_band,
+            )
+            a = spec.params["scale"][0] * rstd
+            c = spec.params["bias"][0] - mean * a
+            w = spec.nb * spec.fpb
+            off = jnp.mod(r_new, spec.nb) * spec.fpb
+            shift = jnp.mod(w - off, w).astype(jnp.int32)
+            pooled.append(
+                rotated_pooled(
+                    ring,
+                    shift,
+                    a,
+                    c,
+                    jnp.sum(filters, axis=1),
+                    window_frames=w,
+                    trim=spec.trim,
+                    pooled_frames=spec.pooled,
+                )
+            )
+        new_st = {
+            "rings": tuple(new_rings),
+            "sums": sums,
+            "tail": tail,
+            "blocks": r_new,
+        }
+        return new_st, pooled
+
     def _frame_scores(
-        self, audio: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray
+        self,
+        audio: jnp.ndarray,
+        gamma: jnp.ndarray,
+        beta: jnp.ndarray,
+        pooled: Optional[list] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(B, samples) or phase-major (B, s, samples/s) ->
-        (segmentation (B, F, K), embeddings (B, K, E))."""
+        (segmentation (B, F, K), embeddings (B, K, E)). ``pooled``: the
+        conv-ring path's precomputed per-frontend pooled activations (no
+        raw waveform exists; models get a dummy wave and skip their
+        frontend stage)."""
         seg_kw, emb_kw = {}, {}
-        if self._phase:
+        if pooled is not None:
+            wave = jnp.zeros((pooled[0].shape[0], 1, 1), jnp.float32)
+            seg_kw = {"sinc_pooled": pooled[0]}
+            if not self.is_vad:
+                emb_kw = {"sinc_pooled": pooled[1]}
+        elif self._phase:
             wave = audio  # models consume the phase-major layout directly
             seg_kw = {"phased": True}
             emb_kw = {"phased": True}
@@ -453,7 +675,7 @@ class MultiStreamEngine:
             emb_kw = {"sinc_pooled": emb_pooled}
         seg = self._seg_apply(self._seg_params, wave, **seg_kw)  # (B, F, K)
         if self.is_vad:
-            return seg, jnp.zeros((audio.shape[0], 1, 1), seg.dtype)
+            return seg, jnp.zeros((seg.shape[0], 1, 1), seg.dtype)
         weights = overlapped_speech_penalty(seg, gamma, beta)
         if self.normalize_weights:
             weights = min_max_normalize(weights, axis=-2)
@@ -491,7 +713,12 @@ class MultiStreamEngine:
             # hop ships half the bytes over PCIe/ICI (and most sources are
             # 16-bit PCM to begin with); dequantize on device.
             blocks = blocks.astype(jnp.float32) / 32768.0
-        if self._phase:
+        pooled = None
+        if self._convring is not None:
+            audio, pooled = self._convring_advance(
+                state.audio, blocks, audio_mask
+            )
+        elif self._phase:
             s = self._phase
             # incoming 0.5 s block -> its phase-major view (B, s, hops);
             # the ring shift then runs entirely in the conv's layout
@@ -507,7 +734,7 @@ class MultiStreamEngine:
                 [state.audio[:, self.step_samples :], blocks], axis=1
             )
             audio = jnp.where(audio_mask[:, None], rolled, state.audio)
-        seg, emb = self._frame_scores(audio, gamma, beta)
+        seg, emb = self._frame_scores(audio, gamma, beta, pooled=pooled)
 
         if self.is_vad:
             # (blocks/vad.py:146-148): speech score = max over speakers

@@ -53,6 +53,7 @@ _ENV_VARS = {
     "int8_trunk": "DIART_TPU_INT8_TRUNK",
     "fast_fbank": "DIART_TPU_FAST_FBANK",
     "phased_ring": "DIART_TPU_PHASED_RING",
+    "conv_ring": "DIART_TPU_CONV_RING",
 }
 # Paths that only exist for TPU backends (Pallas lowering, bf16 storage
 # layouts); they resolve to False anywhere else no matter what the policy
@@ -131,6 +132,16 @@ class Precision:
     # Pure layout change — identical contraction values; engaged on every
     # backend when all models in the engine accept the layout.
     phased_ring: bool = True
+    # conv_ring: incremental SincNet frontend — the stage-1 convolution of
+    # the 4.5 s of unchanged samples lives in a per-frontend device ring
+    # (conv is linear; the per-step waveform instance-norm folds into
+    # per-stream affine scalars applied at read time), so each hop convolves
+    # only the incoming 0.5 s block and a fused rotated-read kernel
+    # (ops/pallas_convring.py) replaces the full-window conv + pool.
+    # fp-reassociation-level numerics change (like the phase-decomposed
+    # convolution); engine-level parity pinned by tests/test_conv_ring.py.
+    # Default OFF until the on-chip A/B lands (PERF.md).
+    conv_ring: bool = False
 
     def resolved(self) -> Dict[str, bool]:
         """The switches as they would actually resolve right now (env
@@ -178,6 +189,7 @@ class Precision:
             int8_trunk=False,
             fast_fbank=False,
             phased_ring=False,
+            conv_ring=False,
         )
 
 
