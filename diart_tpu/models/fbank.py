@@ -44,11 +44,12 @@ _DFT_PRECISION_OVERRIDE = None
 def _dft_precision():
     """Matmul precision for the DFT convolution and mel contraction.
 
-    ``HIGHEST`` (6-pass bf16, exact-grade: ~4e-5 dB off a float64 oracle)
-    unless the ``fast_fbank`` policy switch is on, which selects ``HIGH``
-    (3-pass bf16) — measured indistinguishable at feature level (see
-    PERF.md "fast_fbank") at ~2x the MXU rate. Consulted at trace time,
-    like every other precision switch.
+    ``HIGH`` (3-pass bf16) while the ``fast_fbank`` policy switch is on
+    (the default since round 3: −0.8 to −1.3 ms/step on every mel family
+    at batch 256, embedding cosine vs the HIGHEST path ≥ 0.999995 —
+    PERF.md "fast_fbank", PRECISION.md); otherwise ``HIGHEST`` (6-pass
+    bf16, exact-grade: ~4e-5 dB off a float64 oracle). Consulted at trace
+    time, like every other precision switch.
     """
     if _DFT_PRECISION_OVERRIDE is not None:
         return _DFT_PRECISION_OVERRIDE

@@ -122,9 +122,13 @@ class Precision:
     int8_trunk: bool = False
     # fast_fbank: run the mel-fbank DFT convolution + mel contraction at
     # matmul Precision.HIGH (3-pass bf16) instead of HIGHEST (6-pass).
-    # Default OFF until the on-chip fidelity/speed measurement lands
-    # (scripts/fbank_precision_bench.py); see PERF.md.
-    fast_fbank: bool = False
+    # ON since round 3: on-chip A/Bs win on every mel family (ECAPA −1.28,
+    # ResNet34 −1.34, TitaNet −0.99, xvect-sb −0.81 ms/step at batch 256)
+    # and on-device embedding cosine vs the serving path is ≥ 0.999995 on a
+    # probe stressing quiet log-mel bins (scripts/fbank_fidelity.py,
+    # PRECISION.md) — within the default bf16 trunk's existing noise class.
+    # Opt out with DIART_TPU_FAST_FBANK=0.
+    fast_fbank: bool = True
     # phased_ring: the multi-stream engine stores its rolling audio window
     # pre-transposed in the SincNet convolution's phase-major layout
     # (B, stride, samples/stride), so the per-step full-window relayout
