@@ -18,6 +18,7 @@ convolution is ~4e-5 dB (see PERF.md).
 from __future__ import annotations
 
 from functools import lru_cache
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -416,3 +417,239 @@ def _kaldi_basis(
     linear = povey[:, None] * linear
     cos_r, sin_r = _dft_rows(padded, np.ones(flen), padded // 2)
     return np.concatenate([cos_r @ linear, sin_r @ linear], 0).astype(np.float32)
+
+
+# --------------------------------------------------------------------- #
+# Incremental (streaming-cached) mel frontends — engine ``conv_ring``
+# --------------------------------------------------------------------- #
+# Every log-mel stage up to the window-level normalization is local to a
+# frame: the DFT convolution and mel contraction are linear in the
+# waveform, the power/log nonlinearities are per-frame, and the frame grid
+# shifts by a whole number of frames per 0.5 s hop. So the RAW per-frame
+# features (pre-normalization, pre-dB-floor) of the 4.5 s of unchanged
+# samples can live in a device ring across hops — only the frames of the
+# incoming block (plus the few window-EDGE frames whose padding depends on
+# where the window starts/ends) are recomputed each step. The
+# window-dependent finalization (speechbrain's top_db floor, CMN, NeMo's
+# per-feature mean/std) runs on the assembled (B, frames, mels) tensor —
+# tiny next to the full-window DFT convolution it replaces.
+#
+# The cached stage per family ("kind"):
+#   kaldi        — log(max(mel, eps));  snip-edges framing, NO edge frames
+#   speechbrain  — 10*log10(max(mel, amin)), PRE top_db floor; zero-padded
+#                  centered framing -> 2 edge frames each side
+#   nemo         — log(mel + 2^-24); whole-signal pre-emphasis (interior
+#                  frames use true neighbors — identical streaming or not),
+#                  reflect-padded centered framing -> 2 edge frames each side
+#
+# A never-written ring slot must equal the frames of an all-zero signal
+# (the direct path's zero-filled warm-up window), which is a non-zero
+# constant for log features — ``fbank_ring_fill``.
+
+
+class FbankRingSpec(NamedTuple):
+    """Geometry of one mel frontend's incremental frame ring."""
+
+    kind: str  # "kaldi" | "speechbrain" | "nemo"
+    num_mels: int
+    sample_rate: int
+    hop: int
+    win: int  # conv taps per frame (frame span in samples)
+    pad: int  # centered-framing margin (win // 2), 0 for snip-edges
+    preemph: float  # whole-signal pre-emphasis (nemo), else 0
+    frames: int  # window frames T_w
+    fpb: int  # ring frames ingested per block
+    nb: int  # blocks per window
+    trim: int  # chron ring frames dropped at read
+    interior: int  # frames served from the ring
+    edge: int  # left-edge frames recomputed at read (= right-edge count)
+    tail_conv: int  # previous-block samples the block conv needs
+    right_need: int  # newest raw samples the right-edge frames need
+    head_len: int  # per-block stored window-start samples (0 if edge == 0)
+    tail_len: int  # per-stream stored newest raw samples
+
+
+_FBANK_KINDS = {
+    # kind: (win, hop, pad, preemph)
+    "kaldi": (400, 160, 0, 0.0),
+    "speechbrain": (400, 160, 200, 0.0),
+    "nemo": (400, 160, 200, 0.97),
+}
+
+
+def fbank_ring_spec(
+    kind: str,
+    num_mels: int,
+    sample_rate: int,
+    chunk_samples: int,
+    step_samples: int,
+) -> "FbankRingSpec | None":
+    """Build the ring geometry, or None when the hop grid does not divide
+    the step (the incremental decomposition then does not apply)."""
+    if kind not in _FBANK_KINDS:
+        return None
+    win, hop, pad, preemph = _FBANK_KINDS[kind]
+    if step_samples % hop or chunk_samples % step_samples:
+        return None
+    if win - hop > step_samples or chunk_samples <= win:
+        return None
+    frames = (
+        chunk_samples // hop + 1 if pad else (chunk_samples - win) // hop + 1
+    )
+    fpb = step_samples // hop
+    nb = chunk_samples // step_samples
+    # global frame-start grid: A ≡ (-pad) (mod hop); block k ingests the
+    # frames whose sample span completes inside block k
+    anchor = (-pad) % hop
+    base = -win  # exclusive lower bound of A, relative to the block start
+    a_min = base + 1 + ((anchor - (base + 1)) % hop)
+    tail_conv = -a_min
+    edge = -(-pad // hop)  # frames that read the left/right padding
+    e_r = (frames - 1) - (chunk_samples + pad - win) // hop if pad else 0
+    assert e_r == edge, (e_r, edge)
+    interior = frames - 2 * edge
+    trim = (edge * hop - pad + tail_conv) // hop
+    assert 0 <= trim and trim + interior <= nb * fpb
+    right_need = (
+        chunk_samples - ((frames - edge) * hop - pad) if edge else 0
+    )
+    head_len = ((edge - 1) * hop - pad + win) if edge else 0
+    ctx = 1 if preemph else 0
+    tail_len = max(tail_conv + ctx, right_need + ctx, 1)
+    return FbankRingSpec(
+        kind=kind,
+        num_mels=num_mels,
+        sample_rate=sample_rate,
+        hop=hop,
+        win=win,
+        pad=pad,
+        preemph=preemph,
+        frames=frames,
+        fpb=fpb,
+        nb=nb,
+        trim=trim,
+        interior=interior,
+        edge=edge,
+        tail_conv=tail_conv,
+        right_need=right_need,
+        head_len=head_len,
+        tail_len=tail_len,
+    )
+
+
+def _preemph_first_kept(x: jnp.ndarray, coeff: float) -> jnp.ndarray:
+    """NeMo whole-signal pre-emphasis: first sample kept as-is."""
+    return jnp.concatenate([x[:, :1], x[:, 1:] - coeff * x[:, :-1]], axis=1)
+
+
+def _fbank_raw_frames(spec: FbankRingSpec, x: jnp.ndarray) -> jnp.ndarray:
+    """Cached-stage features of frames starting at x's sample 0 grid.
+
+    x: (B, samples) — already pre-emphasized for nemo (true neighbors).
+    Returns (B, (len - win)//hop + 1, num_mels).
+    """
+    if spec.kind == "kaldi":
+        padded = 1 << (spec.win - 1).bit_length()
+        power = _dft_power(
+            x, _kaldi_basis(spec.win, padded, 0.97, True), spec.hop
+        )
+        mel = jnp.einsum(
+            "btf,mf->btm",
+            power,
+            jnp.asarray(
+                kaldi_mel_matrix(spec.num_mels, padded, spec.sample_rate)
+            ),
+            precision=_dft_precision(),
+        )
+        return jnp.log(jnp.maximum(mel, np.finfo(np.float32).eps))
+    if spec.kind == "speechbrain":
+        power = _dft_power(x, _hamming_basis(spec.win), spec.hop)
+        mel = jnp.einsum(
+            "btf,mf->btm",
+            power,
+            jnp.asarray(
+                speechbrain_mel_matrix(
+                    spec.num_mels, spec.win, spec.sample_rate
+                )
+            ),
+            precision=_dft_precision(),
+        )
+        return 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    if spec.kind == "nemo":
+        n_fft = 512
+        power = _dft_power(x, _nemo_basis(n_fft, spec.win), spec.hop)
+        mel = jnp.einsum(
+            "btf,mf->btm",
+            power,
+            jnp.asarray(
+                librosa_mel_matrix(spec.num_mels, n_fft, spec.sample_rate)
+            ),
+            precision=_dft_precision(),
+        )
+        return jnp.log(mel + 2.0 ** -24)
+    raise ValueError(spec.kind)
+
+
+def fbank_ring_fill(spec: FbankRingSpec) -> np.ndarray:
+    """The cached-stage value of a frame of all-zero samples — what a
+    never-written ring slot must hold so warm-up windows reproduce the
+    direct path's zero-filled semantics exactly. (num_mels,) float32."""
+    if spec.kind == "kaldi":
+        return np.full(
+            spec.num_mels, np.log(np.finfo(np.float32).eps), np.float32
+        )
+    if spec.kind == "speechbrain":
+        return np.full(spec.num_mels, -100.0, np.float32)  # 10*log10(1e-10)
+    if spec.kind == "nemo":
+        return np.full(spec.num_mels, np.log(2.0 ** -24), np.float32)
+    raise ValueError(spec.kind)
+
+
+def fbank_block_raw(
+    spec: FbankRingSpec, tail: jnp.ndarray, block: jnp.ndarray
+) -> jnp.ndarray:
+    """Cached-stage features of the ``fpb`` frames a new block completes.
+
+    tail: (B, >= tail_conv [+1 for preemph]) raw samples preceding the
+    block; block: (B, step_samples). -> (B, fpb, num_mels)."""
+    ctx = 1 if spec.preemph else 0
+    x = jnp.concatenate(
+        [tail[:, tail.shape[1] - spec.tail_conv - ctx :], block], axis=1
+    )
+    if spec.preemph:
+        x = _preemph_first_kept(x, spec.preemph)[:, 1:]
+    return _fbank_raw_frames(spec, x)[:, : spec.fpb]
+
+
+def fbank_edge_left(spec: FbankRingSpec, head: jnp.ndarray) -> jnp.ndarray:
+    """The ``edge`` window-leading frames (they read the left padding).
+
+    head: (B, head_len) raw samples from the window start.
+    -> (B, edge, num_mels)."""
+    assert spec.edge
+    if spec.preemph:
+        xp = _preemph_first_kept(head, spec.preemph)
+        lead = xp[:, 1 : spec.pad + 1][:, ::-1]  # reflect (no edge repeat)
+    else:
+        xp = head
+        lead = jnp.zeros((head.shape[0], spec.pad), head.dtype)
+    x = jnp.concatenate([lead, xp], axis=1)
+    return _fbank_raw_frames(spec, x)[:, : spec.edge]
+
+
+def fbank_edge_right(spec: FbankRingSpec, tail: jnp.ndarray) -> jnp.ndarray:
+    """The ``edge`` window-trailing frames (they read the right padding).
+
+    tail: (B, >= right_need [+1 for preemph]) newest raw samples.
+    -> (B, edge, num_mels)."""
+    assert spec.edge
+    ctx = 1 if spec.preemph else 0
+    t = tail[:, tail.shape[1] - spec.right_need - ctx :]
+    if spec.preemph:
+        xp = _preemph_first_kept(t, spec.preemph)[:, 1:]
+        trail = xp[:, -2 : -2 - spec.pad : -1]  # reflect at the signal end
+    else:
+        xp = t
+        trail = jnp.zeros((t.shape[0], spec.pad), t.dtype)
+    x = jnp.concatenate([xp, trail], axis=1)
+    return _fbank_raw_frames(spec, x)[:, : spec.edge]

@@ -112,6 +112,17 @@ class ResNet34(nn.Module):
         )
         return feats - jnp.mean(feats, axis=1, keepdims=True)
 
+    # incremental-frontend protocol (engine conv_ring; models/fbank.py)
+    fbank_ring_kind = "kaldi"
+
+    def finalize_fbank(self, raw: jnp.ndarray) -> jnp.ndarray:
+        """Window-dependent tail of ``features``: wespeaker's CMN (the
+        kaldi log-mel itself is frame-local and lives in the ring)."""
+        return raw - jnp.mean(raw, axis=1, keepdims=True)
+
+    def trunk_from_raw_fbank(self, raw: jnp.ndarray) -> jnp.ndarray:
+        return self.trunk_from_features(self.finalize_fbank(raw))
+
     def trunk(self, waveform: jnp.ndarray) -> jnp.ndarray:
         """(batch, 1, samples) -> (batch, frames', freq' * channels)."""
         return self.trunk_from_features(self.features(waveform))

@@ -172,6 +172,21 @@ class TitaNet(nn.Module):
         var = jnp.sum((feats - mean) ** 2, axis=1, keepdims=True) / max(t - 1, 1)
         return (feats - mean) / (jnp.sqrt(var) + 1e-5)
 
+    # incremental-frontend protocol (engine conv_ring; models/fbank.py)
+    fbank_ring_kind = "nemo"
+
+    def finalize_fbank(self, raw: jnp.ndarray) -> jnp.ndarray:
+        """Window-dependent tail of ``features``: NeMo's per-feature mean +
+        unbiased-std normalization (the log-mel itself is frame-local and
+        lives in the ring)."""
+        mean = jnp.mean(raw, axis=1, keepdims=True)
+        t = raw.shape[1]
+        var = jnp.sum((raw - mean) ** 2, axis=1, keepdims=True) / max(t - 1, 1)
+        return (raw - mean) / (jnp.sqrt(var) + 1e-5)
+
+    def trunk_from_raw_fbank(self, raw: jnp.ndarray) -> jnp.ndarray:
+        return self.trunk_from_features(self.finalize_fbank(raw))
+
     def trunk(self, waveform: jnp.ndarray) -> jnp.ndarray:
         return self.trunk_from_features(self.features(waveform))
 

@@ -118,6 +118,20 @@ class XVectorFbank(nn.Module):
         )
         return feats - jnp.mean(feats, axis=1, keepdims=True)
 
+    # incremental-frontend protocol (engine conv_ring; models/fbank.py)
+    fbank_ring_kind = "speechbrain"
+
+    def finalize_fbank(self, raw: jnp.ndarray) -> jnp.ndarray:
+        """Window-dependent tail of ``features``: the top_db floor of
+        ``speechbrain_log_mel`` plus the per-utterance mean norm. raw:
+        the cached stage (pre-floor dB) assembled for the current window."""
+        floor = jnp.max(raw, axis=(1, 2), keepdims=True) - 80.0
+        x = jnp.maximum(raw, floor)
+        return x - jnp.mean(x, axis=1, keepdims=True)
+
+    def trunk_from_raw_fbank(self, raw: jnp.ndarray) -> jnp.ndarray:
+        return self.trunk_from_features(self.finalize_fbank(raw))
+
     def trunk(self, waveform: jnp.ndarray) -> jnp.ndarray:
         """(batch, 1, samples) -> (batch, frames, channels)."""
         return self.trunk_from_features(self.features(waveform))

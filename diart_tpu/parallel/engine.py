@@ -31,6 +31,14 @@ import numpy as np
 
 from .. import precision as precision_policy
 from ..models.base import EmbeddingModel, SegmentationModel
+from ..models.fbank import (
+    FbankRingSpec,
+    fbank_block_raw,
+    fbank_edge_left,
+    fbank_edge_right,
+    fbank_ring_fill,
+    fbank_ring_spec,
+)
 from ..models.sincnet import frontend_pool, sinc_filters
 from ..ops.aggregation import AggregationGeometry, aggregate, build_geometry
 from ..ops.clustering import ClusteringParams, ClusteringState, cluster_step
@@ -304,7 +312,15 @@ class MultiStreamEngine:
         # (streams pause/resume independently); a paused stream's writes
         # land in a trailing trash slot, branch-free. Opt out with
         # DIART_TPU_CONV_RING=0 or a ``conv_ring=False`` policy.
-        self._convring: Optional[Tuple[_ConvRingSpec, ...]] = None
+        # Mel frontends join the same machinery: every log-mel stage up to
+        # the window-level normalization is frame-local (models/fbank.py
+        # "Incremental mel frontends"), so the embedding's raw log-mel
+        # frames live in a ring too — only the incoming block's frames plus
+        # the few window-EDGE frames (whose padding depends on the window
+        # position) are recomputed each step, and the model's
+        # ``finalize_fbank`` + ``trunk_from_raw_fbank`` consume the
+        # assembled (B, frames, mels) tensor.
+        self._convring = None  # tuple of _ConvRingSpec | FbankRingSpec
         with precision_policy.use(self.precision):
             convring_on = precision_policy.enabled("conv_ring")
         if convring_on and not self._stacked and self.chunk_samples % self.step_samples == 0:
@@ -313,48 +329,21 @@ class MultiStreamEngine:
                 pairs.append((embedding.module, self._emb_params))
             specs = []
             for module, params in pairs:
-                sp = _sincnet_params(params)
-                if (
-                    module is None
-                    or sp is None
-                    or not getattr(module, "supports_phased_wave", False)
-                ):
+                spec = self._model_ring_spec(module, params)
+                if spec is None:
                     specs = None
                     break
-                stride, kernel, min_low, min_band, sr = _sincnet_geometry(module)
-                trim = (kernel - 1) // stride
-                frames = (self.chunk_samples - kernel) // stride + 1
-                if (
-                    stride <= 0
-                    or self.step_samples % stride != 0
-                    # a block conv may reach back at most one block
-                    or trim * stride > self.step_samples
-                    or frames < 3
-                ):
-                    specs = None
-                    break
-                fpb = self.step_samples // stride
-                nb = self.chunk_samples // self.step_samples
-                assert nb * fpb - trim == frames  # holds for any odd kernel
-                specs.append(
-                    _ConvRingSpec(
-                        params=sp,
-                        stride=stride,
-                        kernel=kernel,
-                        min_low=min_low,
-                        min_band=min_band,
-                        sample_rate=sr,
-                        channels=2 * int(np.shape(sp["low"])[0]),
-                        fpb=fpb,
-                        nb=nb,
-                        trim=trim,
-                        tail=trim * stride,
-                        pooled=frames // 3,
-                    )
-                )
-            if specs:
+                specs.append(spec)
+            # the segmentation side only has sinc plumbing (PyanNet); a mel
+            # segmentation model would disengage the whole path
+            if specs and isinstance(specs[0], _ConvRingSpec):
                 self._convring = tuple(specs)
                 self._phase = 0  # no raw-audio window is stored at all
+                if not self.is_vad and isinstance(specs[1], FbankRingSpec):
+                    mod = embedding.module
+                    self._trunk_raw = lambda p, raw: mod.apply(
+                        p, raw, method="trunk_from_raw_fbank"
+                    )
 
         # Probe the frame grid once (traced shapes are static thereafter).
         with precision_policy.use(self.precision):
@@ -419,6 +408,54 @@ class MultiStreamEngine:
         self._true_masks: dict = {}
 
     # ------------------------------------------------------------------ #
+    def _model_ring_spec(self, module, params):
+        """Incremental-frontend spec for one model: a sinc conv-output ring
+        (SincNet frontends), a mel frame ring (log-mel frontends declaring
+        ``fbank_ring_kind``), or None (path disengages)."""
+        if module is None:
+            return None
+        sp = _sincnet_params(params)
+        if sp is not None and getattr(module, "supports_phased_wave", False):
+            stride, kernel, min_low, min_band, sr = _sincnet_geometry(module)
+            trim = (kernel - 1) // stride
+            frames = (self.chunk_samples - kernel) // stride + 1
+            if (
+                stride <= 0
+                or self.step_samples % stride != 0
+                # a block conv may reach back at most one block
+                or trim * stride > self.step_samples
+                or frames < 3
+            ):
+                return None
+            fpb = self.step_samples // stride
+            nb = self.chunk_samples // self.step_samples
+            assert nb * fpb - trim == frames  # holds for any odd kernel
+            return _ConvRingSpec(
+                params=sp,
+                stride=stride,
+                kernel=kernel,
+                min_low=min_low,
+                min_band=min_band,
+                sample_rate=sr,
+                channels=2 * int(np.shape(sp["low"])[0]),
+                fpb=fpb,
+                nb=nb,
+                trim=trim,
+                tail=trim * stride,
+                pooled=frames // 3,
+            )
+        kind = getattr(module, "fbank_ring_kind", None)
+        if kind is not None and hasattr(module, "trunk_from_raw_fbank"):
+            return fbank_ring_spec(
+                kind,
+                int(module.num_mels),
+                int(getattr(module, "sample_rate", self.sample_rate)),
+                self.chunk_samples,
+                self.step_samples,
+            )
+        return None
+
+    # ------------------------------------------------------------------ #
     def set_hyperparameters(
         self,
         tau_active: Optional[float] = None,
@@ -460,32 +497,61 @@ class MultiStreamEngine:
             bf16 = precision_policy.enabled("bf16_frontend")
         return jnp.bfloat16 if bf16 else jnp.float32
 
-    def init_state(self, batch_size: Optional[int] = None) -> StreamState:
-        b = batch_size or self.batch_size
-        W = self.geometry.num_windows
-        if self._convring is not None:
-            nb = self._convring[0].nb
-            max_tail = max(s.tail for s in self._convring)
-            dt = self._ring_dtype()
-            audio = {
-                # +1 slot: branch-free masked writes land in the trash slot
-                "rings": tuple(
-                    jnp.zeros((b, s.channels, (s.nb + 1) * s.fpb), dt)
-                    for s in self._convring
-                ),
-                "sums": jnp.zeros((b, nb + 1, 2), jnp.float32),
-                "tail": jnp.zeros((b, max(max_tail, 1)), jnp.float32),
-                "blocks": jnp.zeros((b,), jnp.int32),
-            }
-        else:
+    def _audio_init(self, b: int):
+        """The initial value of the audio-state pytree for ``b`` streams.
+
+        In conv-ring mode a never-written mel ring slot must hold the
+        frames of an all-zero signal (a NONZERO constant for log features)
+        so warm-up windows reproduce the direct path's zero-filled
+        semantics exactly; everything else starts at zero."""
+        if self._convring is None:
             audio_shape = (
                 (b, self._phase, self.chunk_samples // self._phase)
                 if self._phase
                 else (b, self.chunk_samples)
             )
-            audio = jnp.zeros(audio_shape, jnp.float32)
+            return jnp.zeros(audio_shape, jnp.float32)
+        nb = self._convring[0].nb
+        dt = self._ring_dtype()
+        rings, heads = [], []
+        for s in self._convring:
+            if isinstance(s, _ConvRingSpec):
+                # time-major (frames, channels): the kernel's rotation runs
+                # on sublanes and the pooled output lands in the (B, T, C)
+                # layout the following convolution consumes
+                rings.append(jnp.zeros((b, (s.nb + 1) * s.fpb, s.channels), dt))
+                heads.append(jnp.zeros((b, nb + 1, 1), jnp.float32))
+            else:
+                fill = jnp.asarray(fbank_ring_fill(s))
+                rings.append(
+                    jnp.broadcast_to(
+                        fill, (b, (s.nb + 1) * s.fpb, s.num_mels)
+                    ).astype(jnp.float32)
+                )
+                heads.append(
+                    jnp.zeros((b, nb + 1, max(s.head_len, 1)), jnp.float32)
+                )
+        return {
+            # +1 slot everywhere: branch-free masked writes land in the
+            # trailing trash slot
+            "rings": tuple(rings),
+            "heads": tuple(heads),
+            "sums": jnp.zeros((b, nb + 1, 2), jnp.float32),
+            "tail": jnp.zeros((b, self._max_tail()), jnp.float32),
+            "blocks": jnp.zeros((b,), jnp.int32),
+        }
+
+    def _max_tail(self) -> int:
+        return max(
+            s.tail if isinstance(s, _ConvRingSpec) else s.tail_len
+            for s in self._convring
+        )
+
+    def init_state(self, batch_size: Optional[int] = None) -> StreamState:
+        b = batch_size or self.batch_size
+        W = self.geometry.num_windows
         state = StreamState(
-            audio=audio,
+            audio=self._audio_init(b),
             ring=jnp.zeros((b, W, self.num_frames, self._score_dims), jnp.float32),
             centers=jnp.zeros((b, self.max_speakers, self.embedding_dim), jnp.float32),
             center_active=jnp.zeros((b, self.max_speakers), bool),
@@ -502,10 +568,19 @@ class MultiStreamEngine:
         return state
 
     def reset_stream(self, state: StreamState, index: int) -> StreamState:
-        """Zero one stream's slot (new session joining the batch)."""
+        """Reset one stream's slot to its initial value (new session
+        joining the batch). The audio state resets to ``_audio_init``'s row
+        — NOT zero: a mel frame ring's empty slots hold the nonzero
+        zero-signal constant."""
+        if getattr(self, "_audio_row", None) is None:
+            self._audio_row = jax.tree_util.tree_map(
+                lambda t: t[0], self._audio_init(1)
+            )
         return StreamState(
             audio=jax.tree_util.tree_map(
-                lambda x: x.at[index].set(jnp.zeros((), x.dtype)), state.audio
+                lambda x, t: x.at[index].set(t.astype(x.dtype)),
+                state.audio,
+                self._audio_row,
             ),
             ring=state.ring.at[index].set(0.0),
             centers=state.centers.at[index].set(0.0),
@@ -550,10 +625,14 @@ class MultiStreamEngine:
 
     def _convring_advance(self, st: dict, blocks: jnp.ndarray, audio_mask):
         """Advance the incremental frontend state by one hop and compute
-        each frontend's pooled activation for the CURRENT window.
+        each frontend's product for the CURRENT window.
 
-        st: the conv-ring state pytree (see ``init_state``); blocks:
-        (B, step_samples) f32. Returns (new_st, [pooled per frontend]).
+        st: the conv-ring state pytree (see ``_audio_init``); blocks:
+        (B, step_samples) f32. Returns (new_st, products) where each
+        product is ("pooled_tc", (B, P, C)) for a sinc frontend (the
+        time-major pooled |sinc conv| activation, wav-norm affine folded
+        in) or ("raw_fbank", (B, T_w, mels)) for a mel frontend (the
+        cached-stage log-mel features of the window, pre-normalization).
         """
         from ..ops.pallas_convring import rotated_pooled
 
@@ -562,35 +641,42 @@ class MultiStreamEngine:
         r = st["blocks"]
         # paused streams write into the trailing trash slot (branch-free)
         slot = jnp.where(audio_mask, jnp.mod(r, nb), nb)
-        new_rings = []
-        for spec, ring in zip(self._convring, st["rings"]):
-            filters = sinc_filters(
-                spec.params["low"],
-                spec.params["band"],
-                kernel_size=spec.kernel,
-                sample_rate=spec.sample_rate,
-                min_low_hz=spec.min_low,
-                min_band_hz=spec.min_band,
-            )
-            x = blocks
-            if spec.tail:
-                x = jnp.concatenate(
-                    [st["tail"][:, max_tail - spec.tail :], blocks], axis=1
-                )
-            y = jax.lax.conv_general_dilated(
-                x[:, None, :],
-                filters[:, None, :],
-                window_strides=(spec.stride,),
-                padding="VALID",
-                dimension_numbers=("NCH", "OIH", "NCH"),
-            ).astype(ring.dtype)  # (B, C, fpb)
+        r_new = r + audio_mask.astype(jnp.int32)
+        sigma = jnp.mod(r_new, nb)  # chronological start slot (oldest)
+        new_rings, new_heads = [], []
+        for spec, ring, head in zip(
+            self._convring, st["rings"], st["heads"]
+        ):
+            if isinstance(spec, _ConvRingSpec):
+                filters = self._sinc_ring_filters(spec)
+                x = blocks
+                if spec.tail:
+                    x = jnp.concatenate(
+                        [st["tail"][:, max_tail - spec.tail :], blocks], axis=1
+                    )
+                y = jax.lax.conv_general_dilated(
+                    x[:, None, :],
+                    filters[:, None, :],
+                    window_strides=(spec.stride,),
+                    padding="VALID",
+                    dimension_numbers=("NCH", "OIH", "NHC"),
+                ).astype(ring.dtype)  # (B, fpb, C) time-major
+                new_head = head  # sinc frontends store no head samples
+            else:
+                y = fbank_block_raw(spec, st["tail"], blocks)  # (B, fpb, mels)
+                new_head = jax.vmap(
+                    lambda hh, hs, s: jax.lax.dynamic_update_slice(
+                        hh, hs[None], (s, 0)
+                    )
+                )(head, blocks[:, : head.shape[-1]], slot)
             new_rings.append(
                 jax.vmap(
                     lambda rr, blk, s, f=spec.fpb: jax.lax.dynamic_update_slice(
-                        rr, blk, (0, s * f)
+                        rr, blk, (s * f, 0)
                     )
                 )(ring, y, slot)
             )
+            new_heads.append(new_head)
         bs = jnp.stack(
             [jnp.sum(blocks, axis=1), jnp.sum(blocks * blocks, axis=1)], axis=-1
         )  # (B, 2)
@@ -600,7 +686,6 @@ class MultiStreamEngine:
         tail = jnp.where(
             audio_mask[:, None], blocks[:, -max_tail:], st["tail"]
         )
-        r_new = r + audio_mask.astype(jnp.int32)
 
         # window moments from the nb live slots (missing blocks are zero —
         # identical to the zero-filled warm-up window of the direct path)
@@ -610,59 +695,98 @@ class MultiStreamEngine:
         var = jnp.maximum(tot[:, 1] / n - mean * mean, 0.0)
         rstd = jax.lax.rsqrt(var + 1e-5)
 
-        pooled = []
-        for spec, ring in zip(self._convring, new_rings):
-            filters = sinc_filters(
-                spec.params["low"],
-                spec.params["band"],
-                kernel_size=spec.kernel,
-                sample_rate=spec.sample_rate,
-                min_low_hz=spec.min_low,
-                min_band_hz=spec.min_band,
-            )
-            a = spec.params["scale"][0] * rstd
-            c = spec.params["bias"][0] - mean * a
+        products = []
+        for spec, ring, head in zip(self._convring, new_rings, new_heads):
             w = spec.nb * spec.fpb
             off = jnp.mod(r_new, spec.nb) * spec.fpb
             shift = jnp.mod(w - off, w).astype(jnp.int32)
-            pooled.append(
-                rotated_pooled(
-                    ring,
-                    shift,
-                    a,
-                    c,
-                    jnp.sum(filters, axis=1),
-                    window_frames=w,
-                    trim=spec.trim,
-                    pooled_frames=spec.pooled,
+            if isinstance(spec, _ConvRingSpec):
+                filters = self._sinc_ring_filters(spec)
+                a = spec.params["scale"][0] * rstd
+                c = spec.params["bias"][0] - mean * a
+                products.append(
+                    (
+                        "pooled_tc",
+                        rotated_pooled(
+                            ring,
+                            shift,
+                            a,
+                            c,
+                            jnp.sum(filters, axis=1),
+                            window_frames=w,
+                            trim=spec.trim,
+                            pooled_frames=spec.pooled,
+                        ),
+                    )
                 )
-            )
+            else:
+                chron = jax.vmap(
+                    lambda row, s: jnp.roll(row, s, axis=0)
+                )(ring[:, :w], shift)
+                interior = chron[:, spec.trim : spec.trim + spec.interior]
+                if spec.edge:
+                    head_old = jax.vmap(
+                        lambda hh, s, L=spec.head_len: jax.lax.dynamic_slice(
+                            hh, (s, 0), (1, L)
+                        )[0]
+                    )(head[:, :, : spec.head_len], sigma)
+                    left = fbank_edge_left(spec, head_old)
+                    right = fbank_edge_right(spec, tail)
+                    raw = jnp.concatenate([left, interior, right], axis=1)
+                else:
+                    raw = interior
+                products.append(("raw_fbank", raw))
         new_st = {
             "rings": tuple(new_rings),
+            "heads": tuple(new_heads),
             "sums": sums,
             "tail": tail,
             "blocks": r_new,
         }
-        return new_st, pooled
+        return new_st, products
+
+    def _sinc_ring_filters(self, spec: _ConvRingSpec) -> jnp.ndarray:
+        return sinc_filters(
+            spec.params["low"],
+            spec.params["band"],
+            kernel_size=spec.kernel,
+            sample_rate=spec.sample_rate,
+            min_low_hz=spec.min_low,
+            min_band_hz=spec.min_band,
+        )
 
     def _frame_scores(
         self,
         audio: jnp.ndarray,
         gamma: jnp.ndarray,
         beta: jnp.ndarray,
-        pooled: Optional[list] = None,
+        products: Optional[list] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(B, samples) or phase-major (B, s, samples/s) ->
-        (segmentation (B, F, K), embeddings (B, K, E)). ``pooled``: the
-        conv-ring path's precomputed per-frontend pooled activations (no
-        raw waveform exists; models get a dummy wave and skip their
-        frontend stage)."""
+        (segmentation (B, F, K), embeddings (B, K, E)). ``products``: the
+        conv-ring path's precomputed per-frontend activations (no raw
+        waveform exists; models skip their frontend stage) — tagged
+        "pooled_tc" (time-major pooled sinc activation) or "raw_fbank"
+        (assembled pre-normalization log-mel frames)."""
         seg_kw, emb_kw = {}, {}
-        if pooled is not None:
-            wave = jnp.zeros((pooled[0].shape[0], 1, 1), jnp.float32)
-            seg_kw = {"sinc_pooled": pooled[0]}
+        emb_raw = None
+        if products is not None:
+            kind0, seg_prod = products[0]
+            assert kind0 == "pooled_tc"
+            wave = jnp.zeros((seg_prod.shape[0], 1, 1), jnp.float32)
+            seg_kw = {
+                "sinc_pooled": seg_prod,
+                "sinc_pooled_time_major": True,
+            }
             if not self.is_vad:
-                emb_kw = {"sinc_pooled": pooled[1]}
+                kind1, emb_prod = products[1]
+                if kind1 == "pooled_tc":
+                    emb_kw = {
+                        "sinc_pooled": emb_prod,
+                        "sinc_pooled_time_major": True,
+                    }
+                else:
+                    emb_raw = emb_prod
         elif self._phase:
             wave = audio  # models consume the phase-major layout directly
             seg_kw = {"phased": True}
@@ -679,7 +803,10 @@ class MultiStreamEngine:
         weights = overlapped_speech_penalty(seg, gamma, beta)
         if self.normalize_weights:
             weights = min_max_normalize(weights, axis=-2)
-        frames = self._trunk(self._emb_params, wave, **emb_kw)  # (B, T, C)
+        if emb_raw is not None:
+            frames = self._trunk_raw(self._emb_params, emb_raw)  # (B, T, C)
+        else:
+            frames = self._trunk(self._emb_params, wave, **emb_kw)
         emb = self._head(
             self._emb_params, frames, jnp.swapaxes(weights, 1, 2)
         )  # (B, K, E)
@@ -713,9 +840,9 @@ class MultiStreamEngine:
             # hop ships half the bytes over PCIe/ICI (and most sources are
             # 16-bit PCM to begin with); dequantize on device.
             blocks = blocks.astype(jnp.float32) / 32768.0
-        pooled = None
+        products = None
         if self._convring is not None:
-            audio, pooled = self._convring_advance(
+            audio, products = self._convring_advance(
                 state.audio, blocks, audio_mask
             )
         elif self._phase:
@@ -734,7 +861,7 @@ class MultiStreamEngine:
                 [state.audio[:, self.step_samples :], blocks], axis=1
             )
             audio = jnp.where(audio_mask[:, None], rolled, state.audio)
-        seg, emb = self._frame_scores(audio, gamma, beta, pooled=pooled)
+        seg, emb = self._frame_scores(audio, gamma, beta, products=products)
 
         if self.is_vad:
             # (blocks/vad.py:146-148): speech score = max over speakers

@@ -87,8 +87,9 @@ def test_conv_ring_engages(monkeypatch):
     assert (spec.fpb, spec.nb, spec.trim, spec.tail) == (800, 4, 25, 250)
     assert spec.pooled == ((CHUNK - 251) // 10 + 1) // 3
     st = engine.init_state().audio
-    assert set(st) == {"rings", "sums", "tail", "blocks"}
-    assert st["rings"][0].shape == (3, 80, (4 + 1) * 800)  # +trash slot
+    assert set(st) == {"rings", "heads", "sums", "tail", "blocks"}
+    # time-major (frames, channels), +1 trash slot
+    assert st["rings"][0].shape == (3, (4 + 1) * 800, 80)
     assert st["sums"].shape == (3, 5, 2)
     assert st["tail"].shape == (3, 250)
 
@@ -99,14 +100,73 @@ def test_conv_ring_default_off():
     assert engine._convring is None
 
 
-def test_conv_ring_off_for_mel_frontends(monkeypatch):
+def test_conv_ring_mel_embedding_engages(monkeypatch):
+    """A mel embedding joins via the incremental log-mel frame ring
+    (models/fbank.py FbankRingSpec) alongside the sinc segmentation."""
+    from diart_tpu.models.fbank import FbankRingSpec
+
     monkeypatch.setenv("DIART_TPU_CONV_RING", "1")
     seg, _ = _models()
     emb = EmbeddingModel.from_registry(
         "tpu/ecapa", embedding_dim=32, channels=32, init_samples=CHUNK
     )
     engine = _engine(seg, emb)
-    assert engine._convring is None
+    assert engine._convring is not None
+    assert isinstance(engine._convring[1], FbankRingSpec)
+    spec = engine._convring[1]
+    assert spec.kind == "speechbrain" and spec.edge == 2
+    st = engine.init_state().audio
+    # empty mel slots hold the zero-signal constant, not zero
+    assert np.allclose(np.asarray(st["rings"][1][0, 0]), -100.0)
+
+
+MEL_FAMILIES = [
+    ("tpu/ecapa", dict(embedding_dim=32, channels=32)),
+    ("tpu/resnet34", dict(embedding_dim=32, base_channels=8)),
+    ("tpu/titanet", dict(embedding_dim=32, channels=32)),
+    (
+        "tpu/xvect-sb",
+        dict(
+            embedding_dim=32,
+            tdnn_specs=(
+                (5, 1, 16),
+                (3, 2, 16),
+                (3, 3, 16),
+                (1, 1, 16),
+                (1, 1, 48),
+            ),
+        ),
+    ),
+]
+
+
+@pytest.mark.parametrize("family,kwargs", MEL_FAMILIES)
+def test_conv_ring_mel_matches_direct(monkeypatch, family, kwargs):
+    """Every mel family through the incremental frame ring reproduces the
+    direct full-window frontend, including per-stream pauses (the cached
+    stage is bit-identical; only the window normalization re-runs)."""
+    seg, _ = _models()
+    emb = EmbeddingModel.from_registry(
+        family, init_samples=CHUNK, **kwargs
+    )
+    direct = _engine(seg, emb)
+    assert direct._convring is None
+    monkeypatch.setenv("DIART_TPU_CONV_RING", "1")
+    ringed = _engine(seg, emb)
+    assert ringed._convring is not None
+
+    masks = [
+        np.array([True, True, True]),
+        np.array([True, False, True]),
+        np.array([True, True, False]),
+        np.array([True, True, True]),
+        np.array([False, True, True]),
+        np.array([True, True, True]),
+        np.array([True, True, True]),
+    ]
+    _, outs_d = _drive(direct, steps=len(masks), masks=masks)
+    _, outs_r = _drive(ringed, steps=len(masks), masks=masks)
+    _assert_close(outs_r, outs_d, atol=5e-5)
 
 
 def test_conv_ring_matches_direct(monkeypatch):
@@ -200,7 +260,7 @@ def test_rotated_pooled_kernel_interpret_parity():
     W = NB * FPB
     trim = 7
     P = (W - trim) // 3
-    ring = rng.normal(size=(B, C, W + FPB)).astype(np.float32)
+    ring = rng.normal(size=(B, W + FPB, C)).astype(np.float32)
     off = np.array([0, 1, FPB * (NB - 1), W - 1], np.int32)
     shift = ((W - off) % W).astype(np.int32)
     a = rng.normal(size=B).astype(np.float32)
