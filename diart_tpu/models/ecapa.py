@@ -243,7 +243,7 @@ class EcapaTDNN(nn.Module):
         )
         return feats - jnp.mean(feats, axis=1, keepdims=True)
 
-    # incremental-frontend protocol (engine conv_ring; models/fbank.py)
+    # incremental-frontend protocol (engine fbank_ring; models/fbank.py)
     fbank_ring_kind = "speechbrain"
 
     def finalize_fbank(self, raw: jnp.ndarray) -> jnp.ndarray:

@@ -420,7 +420,7 @@ def _kaldi_basis(
 
 
 # --------------------------------------------------------------------- #
-# Incremental (streaming-cached) mel frontends — engine ``conv_ring``
+# Incremental (streaming-cached) mel frontends — engine ``fbank_ring``
 # --------------------------------------------------------------------- #
 # Every log-mel stage up to the window-level normalization is local to a
 # frame: the DFT convolution and mel contraction are linear in the

@@ -112,7 +112,7 @@ class ResNet34(nn.Module):
         )
         return feats - jnp.mean(feats, axis=1, keepdims=True)
 
-    # incremental-frontend protocol (engine conv_ring; models/fbank.py)
+    # incremental-frontend protocol (engine fbank_ring; models/fbank.py)
     fbank_ring_kind = "kaldi"
 
     def finalize_fbank(self, raw: jnp.ndarray) -> jnp.ndarray:

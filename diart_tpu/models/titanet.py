@@ -172,7 +172,7 @@ class TitaNet(nn.Module):
         var = jnp.sum((feats - mean) ** 2, axis=1, keepdims=True) / max(t - 1, 1)
         return (feats - mean) / (jnp.sqrt(var) + 1e-5)
 
-    # incremental-frontend protocol (engine conv_ring; models/fbank.py)
+    # incremental-frontend protocol (engine fbank_ring; models/fbank.py)
     fbank_ring_kind = "nemo"
 
     def finalize_fbank(self, raw: jnp.ndarray) -> jnp.ndarray:

@@ -87,32 +87,14 @@ def _sincnet_geometry(module):
     )
 
 
-class _ConvRingSpec(NamedTuple):
-    """Per-frontend geometry of the incremental conv-output ring
-    (``conv_ring`` fast path; see ``MultiStreamEngine.__init__``)."""
-
-    params: dict  # low/band cutoffs + wav-norm affine of this frontend
-    stride: int
-    kernel: int
-    min_low: float
-    min_band: float
-    sample_rate: int
-    channels: int  # sinc filters (ring channel dim)
-    fpb: int  # conv frames produced per 0.5 s block (step_samples/stride)
-    nb: int  # blocks per window (chunk/step)
-    trim: int  # leading chron frames to drop ((kernel-1)//stride)
-    tail: int  # previous-block samples a block conv needs (trim*stride)
-    pooled: int  # maxpool(3) output frames (== the model's own grid)
-
-
 class StreamState(NamedTuple):
     """Batched per-stream state (leading axis = streams)."""
 
     audio: jnp.ndarray  # (B, chunk_samples) rolling waveform window
-    # (in conv_ring mode this field instead holds the incremental-frontend
-    # pytree: {"rings": per-frontend conv-output rings, "sums": per-block
-    # waveform moment sums, "tail": boundary samples, "blocks": received
-    # block counters} — see MultiStreamEngine.__init__)
+    # (in fbank_ring mode this field instead holds the pytree {"window":
+    # the waveform window above, "ring": the embedding frontend's rolling
+    # chronological log-mel frames, "head": per-block window-start samples,
+    # "tail": newest raw samples} — see MultiStreamEngine._audio_init)
     ring: jnp.ndarray  # (B, W, frames, M) permuted score ring, newest first
     centers: jnp.ndarray  # (B, M, E) centroid sums
     center_active: jnp.ndarray  # (B, M)
@@ -275,12 +257,61 @@ class MultiStreamEngine:
         # layout change — identical contraction, engaged on every backend.
         # Opt out (e.g. to A/B) with DIART_TPU_PHASED_RING=0 or a
         # ``phased_ring=False`` precision policy.
+        # Incremental mel frontend (``fbank_ring``): every log-mel stage up
+        # to the window-level normalization is frame-local (models/fbank.py
+        # "Incremental mel frontends"), so the embedding's RAW per-frame
+        # log-mel features of the 4.5 s of unchanged samples live in a
+        # rolling device ring across hops — each step computes only the
+        # incoming block's frames plus the window-EDGE frames (whose padding
+        # depends on the window position), and the full-window DFT
+        # convolution disappears from the step. The model's
+        # ``finalize_fbank`` + ``trunk_from_raw_fbank`` consume the
+        # assembled (B, frames, mels) tensor. The ring is CHRONOLOGICAL and
+        # advances by a static slice+concat (pause/resume = masked select,
+        # exactly like the waveform window) — every per-stream
+        # dynamic-indexing formulation (vmapped dynamic_update_slice,
+        # one-hot permutation dot, per-stream Pallas rotate) measured far
+        # over roofline on v5e and was rejected (PERF.md "conv_ring",
+        # scripts/convring_isolate.py). A SincNet conv-output ring was
+        # likewise measured and rejected: at stride 10 / 80 channels the
+        # ring holds 4x the raw window's bytes, so maintaining it costs
+        # more than the convolution it caches. Opt out with
+        # DIART_TPU_FBANK_RING=0 or a ``fbank_ring=False`` policy.
+        self._fring: Optional[FbankRingSpec] = None
+        with precision_policy.use(self.precision):
+            fring_on = precision_policy.enabled("fbank_ring")
+        if (
+            fring_on
+            and not self._stacked
+            and not self.is_vad
+            and self.chunk_samples % self.step_samples == 0
+        ):
+            mod = embedding.module
+            if getattr(mod, "fbank_ring_kind", None) is not None and hasattr(
+                mod, "trunk_from_raw_fbank"
+            ):
+                self._fring = fbank_ring_spec(
+                    mod.fbank_ring_kind,
+                    int(mod.num_mels),
+                    int(getattr(mod, "sample_rate", self.sample_rate)),
+                    self.chunk_samples,
+                    self.step_samples,
+                )
+                if self._fring is not None:
+                    self._trunk_raw = lambda p, raw: mod.apply(
+                        p, raw, method="trunk_from_raw_fbank"
+                    )
+
         self._phase = 0
         with precision_policy.use(self.precision):
             phased_on = precision_policy.enabled("phased_ring")
         if not self._stacked and phased_on:
+            # only the models that actually consume the waveform window
+            # constrain the layout (an fbank-ring embedding never sees it)
             mods = [segmentation.module] + (
-                [] if self.is_vad else [embedding.module]
+                []
+                if self.is_vad or self._fring is not None
+                else [embedding.module]
             )
             strides = {
                 _sincnet_geometry(m)[0] for m in mods if m is not None
@@ -297,53 +328,6 @@ class MultiStreamEngine:
                     and self.step_samples % s == 0
                 ):
                     self._phase = s
-
-        # Incremental conv-output ring (``conv_ring``): the SincNet stage-1
-        # convolution is linear, and the waveform instance-norm is an affine
-        # map with per-stream scalars, so conv(norm(x)) == a*conv(x) +
-        # c*tapsums — meaning the conv output of the 4.5 s of UNCHANGED
-        # samples can live in a per-frontend device ring across hops. Each
-        # step convolves only the incoming 0.5 s block (1/10 of the window)
-        # and a fused Pallas kernel (ops/pallas_convring.py) performs the
-        # rotated chronological read + affine + |.| + maxpool(3) with the
-        # ring touching HBM exactly once. Replaces BOTH the full-window
-        # sinc convolutions and the raw audio ring (window moments update
-        # incrementally from per-block sums). Rotation is per-stream
-        # (streams pause/resume independently); a paused stream's writes
-        # land in a trailing trash slot, branch-free. Opt out with
-        # DIART_TPU_CONV_RING=0 or a ``conv_ring=False`` policy.
-        # Mel frontends join the same machinery: every log-mel stage up to
-        # the window-level normalization is frame-local (models/fbank.py
-        # "Incremental mel frontends"), so the embedding's raw log-mel
-        # frames live in a ring too — only the incoming block's frames plus
-        # the few window-EDGE frames (whose padding depends on the window
-        # position) are recomputed each step, and the model's
-        # ``finalize_fbank`` + ``trunk_from_raw_fbank`` consume the
-        # assembled (B, frames, mels) tensor.
-        self._convring = None  # tuple of _ConvRingSpec | FbankRingSpec
-        with precision_policy.use(self.precision):
-            convring_on = precision_policy.enabled("conv_ring")
-        if convring_on and not self._stacked and self.chunk_samples % self.step_samples == 0:
-            pairs = [(segmentation.module, self._seg_params)]
-            if not self.is_vad:
-                pairs.append((embedding.module, self._emb_params))
-            specs = []
-            for module, params in pairs:
-                spec = self._model_ring_spec(module, params)
-                if spec is None:
-                    specs = None
-                    break
-                specs.append(spec)
-            # the segmentation side only has sinc plumbing (PyanNet); a mel
-            # segmentation model would disengage the whole path
-            if specs and isinstance(specs[0], _ConvRingSpec):
-                self._convring = tuple(specs)
-                self._phase = 0  # no raw-audio window is stored at all
-                if not self.is_vad and isinstance(specs[1], FbankRingSpec):
-                    mod = embedding.module
-                    self._trunk_raw = lambda p, raw: mod.apply(
-                        p, raw, method="trunk_from_raw_fbank"
-                    )
 
         # Probe the frame grid once (traced shapes are static thereafter).
         with precision_policy.use(self.precision):
@@ -408,54 +392,6 @@ class MultiStreamEngine:
         self._true_masks: dict = {}
 
     # ------------------------------------------------------------------ #
-    def _model_ring_spec(self, module, params):
-        """Incremental-frontend spec for one model: a sinc conv-output ring
-        (SincNet frontends), a mel frame ring (log-mel frontends declaring
-        ``fbank_ring_kind``), or None (path disengages)."""
-        if module is None:
-            return None
-        sp = _sincnet_params(params)
-        if sp is not None and getattr(module, "supports_phased_wave", False):
-            stride, kernel, min_low, min_band, sr = _sincnet_geometry(module)
-            trim = (kernel - 1) // stride
-            frames = (self.chunk_samples - kernel) // stride + 1
-            if (
-                stride <= 0
-                or self.step_samples % stride != 0
-                # a block conv may reach back at most one block
-                or trim * stride > self.step_samples
-                or frames < 3
-            ):
-                return None
-            fpb = self.step_samples // stride
-            nb = self.chunk_samples // self.step_samples
-            assert nb * fpb - trim == frames  # holds for any odd kernel
-            return _ConvRingSpec(
-                params=sp,
-                stride=stride,
-                kernel=kernel,
-                min_low=min_low,
-                min_band=min_band,
-                sample_rate=sr,
-                channels=2 * int(np.shape(sp["low"])[0]),
-                fpb=fpb,
-                nb=nb,
-                trim=trim,
-                tail=trim * stride,
-                pooled=frames // 3,
-            )
-        kind = getattr(module, "fbank_ring_kind", None)
-        if kind is not None and hasattr(module, "trunk_from_raw_fbank"):
-            return fbank_ring_spec(
-                kind,
-                int(module.num_mels),
-                int(getattr(module, "sample_rate", self.sample_rate)),
-                self.chunk_samples,
-                self.step_samples,
-            )
-        return None
-
-    # ------------------------------------------------------------------ #
     def set_hyperparameters(
         self,
         tau_active: Optional[float] = None,
@@ -490,62 +426,33 @@ class MultiStreamEngine:
         return float(self._hparams[4])
 
     # ------------------------------------------------------------------ #
-    def _ring_dtype(self):
-        """Conv-ring storage dtype: follows the bf16-frontend storage fast
-        path (the ring IS the pre-pool activation's storage)."""
-        with precision_policy.use(self.precision):
-            bf16 = precision_policy.enabled("bf16_frontend")
-        return jnp.bfloat16 if bf16 else jnp.float32
-
     def _audio_init(self, b: int):
         """The initial value of the audio-state pytree for ``b`` streams.
 
-        In conv-ring mode a never-written mel ring slot must hold the
+        In fbank-ring mode the ring's not-yet-streamed frames must hold the
         frames of an all-zero signal (a NONZERO constant for log features)
         so warm-up windows reproduce the direct path's zero-filled
         semantics exactly; everything else starts at zero."""
-        if self._convring is None:
-            audio_shape = (
-                (b, self._phase, self.chunk_samples // self._phase)
-                if self._phase
-                else (b, self.chunk_samples)
-            )
-            return jnp.zeros(audio_shape, jnp.float32)
-        nb = self._convring[0].nb
-        dt = self._ring_dtype()
-        rings, heads = [], []
-        for s in self._convring:
-            if isinstance(s, _ConvRingSpec):
-                # time-major (frames, channels): the kernel's rotation runs
-                # on sublanes and the pooled output lands in the (B, T, C)
-                # layout the following convolution consumes
-                rings.append(jnp.zeros((b, (s.nb + 1) * s.fpb, s.channels), dt))
-                heads.append(jnp.zeros((b, nb + 1, 1), jnp.float32))
-            else:
-                fill = jnp.asarray(fbank_ring_fill(s))
-                rings.append(
-                    jnp.broadcast_to(
-                        fill, (b, (s.nb + 1) * s.fpb, s.num_mels)
-                    ).astype(jnp.float32)
-                )
-                heads.append(
-                    jnp.zeros((b, nb + 1, max(s.head_len, 1)), jnp.float32)
-                )
-        return {
-            # +1 slot everywhere: branch-free masked writes land in the
-            # trailing trash slot
-            "rings": tuple(rings),
-            "heads": tuple(heads),
-            "sums": jnp.zeros((b, nb + 1, 2), jnp.float32),
-            "tail": jnp.zeros((b, self._max_tail()), jnp.float32),
-            "blocks": jnp.zeros((b,), jnp.int32),
-        }
-
-    def _max_tail(self) -> int:
-        return max(
-            s.tail if isinstance(s, _ConvRingSpec) else s.tail_len
-            for s in self._convring
+        window_shape = (
+            (b, self._phase, self.chunk_samples // self._phase)
+            if self._phase
+            else (b, self.chunk_samples)
         )
+        window = jnp.zeros(window_shape, jnp.float32)
+        if self._fring is None:
+            return window
+        s = self._fring
+        fill = jnp.asarray(fbank_ring_fill(s))
+        return {
+            "window": window,
+            "ring": jnp.broadcast_to(
+                fill, (b, s.nb * s.fpb, s.num_mels)
+            ).astype(jnp.float32),
+            # per-block window-start samples, chronological — head[:, 0] is
+            # the oldest block's, exactly what the left-edge frames need
+            "head": jnp.zeros((b, s.nb, max(s.head_len, 1)), jnp.float32),
+            "tail": jnp.zeros((b, max(s.tail_len, 1)), jnp.float32),
+        }
 
     def init_state(self, batch_size: Optional[int] = None) -> StreamState:
         b = batch_size or self.batch_size
@@ -623,171 +530,63 @@ class MultiStreamEngine:
         split = fs.shape[0]
         return pooled[:, :split], pooled[:, split:]
 
-    def _convring_advance(self, st: dict, blocks: jnp.ndarray, audio_mask):
-        """Advance the incremental frontend state by one hop and compute
-        each frontend's product for the CURRENT window.
+    def _fring_advance(self, st: dict, blocks: jnp.ndarray, audio_mask):
+        """Advance the embedding's incremental mel-frontend state by one hop
+        and assemble the CURRENT window's raw log-mel frames.
 
-        st: the conv-ring state pytree (see ``_audio_init``); blocks:
-        (B, step_samples) f32. Returns (new_st, products) where each
-        product is ("pooled_tc", (B, P, C)) for a sinc frontend (the
-        time-major pooled |sinc conv| activation, wav-norm affine folded
-        in) or ("raw_fbank", (B, T_w, mels)) for a mel frontend (the
-        cached-stage log-mel features of the window, pre-normalization).
+        st: the fbank-ring sub-state {"ring", "head", "tail"} (see
+        ``_audio_init``); blocks: (B, step_samples) f32. Returns
+        (new_st, raw) with raw (B, T_w, mels) — the cached-stage log-mel
+        features of the window, pre-normalization, exactly what
+        ``trunk_from_raw_fbank`` consumes.
+
+        Everything here is a static slice+concat with a per-stream masked
+        select (the same pattern as the waveform window): a paused stream's
+        ring/head/tail freeze wholesale. No dynamic indexing — see the
+        class-level fbank_ring comment for the measured rejections.
         """
-        from ..ops.pallas_convring import rotated_pooled
-
-        nb = self._convring[0].nb
-        max_tail = st["tail"].shape[1]
-        r = st["blocks"]
-        # paused streams write into the trailing trash slot (branch-free)
-        slot = jnp.where(audio_mask, jnp.mod(r, nb), nb)
-        r_new = r + audio_mask.astype(jnp.int32)
-        sigma = jnp.mod(r_new, nb)  # chronological start slot (oldest)
-        new_rings, new_heads = [], []
-        for spec, ring, head in zip(
-            self._convring, st["rings"], st["heads"]
-        ):
-            if isinstance(spec, _ConvRingSpec):
-                filters = self._sinc_ring_filters(spec)
-                x = blocks
-                if spec.tail:
-                    x = jnp.concatenate(
-                        [st["tail"][:, max_tail - spec.tail :], blocks], axis=1
-                    )
-                y = jax.lax.conv_general_dilated(
-                    x[:, None, :],
-                    filters[:, None, :],
-                    window_strides=(spec.stride,),
-                    padding="VALID",
-                    dimension_numbers=("NCH", "OIH", "NHC"),
-                ).astype(ring.dtype)  # (B, fpb, C) time-major
-                new_head = head  # sinc frontends store no head samples
-            else:
-                y = fbank_block_raw(spec, st["tail"], blocks)  # (B, fpb, mels)
-                new_head = jax.vmap(
-                    lambda hh, hs, s: jax.lax.dynamic_update_slice(
-                        hh, hs[None], (s, 0)
-                    )
-                )(head, blocks[:, : head.shape[-1]], slot)
-            new_rings.append(
-                jax.vmap(
-                    lambda rr, blk, s, f=spec.fpb: jax.lax.dynamic_update_slice(
-                        rr, blk, (s * f, 0)
-                    )
-                )(ring, y, slot)
+        spec = self._fring
+        keep = lambda new, old: jnp.where(
+            audio_mask.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+        )
+        y = fbank_block_raw(spec, st["tail"], blocks)  # (B, fpb, mels)
+        ring = keep(
+            jnp.concatenate([st["ring"][:, spec.fpb :], y], axis=1),
+            st["ring"],
+        )
+        head = st["head"]
+        if spec.edge:
+            head = keep(
+                jnp.concatenate(
+                    [head[:, 1:], blocks[:, None, : spec.head_len]], axis=1
+                ),
+                head,
             )
-            new_heads.append(new_head)
-        bs = jnp.stack(
-            [jnp.sum(blocks, axis=1), jnp.sum(blocks * blocks, axis=1)], axis=-1
-        )  # (B, 2)
-        sums = jax.vmap(
-            lambda sr, v, s: jax.lax.dynamic_update_slice(sr, v[None], (s, 0))
-        )(st["sums"], bs, slot)
-        tail = jnp.where(
-            audio_mask[:, None], blocks[:, -max_tail:], st["tail"]
-        )
+        tail = keep(blocks[:, -st["tail"].shape[1] :], st["tail"])
 
-        # window moments from the nb live slots (missing blocks are zero —
-        # identical to the zero-filled warm-up window of the direct path)
-        tot = jnp.sum(sums[:, :nb], axis=1)
-        n = float(self.chunk_samples)
-        mean = tot[:, 0] / n
-        var = jnp.maximum(tot[:, 1] / n - mean * mean, 0.0)
-        rstd = jax.lax.rsqrt(var + 1e-5)
-
-        products = []
-        for spec, ring, head in zip(self._convring, new_rings, new_heads):
-            w = spec.nb * spec.fpb
-            off = jnp.mod(r_new, spec.nb) * spec.fpb
-            shift = jnp.mod(w - off, w).astype(jnp.int32)
-            if isinstance(spec, _ConvRingSpec):
-                filters = self._sinc_ring_filters(spec)
-                a = spec.params["scale"][0] * rstd
-                c = spec.params["bias"][0] - mean * a
-                products.append(
-                    (
-                        "pooled_tc",
-                        rotated_pooled(
-                            ring,
-                            shift,
-                            a,
-                            c,
-                            jnp.sum(filters, axis=1),
-                            window_frames=w,
-                            trim=spec.trim,
-                            pooled_frames=spec.pooled,
-                        ),
-                    )
-                )
-            else:
-                chron = jax.vmap(
-                    lambda row, s: jnp.roll(row, s, axis=0)
-                )(ring[:, :w], shift)
-                interior = chron[:, spec.trim : spec.trim + spec.interior]
-                if spec.edge:
-                    head_old = jax.vmap(
-                        lambda hh, s, L=spec.head_len: jax.lax.dynamic_slice(
-                            hh, (s, 0), (1, L)
-                        )[0]
-                    )(head[:, :, : spec.head_len], sigma)
-                    left = fbank_edge_left(spec, head_old)
-                    right = fbank_edge_right(spec, tail)
-                    raw = jnp.concatenate([left, interior, right], axis=1)
-                else:
-                    raw = interior
-                products.append(("raw_fbank", raw))
-        new_st = {
-            "rings": tuple(new_rings),
-            "heads": tuple(new_heads),
-            "sums": sums,
-            "tail": tail,
-            "blocks": r_new,
-        }
-        return new_st, products
-
-    def _sinc_ring_filters(self, spec: _ConvRingSpec) -> jnp.ndarray:
-        return sinc_filters(
-            spec.params["low"],
-            spec.params["band"],
-            kernel_size=spec.kernel,
-            sample_rate=spec.sample_rate,
-            min_low_hz=spec.min_low,
-            min_band_hz=spec.min_band,
-        )
+        interior = ring[:, spec.trim : spec.trim + spec.interior]
+        if spec.edge:
+            left = fbank_edge_left(spec, head[:, 0, : spec.head_len])
+            right = fbank_edge_right(spec, tail)
+            raw = jnp.concatenate([left, interior, right], axis=1)
+        else:
+            raw = interior
+        return {"ring": ring, "head": head, "tail": tail}, raw
 
     def _frame_scores(
         self,
         audio: jnp.ndarray,
         gamma: jnp.ndarray,
         beta: jnp.ndarray,
-        products: Optional[list] = None,
+        emb_raw: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(B, samples) or phase-major (B, s, samples/s) ->
-        (segmentation (B, F, K), embeddings (B, K, E)). ``products``: the
-        conv-ring path's precomputed per-frontend activations (no raw
-        waveform exists; models skip their frontend stage) — tagged
-        "pooled_tc" (time-major pooled sinc activation) or "raw_fbank"
-        (assembled pre-normalization log-mel frames)."""
+        (segmentation (B, F, K), embeddings (B, K, E)). ``emb_raw``: the
+        fbank-ring path's assembled pre-normalization log-mel frames — the
+        embedding model then skips its frontend stage
+        (``trunk_from_raw_fbank``) and never sees the waveform."""
         seg_kw, emb_kw = {}, {}
-        emb_raw = None
-        if products is not None:
-            kind0, seg_prod = products[0]
-            assert kind0 == "pooled_tc"
-            wave = jnp.zeros((seg_prod.shape[0], 1, 1), jnp.float32)
-            seg_kw = {
-                "sinc_pooled": seg_prod,
-                "sinc_pooled_time_major": True,
-            }
-            if not self.is_vad:
-                kind1, emb_prod = products[1]
-                if kind1 == "pooled_tc":
-                    emb_kw = {
-                        "sinc_pooled": emb_prod,
-                        "sinc_pooled_time_major": True,
-                    }
-                else:
-                    emb_raw = emb_prod
-        elif self._phase:
+        if self._phase:
             wave = audio  # models consume the phase-major layout directly
             seg_kw = {"phased": True}
             emb_kw = {"phased": True}
@@ -840,12 +639,9 @@ class MultiStreamEngine:
             # hop ships half the bytes over PCIe/ICI (and most sources are
             # 16-bit PCM to begin with); dequantize on device.
             blocks = blocks.astype(jnp.float32) / 32768.0
-        products = None
-        if self._convring is not None:
-            audio, products = self._convring_advance(
-                state.audio, blocks, audio_mask
-            )
-        elif self._phase:
+        emb_raw = None
+        window = state.audio["window"] if self._fring is not None else state.audio
+        if self._phase:
             s = self._phase
             # incoming 0.5 s block -> its phase-major view (B, s, hops);
             # the ring shift then runs entirely in the conv's layout
@@ -853,15 +649,20 @@ class MultiStreamEngine:
                 blocks.reshape(blocks.shape[0], -1, s), 1, 2
             )
             rolled = jnp.concatenate(
-                [state.audio[:, :, self.step_samples // s :], new], axis=2
+                [window[:, :, self.step_samples // s :], new], axis=2
             )
-            audio = jnp.where(audio_mask[:, None, None], rolled, state.audio)
+            window = jnp.where(audio_mask[:, None, None], rolled, window)
         else:
             rolled = jnp.concatenate(
-                [state.audio[:, self.step_samples :], blocks], axis=1
+                [window[:, self.step_samples :], blocks], axis=1
             )
-            audio = jnp.where(audio_mask[:, None], rolled, state.audio)
-        seg, emb = self._frame_scores(audio, gamma, beta, products=products)
+            window = jnp.where(audio_mask[:, None], rolled, window)
+        if self._fring is not None:
+            fst, emb_raw = self._fring_advance(state.audio, blocks, audio_mask)
+            audio = dict(fst, window=window)
+        else:
+            audio = window
+        seg, emb = self._frame_scores(window, gamma, beta, emb_raw=emb_raw)
 
         if self.is_vad:
             # (blocks/vad.py:146-148): speech score = max over speakers

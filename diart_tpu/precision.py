@@ -53,7 +53,7 @@ _ENV_VARS = {
     "int8_trunk": "DIART_TPU_INT8_TRUNK",
     "fast_fbank": "DIART_TPU_FAST_FBANK",
     "phased_ring": "DIART_TPU_PHASED_RING",
-    "conv_ring": "DIART_TPU_CONV_RING",
+    "fbank_ring": "DIART_TPU_FBANK_RING",
 }
 # Paths that only exist for TPU backends (Pallas lowering, bf16 storage
 # layouts); they resolve to False anywhere else no matter what the policy
@@ -136,16 +136,19 @@ class Precision:
     # Pure layout change — identical contraction values; engaged on every
     # backend when all models in the engine accept the layout.
     phased_ring: bool = True
-    # conv_ring: incremental SincNet frontend — the stage-1 convolution of
-    # the 4.5 s of unchanged samples lives in a per-frontend device ring
-    # (conv is linear; the per-step waveform instance-norm folds into
-    # per-stream affine scalars applied at read time), so each hop convolves
-    # only the incoming 0.5 s block and a fused rotated-read kernel
-    # (ops/pallas_convring.py) replaces the full-window conv + pool.
-    # fp-reassociation-level numerics change (like the phase-decomposed
-    # convolution); engine-level parity pinned by tests/test_conv_ring.py.
-    # Default OFF until the on-chip A/B lands (PERF.md).
-    conv_ring: bool = False
+    # fbank_ring: incremental mel frontend — every log-mel stage up to the
+    # window-level normalization is frame-local (models/fbank.py
+    # "Incremental mel frontends"), so the embedding's raw log-mel frames of
+    # the 4.5 s of unchanged samples live in a chronological device ring
+    # across hops; each step computes only the incoming block's frames (plus
+    # the window-edge frames, whose padding depends on the window position)
+    # and the full-window DFT convolution disappears from the step. The ring
+    # advances by a static slice+concat per hop (per-stream pause/resume via
+    # masked select) — per-stream DYNAMIC indexing formulations were all
+    # measured far over roofline on v5e and rejected (PERF.md "conv_ring";
+    # scripts/convring_isolate.py). Engine-level parity pinned by
+    # tests/test_fbank_ring.py. Default OFF until the on-chip A/B lands.
+    fbank_ring: bool = False
 
     def resolved(self) -> Dict[str, bool]:
         """The switches as they would actually resolve right now (env
@@ -193,7 +196,7 @@ class Precision:
             int8_trunk=False,
             fast_fbank=False,
             phased_ring=False,
-            conv_ring=False,
+            fbank_ring=False,
         )
 
 

@@ -81,21 +81,26 @@ def main():
     tapsum = jnp.asarray(rng.normal(size=(C,)), jnp.float32)
     knob = jnp.float32(0.0)
 
-    from diart_tpu.ops.pallas_convring import rotated_pooled
+    # ---- the (since-removed) Pallas rotate kernel --------------------- #
+    # ops/pallas_convring.py measured 16.7 ms here and was deleted; check
+    # out commit 480555a to re-measure it. The import degrades gracefully.
+    try:
+        from diart_tpu.ops.pallas_convring import rotated_pooled
 
-    # ---- current Pallas kernel -------------------------------------- #
-    @jax.jit
-    def k_kernel(ring, shift, a, c, tapsum, knob):
-        return rotated_pooled(
-            ring,
-            shift,
-            a + knob,
-            c,
-            tapsum,
-            window_frames=W,
-            trim=TRIM,
-            pooled_frames=POOLED,
-        )
+        @jax.jit
+        def k_kernel(ring, shift, a, c, tapsum, knob):
+            return rotated_pooled(
+                ring,
+                shift,
+                a + knob,
+                c,
+                tapsum,
+                window_frames=W,
+                trim=TRIM,
+                pooled_frames=POOLED,
+            )
+    except ImportError:
+        k_kernel = None
 
     # ---- one-hot slot-permutation read ------------------------------- #
     @jax.jit
@@ -191,7 +196,8 @@ def main():
     timed("onehot_read", k_onehot_read, [ring, sigma, a, c, tapsum, knob])
     timed("scatter_write", k_scatter_write, [ring + 0, y, slot, knob])
     timed("onehot_write", k_onehot_write, [ring + 0, y, slot, knob])
-    timed("kernel", k_kernel, [ring, shift, a, c, tapsum, knob])
+    if k_kernel is not None:
+        timed("kernel", k_kernel, [ring, shift, a, c, tapsum, knob])
 
 
 if __name__ == "__main__":
