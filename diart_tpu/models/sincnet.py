@@ -246,7 +246,6 @@ class SincNet(nn.Module):
         waveform: jnp.ndarray,
         pooled: Optional[jnp.ndarray] = None,
         phased: bool = False,
-        pooled_time_major: bool = False,
     ) -> jnp.ndarray:
         """waveform: (batch, 1, samples) -> (batch, 60, frames)
 
@@ -258,12 +257,6 @@ class SincNet(nn.Module):
         the wav-norm/conv/pool stage is skipped; parameters are still
         declared so the module's tree is identical either way.
 
-        ``pooled_time_major``: ``pooled`` arrives as (batch, pooled_frames,
-        80) — the layout the engine's incremental conv-ring kernel emits
-        (and exactly what the following convolution consumes, so the first
-        relayout disappears). Identical values, per-channel statistics
-        reduce over the time axis either way.
-
         ``phased``: ``waveform`` is the phase-decomposed view
         ``(batch, stride, samples // stride)`` the engine's phase-major
         audio ring stores (see :class:`SincConv`). The waveform instance
@@ -271,38 +264,6 @@ class SincNet(nn.Module):
         """
         scale0 = self.param("wav_norm_scale", nn.initializers.ones, (1,))
         bias0 = self.param("wav_norm_bias", nn.initializers.zeros, (1,))
-        if pooled is not None and pooled_time_major:
-            s = self.param("norm1_scale", nn.initializers.ones, (80,))
-            b = self.param("norm1_bias", nn.initializers.zeros, (80,))
-            x = pooled  # (B, T, 80)
-            mean = jnp.mean(x, axis=1, keepdims=True)
-            var = jnp.var(x, axis=1, keepdims=True)
-            xn = (x - mean) * jax.lax.rsqrt(var + 1e-5)
-            x = nn.leaky_relu(
-                xn * s[None, None, :] + b[None, None, :], negative_slope=0.01
-            )
-            for i, channels in enumerate((60, 60)):
-                # x is already (B, T, C) — the layout nn.Conv consumes
-                x = nn.Conv(
-                    features=channels,
-                    kernel_size=(5,),
-                    padding="VALID",
-                    name=f"conv{i + 2}",
-                    dtype=self.compute_dtype,
-                    param_dtype=jnp.float32,
-                )(x.astype(self.compute_dtype))
-                x = jnp.swapaxes(x.astype(jnp.float32), 1, 2)
-                x = _max_pool_time(x, 3)
-                s = self.param(
-                    f"norm{i + 2}_scale", nn.initializers.ones, (channels,)
-                )
-                b = self.param(
-                    f"norm{i + 2}_bias", nn.initializers.zeros, (channels,)
-                )
-                x = nn.leaky_relu(_instance_norm(x, s, b), negative_slope=0.01)
-                if i == 0:
-                    x = jnp.swapaxes(x, 1, 2)  # back to (B, T, C) for conv3
-            return x
         if pooled is None:
             if phased:
                 mean = jnp.mean(waveform, axis=(1, 2), keepdims=True)

@@ -476,25 +476,55 @@ class MultiStreamEngine:
 
     def reset_stream(self, state: StreamState, index: int) -> StreamState:
         """Reset one stream's slot to its initial value (new session
-        joining the batch). The audio state resets to ``_audio_init``'s row
-        — NOT zero: a mel frame ring's empty slots hold the nonzero
-        zero-signal constant."""
+        joining the batch). One-hot wrapper over :meth:`reset_streams`."""
+        mask = np.zeros((state.initialized.shape[0],), bool)
+        mask[index] = True
+        return self.reset_streams(state, mask)
+
+    def reset_streams(self, state: StreamState, mask) -> StreamState:
+        """Reset every stream slot where ``mask`` is True to its initial
+        value, in ONE compiled call.
+
+        The mask is a DYNAMIC input, so every reset set — single slot,
+        client churn batch, full wipe — reuses the same executable. (The
+        previous per-index eager ``at[index].set`` formulation compiled a
+        new program per index and paid a chain of device round trips per
+        client claim, which serialized admission in the streaming server.)
+        The audio state resets to ``_audio_init``'s row — NOT zero: a mel
+        frame ring's empty slots hold the nonzero zero-signal constant."""
         if getattr(self, "_audio_row", None) is None:
             self._audio_row = jax.tree_util.tree_map(
                 lambda t: t[0], self._audio_init(1)
             )
-        return StreamState(
-            audio=jax.tree_util.tree_map(
-                lambda x, t: x.at[index].set(t.astype(x.dtype)),
-                state.audio,
-                self._audio_row,
-            ),
-            ring=state.ring.at[index].set(0.0),
-            centers=state.centers.at[index].set(0.0),
-            center_active=state.center_active.at[index].set(False),
-            initialized=state.initialized.at[index].set(False),
-            chunk_count=state.chunk_count.at[index].set(0),
-        )
+        if getattr(self, "_reset_fn", None) is None:
+
+            def _reset(state, mask, row):
+                def keep(cur, init):
+                    m = mask.reshape((-1,) + (1,) * (cur.ndim - 1))
+                    return jnp.where(m, init, cur)
+
+                return StreamState(
+                    audio=jax.tree_util.tree_map(
+                        lambda cur, r: keep(cur, r.astype(cur.dtype)[None]),
+                        state.audio,
+                        row,
+                    ),
+                    ring=keep(state.ring, jnp.zeros((), state.ring.dtype)),
+                    centers=keep(
+                        state.centers, jnp.zeros((), state.centers.dtype)
+                    ),
+                    center_active=keep(state.center_active, False),
+                    initialized=keep(state.initialized, False),
+                    chunk_count=keep(state.chunk_count, jnp.int32(0)),
+                )
+
+            self._reset_fn = jax.jit(_reset, donate_argnums=0)
+        mask = jnp.asarray(mask)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mask = jax.device_put(mask, NamedSharding(self.mesh, P("streams")))
+        return self._reset_fn(state, mask, self._audio_row)
 
     # ------------------------------------------------------------------ #
     def _stacked_frontend(self, wave: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -612,6 +642,81 @@ class MultiStreamEngine:
         emb = normalize_embeddings(emb, 1.0)
         return seg, emb
 
+    def _advance_audio(self, audio_state, blocks: jnp.ndarray, audio_mask):
+        """Ingest one hop's blocks into the rolling audio state.
+
+        Returns ``(new_audio_state, window, emb_raw)`` — the advanced state
+        pytree, the waveform window the models consume (phase-major when the
+        phased ring is engaged), and the fbank-ring path's assembled raw
+        log-mel frames (None otherwise). Shared by the serving step and the
+        non-mutating :meth:`probe_frame_scores` diagnostic."""
+        if jnp.issubdtype(blocks.dtype, jnp.integer):
+            # int16 PCM ingestion: audio is quantized on the host so every
+            # hop ships half the bytes over PCIe/ICI (and most sources are
+            # 16-bit PCM to begin with); dequantize on device.
+            blocks = blocks.astype(jnp.float32) / 32768.0
+        emb_raw = None
+        window = audio_state["window"] if self._fring is not None else audio_state
+        if self._phase:
+            s = self._phase
+            # incoming 0.5 s block -> its phase-major view (B, s, hops);
+            # the ring shift then runs entirely in the conv's layout
+            new = jnp.swapaxes(
+                blocks.reshape(blocks.shape[0], -1, s), 1, 2
+            )
+            rolled = jnp.concatenate(
+                [window[:, :, self.step_samples // s :], new], axis=2
+            )
+            window = jnp.where(audio_mask[:, None, None], rolled, window)
+        else:
+            rolled = jnp.concatenate(
+                [window[:, self.step_samples :], blocks], axis=1
+            )
+            window = jnp.where(audio_mask[:, None], rolled, window)
+        if self._fring is not None:
+            fst, emb_raw = self._fring_advance(audio_state, blocks, audio_mask)
+            audio = dict(fst, window=window)
+        else:
+            audio = window
+        return audio, window, emb_raw
+
+    def probe_frame_scores(
+        self,
+        state: StreamState,
+        blocks,
+        audio_mask: Optional[np.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Diagnostic: the (segmentation, embedding) tensors the next step
+        WOULD compute after ingesting ``blocks`` — without mutating
+        ``state``. Fidelity probes use this to compare fast paths at the
+        raw-tensor level at production geometry (e.g. fbank_ring vs the
+        direct frontend, scripts/fring_fidelity.py); it is a separate lazily
+        compiled executable and ships embeddings to the host, so it is NOT
+        part of the serving loop. Returns ``(seg (B, F, K), emb (B, K, E))``
+        with embeddings L2-normalized, exactly as the step consumes them."""
+        b = jnp.shape(blocks)[0]
+        mask = (
+            jnp.ones((b,), bool) if audio_mask is None else jnp.asarray(audio_mask)
+        )
+        if getattr(self, "_probe_fn", None) is None:
+            def _probe(params, state, blocks, audio_mask, hparams):
+                del params
+                _, _, _, gamma, beta = hparams
+                _, window, emb_raw = self._advance_audio(
+                    state.audio, blocks, audio_mask
+                )
+                return self._frame_scores(window, gamma, beta, emb_raw=emb_raw)
+
+            self._probe_fn = jax.jit(_probe)
+        if not isinstance(blocks, jax.Array):
+            blocks = np.asarray(blocks)
+            if not np.issubdtype(blocks.dtype, np.integer):
+                blocks = blocks.astype(np.float32, copy=False)
+        with precision_policy.use(self.precision):
+            return self._probe_fn(
+                self._params, state, jnp.asarray(blocks), mask, self._hparams
+            )
+
     def _step_impl(
         self,
         params,
@@ -634,34 +739,9 @@ class MultiStreamEngine:
             hparams = self._hparams
         tau, rho, delta, gamma, beta = hparams
         cluster_params = ClusteringParams(tau, rho, delta)
-        if jnp.issubdtype(blocks.dtype, jnp.integer):
-            # int16 PCM ingestion: audio is quantized on the host so every
-            # hop ships half the bytes over PCIe/ICI (and most sources are
-            # 16-bit PCM to begin with); dequantize on device.
-            blocks = blocks.astype(jnp.float32) / 32768.0
-        emb_raw = None
-        window = state.audio["window"] if self._fring is not None else state.audio
-        if self._phase:
-            s = self._phase
-            # incoming 0.5 s block -> its phase-major view (B, s, hops);
-            # the ring shift then runs entirely in the conv's layout
-            new = jnp.swapaxes(
-                blocks.reshape(blocks.shape[0], -1, s), 1, 2
-            )
-            rolled = jnp.concatenate(
-                [window[:, :, self.step_samples // s :], new], axis=2
-            )
-            window = jnp.where(audio_mask[:, None, None], rolled, window)
-        else:
-            rolled = jnp.concatenate(
-                [window[:, self.step_samples :], blocks], axis=1
-            )
-            window = jnp.where(audio_mask[:, None], rolled, window)
-        if self._fring is not None:
-            fst, emb_raw = self._fring_advance(state.audio, blocks, audio_mask)
-            audio = dict(fst, window=window)
-        else:
-            audio = window
+        audio, window, emb_raw = self._advance_audio(
+            state.audio, blocks, audio_mask
+        )
         seg, emb = self._frame_scores(window, gamma, beta, emb_raw=emb_raw)
 
         if self.is_vad:

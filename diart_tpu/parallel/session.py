@@ -76,13 +76,31 @@ class MultiStreamSession:
 
     def reset_slot(self, index: int, uri: Optional[str] = None, shift: float = 0.0):
         """Recycle a stream slot for a new session."""
-        self.state = self.engine.reset_stream(self.state, index)
-        self.blocks_seen[index] = 0
-        self.shifts[index] = shift
-        if uri is not None:
-            self.uris[index] = uri
-        if self.collect_audio:
-            self._audio[index] = 0.0
+        self.reset_slots([index], uris=None if uri is None else [uri], shifts=[shift])
+
+    def reset_slots(
+        self,
+        indices: Sequence[int],
+        uris: Optional[Sequence[Optional[str]]] = None,
+        shifts: Optional[Sequence[float]] = None,
+    ) -> None:
+        """Recycle several stream slots in ONE compiled device call
+        (``engine.reset_streams``) — client-churn batches in the streaming
+        server reset every newly claimed slot per tick without a per-index
+        device round trip."""
+        indices = list(indices)
+        if not indices:
+            return
+        mask = np.zeros((self.batch_size,), bool)
+        mask[np.asarray(indices, int)] = True
+        self.state = self.engine.reset_streams(self.state, mask)
+        for k, index in enumerate(indices):
+            self.blocks_seen[index] = 0
+            self.shifts[index] = shifts[k] if shifts is not None else 0.0
+            if uris is not None and uris[k] is not None:
+                self.uris[index] = uris[k]
+            if self.collect_audio:
+                self._audio[index] = 0.0
 
     # ------------------------------------------------------------------ #
     # Checkpoint / resume (fault recovery for long-running streams — the

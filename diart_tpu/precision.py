@@ -147,8 +147,14 @@ class Precision:
     # masked select) — per-stream DYNAMIC indexing formulations were all
     # measured far over roofline on v5e and rejected (PERF.md "conv_ring";
     # scripts/convring_isolate.py). Engine-level parity pinned by
-    # tests/test_fbank_ring.py. Default OFF until the on-chip A/B lands.
-    fbank_ring: bool = False
+    # tests/test_fbank_ring.py. ON since round 4: on-chip A/Bs win on every
+    # mel family (ECAPA 25.36->23.84 ms, xvect-sb 16.76->15.10, ResNet34
+    # 55.74->53.90, TitaNet 44.69->42.15 at batch 256; docs/campaigns/r4/
+    # fring_ab_*.txt) and the production-geometry on-chip fidelity probe
+    # (scripts/fring_fidelity.py) pins embedding cosine vs the direct
+    # serving path through warm-up, steady state, pause/resume and slot
+    # resets. Opt out with DIART_TPU_FBANK_RING=0.
+    fbank_ring: bool = True
 
     def resolved(self) -> Dict[str, bool]:
         """The switches as they would actually resolve right now (env
@@ -167,19 +173,24 @@ class Precision:
     def parse(spec: str) -> "Precision":
         """Build a policy from a ``field=0|1,...`` spec on top of the
         flagship defaults — the format the CLIs' ``--precision`` flag and
-        ``bench.py --set`` accept (e.g. ``"int8_trunk=1,pallas_res2=0"``)."""
+        ``bench.py --set`` accept (e.g. ``"int8_trunk=1,pallas_res2=0"``).
+        A bare switch name without ``=`` means enable (``"int8_trunk"`` ==
+        ``"int8_trunk=1"``) — silently treating it as disable would invert
+        the user's intent."""
         overrides: Dict[str, bool] = {}
         known = {f.name for f in dataclasses.fields(Precision)}
         for item in spec.split(","):
             if not item.strip():
                 continue
-            key, _, value = item.partition("=")
+            key, sep, value = item.partition("=")
             key = key.strip()
             if key not in known:
                 raise ValueError(
                     f"unknown precision switch {key!r}; known: {sorted(known)}"
                 )
-            overrides[key] = value.strip() not in ("0", "false", "False", "")
+            overrides[key] = (
+                value.strip() not in ("0", "false", "False", "") if sep else True
+            )
         return dataclasses.replace(Precision(), **overrides)
 
     @staticmethod

@@ -117,10 +117,17 @@ class StreamingServer:
 
     async def _tick(self):
         """Advance every stream that has a full step block queued."""
-        while self._pending_resets:
-            i = self._pending_resets.pop()
-            if self.slots[i] is not None:
-                self.session.reset_slot(i, uri=f"client{i}")
+        if self._pending_resets:
+            idxs = [
+                i for i in self._pending_resets if self.slots[i] is not None
+            ]
+            self._pending_resets.clear()
+            if idxs:
+                # one compiled call for the whole churn batch (a per-index
+                # reset serialized client admission on the device)
+                self.session.reset_slots(
+                    idxs, uris=[f"client{i}" for i in idxs]
+                )
         b = self.engine.batch_size
         n = self.engine.step_samples
         blocks = np.zeros((b, n), np.float32)

@@ -97,7 +97,14 @@ def test_fbank_ring_engages(monkeypatch):
     assert st["window"].ndim in (2, 3)
 
 
-def test_fbank_ring_default_off():
+def test_fbank_ring_default_on():
+    """Default ON since round 4 (on-chip A/B won on every mel family)."""
+    engine = _engine(_seg(), _ecapa())
+    assert engine._fring is not None
+
+
+def test_fbank_ring_env_opt_out(monkeypatch):
+    monkeypatch.setenv("DIART_TPU_FBANK_RING", "0")
     engine = _engine(_seg(), _ecapa())
     assert engine._fring is None
 
@@ -157,6 +164,7 @@ def test_fbank_ring_matches_direct(monkeypatch, family, kwargs):
     stream's ring/head/tail freeze wholesale via masked select)."""
     seg = _seg()
     emb = EmbeddingModel.from_registry(family, init_samples=CHUNK, **kwargs)
+    monkeypatch.setenv("DIART_TPU_FBANK_RING", "0")
     direct = _engine(seg, emb)
     assert direct._fring is None
     monkeypatch.setenv("DIART_TPU_FBANK_RING", "1")
@@ -192,6 +200,7 @@ def test_fbank_ring_long_pause(monkeypatch):
         np.array([True, True, True]),
     ]
     seg, emb = _seg(), _ecapa()
+    monkeypatch.setenv("DIART_TPU_FBANK_RING", "0")
     direct = _engine(seg, emb)
     monkeypatch.setenv("DIART_TPU_FBANK_RING", "1")
     ringed = _engine(seg, emb)
@@ -206,6 +215,7 @@ def test_fbank_ring_reset_stream(monkeypatch):
     """A mid-run slot reset re-warms that stream from the zero-signal fill,
     identically to the direct path's zero-filled window."""
     seg, emb = _seg(), _ecapa()
+    monkeypatch.setenv("DIART_TPU_FBANK_RING", "0")
     direct = _engine(seg, emb)
     monkeypatch.setenv("DIART_TPU_FBANK_RING", "1")
     ringed = _engine(seg, emb)

@@ -78,14 +78,29 @@ def test_phased_off_via_env(monkeypatch):
     assert engine.init_state().audio.shape == (2, CHUNK)
 
 
-def test_phased_off_for_mel_frontends():
-    """Mel-fbank families pad/frame on their own grid — no phase layout."""
+def test_phased_off_for_mel_frontends(monkeypatch):
+    """Mel-fbank families pad/frame on their own grid — no phase layout
+    when the embedding consumes the waveform window (fbank_ring off)."""
+    monkeypatch.setenv("DIART_TPU_FBANK_RING", "0")
     seg, _ = _models()
     emb = EmbeddingModel.from_registry(
         "tpu/ecapa", embedding_dim=32, channels=32, init_samples=CHUNK
     )
     engine = _engine(seg, emb)
     assert engine._phase == 0
+
+
+def test_phased_on_for_mel_frontends_with_fbank_ring():
+    """Default config: the mel embedding runs off the incremental frame
+    ring and never sees the waveform window, so only the SincNet
+    segmentation constrains the window layout — phase-major engages."""
+    seg, _ = _models()
+    emb = EmbeddingModel.from_registry(
+        "tpu/ecapa", embedding_dim=32, channels=32, init_samples=CHUNK
+    )
+    engine = _engine(seg, emb)
+    assert engine._fring is not None
+    assert engine._phase == 10
 
 
 def test_phased_matches_flat(monkeypatch):
