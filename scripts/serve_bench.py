@@ -1,0 +1,334 @@
+"""End-to-end serving measurement: N websocket clients against one chip.
+
+The engine-loop headline (bench.py) measures the chip; this measures the
+SERVED path the README claims as the upgrade over the reference's
+one-client-per-process websocket server
+(``/root/reference/src/diart/sources.py:204-271``,
+``console/serve.py:14-131``): real websocket clients streaming synthetic
+16 kHz audio at real-time pace into :class:`diart_tpu.runtime.server.
+StreamingServer`, which multiplexes them into the stream-batch of one
+fused engine.
+
+Per phase (client ramp, default 64/128/256) it reports:
+
+* ``replies_got / replies_expected`` — every post-warm-up hop of every
+  client must come back as an RTTM message (sustained real time);
+* wire->RTTM latency p50/p99 — client-side clock from sending the block
+  that completes a hop to receiving that hop's RTTM line (includes the
+  server's <=5 ms tick poll, the device step, and host post-processing);
+* server-side step wall p50/p99 over the phase (session.push wrap).
+
+The churn phase starts clients, disconnects a third mid-run, and admits
+replacements — exercising slot release/claim + the batched
+``reset_streams`` under load; step-time stability across the churn is
+reported. Everything runs in ONE process/event loop (the engine step runs
+in an executor thread and releases the GIL while blocked on the device).
+
+Run on the real TPU: ``python scripts/serve_bench.py``; ``--quick`` is a
+CPU/CI smoke (tiny models, few clients — numbers not publication-grade).
+Prints one JSON line per phase.
+"""
+
+import argparse
+import asyncio
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SR = 16000
+
+
+def _build_server(args):
+    import jax
+
+    from diart_tpu.models import EmbeddingModel, SegmentationModel
+    from diart_tpu.parallel import MultiStreamEngine
+    from diart_tpu.runtime.server import StreamingServer
+
+    if jax.default_backend() != "cpu":
+        cache_dir = Path(__file__).resolve().parent.parent / ".jax_cache"
+        cache_dir.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    if args.quick:
+        seg = SegmentationModel.from_registry(
+            "tpu/pyannet", lstm_hidden=16, lstm_layers=1, linear_dims=(16,),
+            init_samples=int(args.duration * SR),
+        )
+        emb = EmbeddingModel.from_registry(
+            "tpu/xvector", embedding_dim=32, init_samples=int(args.duration * SR)
+        )
+    else:
+        from bench import _distinct_filterbanks
+
+        seg = SegmentationModel.from_registry("tpu/pyannet", dtype="f32")
+        emb = EmbeddingModel.from_registry("tpu/xvector", dtype="bf16")
+        _distinct_filterbanks(emb)
+    # Low activity threshold (engine AND binarizer): random-init registry
+    # weights produce mid-range sigmoid scores that the production tau=0.6
+    # gates to zero — the bench needs an RTTM line per chunk so every
+    # hop's reply is measurable. Identical compiled program (tau is a
+    # dynamic input of the step).
+    engine = MultiStreamEngine(
+        segmentation=seg,
+        embedding=emb,
+        duration=args.duration,
+        step=args.step,
+        latency=args.step,
+        sample_rate=SR,
+        max_speakers=4 if args.quick else 20,
+        batch_size=args.batch,
+        tau_active=0.05,
+    )
+    server = StreamingServer(
+        engine, tau_active=0.05, host="127.0.0.1", port=args.port,
+        realtime=False,
+    )
+    return engine, server
+
+
+def _precompile(engine, server):
+    """Compile the step + churn-reset executables before clients connect,
+    so phase 1 measures serving, not the compile service."""
+    sess = server.session
+    rng = np.random.default_rng(0)
+    warm = int(round(engine.duration / engine.step_duration))
+    blocks = rng.normal(
+        scale=0.1, size=(engine.batch_size, engine.step_samples)
+    ).astype(np.float32)
+    for _ in range(warm + 1):
+        sess.push(blocks)
+    # partial-present executable is the same program (masks are dynamic)
+    sess.reset_slots(list(range(engine.batch_size)))
+
+
+def _client_audio(idx, hops, step_samples):
+    rng = np.random.default_rng(1000 + idx)
+    t = np.arange(hops * step_samples) / SR
+    tone = np.sin(2 * np.pi * (120 + 13 * (idx % 40)) * t)
+    w = 0.25 * tone + 0.05 * rng.standard_normal(t.shape)
+    return w.astype(np.float32).reshape(hops, step_samples)
+
+
+async def _client(idx, port, hops, step_dur, step_samples, out, start_evt):
+    import websockets
+
+    from diart_tpu.utils import encode_audio
+
+    audio = _client_audio(idx, hops, step_samples)
+    send_times, recv_times = [], []
+    try:
+        async with websockets.connect(
+            f"ws://127.0.0.1:{port}", max_size=None
+        ) as ws:
+            async def reader():
+                try:
+                    while True:
+                        await ws.recv()
+                        recv_times.append(time.perf_counter())
+                except Exception:
+                    pass
+
+            rt = asyncio.create_task(reader())
+            await start_evt.wait()
+            start = time.perf_counter()
+            for k in range(hops):
+                target = start + k * step_dur
+                delay = target - time.perf_counter()
+                if delay > 0:
+                    await asyncio.sleep(delay)
+                send_times.append(time.perf_counter())
+                await ws.send(encode_audio(audio[k]))
+            # drain the last replies before closing the slot
+            await asyncio.sleep(max(1.0, 4 * step_dur))
+            rt.cancel()
+    except Exception as e:
+        out.append({"idx": idx, "error": repr(e)})
+        return
+    out.append({"idx": idx, "send": send_times, "recv": recv_times})
+
+
+def _phase_stats(results, warmup, hops):
+    lat, errors, got, expected = [], 0, 0, 0
+    for r in results:
+        if "error" in r:
+            errors += 1
+            continue
+        send, recv = r["send"], r["recv"]
+        expected += max(0, len(send) - warmup + 1)
+        got += len(recv)
+        for j, tr in enumerate(recv):
+            k = warmup - 1 + j  # reply j <- the block that completed hop k
+            if k < len(send):
+                lat.append(tr - send[k])
+    lat = np.asarray(lat)
+    return {
+        "clients_errored": errors,
+        "replies_expected": expected,
+        "replies_got": got,
+        "wire_rttm_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 1)
+        if lat.size else None,
+        "wire_rttm_p99_ms": round(float(np.percentile(lat, 99)) * 1000, 1)
+        if lat.size else None,
+        "wire_rttm_max_ms": round(float(lat.max()) * 1000, 1)
+        if lat.size else None,
+    }
+
+
+def _step_stats(step_log, t0, t1):
+    durs = [d for (t, d, n) in step_log if t0 <= t <= t1]
+    ns = [n for (t, d, n) in step_log if t0 <= t <= t1]
+    if not durs:
+        return {}
+    return {
+        "steps": len(durs),
+        "step_p50_ms": round(float(np.percentile(durs, 50)) * 1000, 2),
+        "step_p99_ms": round(float(np.percentile(durs, 99)) * 1000, 2),
+        "present_max": int(max(ns)),
+    }
+
+
+async def _run(args):
+    engine, server = _build_server(args)
+    warmup = int(round(engine.duration / engine.step_duration))
+
+    step_log = []
+    orig_push = server.session.push
+
+    def timed_push(blocks, present=None):
+        t0 = time.perf_counter()
+        out = orig_push(blocks, present)
+        step_log.append(
+            (t0, time.perf_counter() - t0,
+             int(np.sum(present)) if present is not None else blocks.shape[0])
+        )
+        return out
+
+    server.session.push = timed_push
+
+    print("# compiling (pre-client warm-up)...", file=sys.stderr, flush=True)
+    _precompile(engine, server)
+    server_task = asyncio.create_task(server.serve())
+    await asyncio.sleep(0.5)
+
+    async def run_phase(n_clients, hops, tag):
+        results = []
+        start_evt = asyncio.Event()
+        tasks = [
+            asyncio.create_task(
+                _client(i, args.port, hops, engine.step_duration,
+                        engine.step_samples, results, start_evt)
+            )
+            for i in range(n_clients)
+        ]
+        await asyncio.sleep(0.2 + n_clients / 500.0)  # let slots claim
+        t0 = time.perf_counter()
+        start_evt.set()
+        await asyncio.gather(*tasks)
+        t1 = time.perf_counter()
+        stats = {
+            "phase": tag,
+            "clients": n_clients,
+            "hops": hops,
+            **_phase_stats(results, warmup, hops),
+            **_step_stats(step_log, t0, t1),
+        }
+        print(json.dumps(stats), flush=True)
+        await asyncio.sleep(1.0)  # slots release
+        return stats
+
+    for n in args.ramp:
+        await run_phase(n, args.hops, f"ramp{n}")
+
+    # ---- churn phase: disconnect a third mid-run, admit replacements --- #
+    n = args.churn_clients
+    kill = n // 3
+    results = []
+    start_evt = asyncio.Event()
+    long_tasks = [
+        asyncio.create_task(
+            _client(i, args.port, args.hops, engine.step_duration,
+                    engine.step_samples, results, start_evt)
+        )
+        for i in range(n - kill)
+    ]
+    short_tasks = [
+        asyncio.create_task(
+            _client(1000 + i, args.port, args.hops // 2,
+                    engine.step_duration, engine.step_samples, results,
+                    start_evt)
+        )
+        for i in range(kill)
+    ]
+    await asyncio.sleep(0.2 + n / 500.0)
+    t0 = time.perf_counter()
+    start_evt.set()
+    await asyncio.gather(*short_tasks)  # these finish + release slots
+    t_mid = time.perf_counter()
+    # replacements claim the freed slots mid-run
+    evt2 = asyncio.Event()
+    repl_tasks = [
+        asyncio.create_task(
+            _client(2000 + i, args.port, args.hops // 2,
+                    engine.step_duration, engine.step_samples, results, evt2)
+        )
+        for i in range(kill)
+    ]
+    await asyncio.sleep(0.2)
+    evt2.set()
+    await asyncio.gather(*long_tasks, *repl_tasks)
+    t1 = time.perf_counter()
+    stats = {
+        "phase": "churn",
+        "clients": n,
+        "churned": kill,
+        **_phase_stats(results, warmup, args.hops),
+        "pre_churn": _step_stats(step_log, t0, t_mid),
+        "post_churn": _step_stats(step_log, t_mid, t1),
+    }
+    print(json.dumps(stats), flush=True)
+
+    server.close()
+    await asyncio.sleep(0.2)
+    server_task.cancel()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--port", type=int, default=7801)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--ramp", default="64,128,256",
+                   help="comma-separated client counts")
+    p.add_argument("--hops", type=int, default=40,
+                   help="0.5 s blocks per client per phase")
+    p.add_argument("--churn-clients", type=int, default=128)
+    p.add_argument("--duration", type=float, default=5.0)
+    p.add_argument("--step", type=float, default=0.5)
+    p.add_argument("--quick", action="store_true",
+                   help="tiny models / CPU smoke")
+    args = p.parse_args()
+    args.ramp = [int(x) for x in args.ramp.split(",") if x]
+    if args.quick:
+        # CPU smoke: select the CPU backend before first backend use (the
+        # env pins the remote platform; see .claude/skills/verify)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        args.batch = min(args.batch, 8)
+        args.ramp = [min(r, args.batch) for r in args.ramp[:1]]
+        args.hops = min(args.hops, 14)
+        args.churn_clients = min(args.churn_clients, args.batch)
+        args.duration, args.step = 1.0, 0.25
+    if max(args.ramp + [args.churn_clients]) > args.batch:
+        sys.exit("ramp/churn client counts must fit --batch")
+    asyncio.run(_run(args))
+
+
+if __name__ == "__main__":
+    main()
