@@ -109,6 +109,25 @@ def test_fbank_ring_env_opt_out(monkeypatch):
     assert engine._fring is None
 
 
+def test_fbank_ring_spec_rejects_multi_block_edges():
+    """Geometries whose edge context spans more than one step block have
+    no single-block head/tail decomposition — the spec must return None
+    (direct-path fallback) instead of crashing at trace time (ADVICE r3:
+    step=320 with win=400 passes the win-hop guard but needs
+    tail_len=400>320 for the padded kinds)."""
+    from diart_tpu.models.fbank import fbank_ring_spec
+
+    for kind in ("speechbrain", "nemo"):
+        assert fbank_ring_spec(kind, 80, 16000, 3200, 320) is None
+    # kaldi (unpadded, tail_conv=320) still fits a single block there
+    spec = fbank_ring_spec("kaldi", 80, 16000, 3200, 320)
+    assert spec is not None and spec.tail_len <= 320
+    # and the production geometry qualifies for every kind
+    for kind in ("kaldi", "speechbrain", "nemo"):
+        s = fbank_ring_spec(kind, 80, 16000, 80000, 8000)
+        assert s is not None and max(s.head_len, s.tail_len) <= 8000
+
+
 def test_fbank_ring_sinc_embedding_disengages(monkeypatch):
     """A SincNet embedding has no mel frontend to cache — the path stays
     off (the sinc conv-output ring was measured slower than the direct

@@ -148,6 +148,14 @@ class TestParseAndCLI:
         with pytest.raises(ValueError, match="unknown precision switch"):
             Precision.parse("warp_speed=1")
 
+    def test_parse_bare_name_enables(self):
+        """'--precision int8_trunk' means enable — silently reading a bare
+        name as False would invert the user's intent (ADVICE r3)."""
+        p = Precision.parse("int8_trunk,pallas_res2=0")
+        assert p.int8_trunk is True and p.pallas_res2 is False
+        # an explicit empty value still disables
+        assert Precision.parse("int8_trunk=").int8_trunk is False
+
     def test_cli_precision_arg_sets_process_default(self):
         import argparse
 
