@@ -130,17 +130,24 @@ class StreamingServer:
                 )
         b = self.engine.batch_size
         n = self.engine.step_samples
+        # find ready slots BEFORE allocating the batch: the ticker polls
+        # every 5 ms, and allocating a (B, step) zero array per idle poll
+        # is ~GB/s of pure host allocation churn at batch 256
+        ready = [
+            (i, slot)
+            for i, slot in self.slots.items()
+            if slot is not None and slot.buffer.shape[0] >= n
+        ]
+        if not ready:
+            return
         blocks = np.zeros((b, n), np.float32)
         present = np.zeros((b,), bool)
         clients = {}
-        for i, slot in self.slots.items():
-            if slot is not None and slot.buffer.shape[0] >= n:
-                blocks[i] = slot.buffer[:n]
-                slot.buffer = slot.buffer[n:]
-                present[i] = True
-                clients[i] = slot
-        if not present.any():
-            return
+        for i, slot in ready:
+            blocks[i] = slot.buffer[:n]
+            slot.buffer = slot.buffer[n:]
+            present[i] = True
+            clients[i] = slot
         # The jitted step blocks on the device (contended steps of 100s of ms
         # have been observed on shared TPUs); run it in a worker thread so
         # websocket reads and heartbeats keep flowing during the step.
