@@ -192,8 +192,26 @@ class MultiStreamSession:
             return [None] * b
 
         aggregated = np.asarray(out.aggregated)
-        newest = np.asarray(out.newest)
         chunk_index = np.asarray(out.chunk_index)
+        # ``newest`` (B, frames, M) is ~6x ``aggregated``'s bytes at the
+        # default geometry and is only consumed by the first-chunk prepend
+        # (c == 0, aggregation.py:188-212 semantics): fetch just those
+        # streams' rows (device-side gather) instead of shipping the full
+        # tensor to the host every hop — in steady state nothing is
+        # fetched. Measured against the serving loop: the full-tensor
+        # fetch dominated the per-hop device<->host traffic.
+        first_rows = np.flatnonzero(run_mask & (chunk_index == 0))
+        newest_rows = {}
+        if first_rows.size:
+            # pad the index vector to the next power of two so the gather
+            # executable is reused across hops (at most log2(B)+1 variants
+            # ever compile) instead of one compile per distinct row count
+            width = min(b, 1 << (int(first_rows.size) - 1).bit_length())
+            idx = np.pad(
+                first_rows, (0, width - first_rows.size), mode="edge"
+            )
+            gathered = np.asarray(out.newest[idx])
+            newest_rows = {int(r): gathered[k] for k, r in enumerate(first_rows)}
         self.chronometer.stop()
 
         geometry = self.engine.geometry
@@ -207,7 +225,7 @@ class MultiStreamSession:
             shift = self.shifts[i]
             if c == 0:
                 # first-chunk prepend: cover [0, duration - latency + step]
-                first = newest[i][geometry.first_indices].copy()
+                first = newest_rows[i][geometry.first_indices].copy()
                 first[-geometry.num_out :] = aggregated[i]
                 res = geometry.first_resolution
                 window = SlidingWindow(start=shift, duration=res, step=res)

@@ -88,7 +88,7 @@ def _build_server(args):
     )
     server = StreamingServer(
         engine, tau_active=0.05, host="127.0.0.1", port=args.port,
-        realtime=False,
+        realtime=False, quantize_transfer=args.int16,
     )
     return engine, server
 
@@ -310,6 +310,9 @@ def main():
     p.add_argument("--churn-clients", type=int, default=128)
     p.add_argument("--duration", type=float, default=5.0)
     p.add_argument("--step", type=float, default=0.5)
+    p.add_argument("--int16", action="store_true",
+                   help="ship int16 PCM blocks to the device (server-side "
+                   "quantize_transfer: half the host->device bytes per hop)")
     p.add_argument("--quick", action="store_true",
                    help="tiny models / CPU smoke")
     args = p.parse_args()
