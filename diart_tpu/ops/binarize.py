@@ -47,20 +47,22 @@ def binarize(
     # (blocks/utils.py:46-47).
     middles = sw.start + np.arange(num_frames + 1) * sw.step + 0.5 * sw.duration
 
-    is_active = data > threshold
-    padded = np.concatenate([is_active, np.zeros((1, num_speakers), dtype=bool)])
+    # One 2D transition pass for ALL speakers: pad an inactive frame on both
+    # sides, then +1/-1 edges of the diff are turn onsets/offsets. An active
+    # first frame starts at middles[0] (blocks/utils.py:48). Transposing
+    # before nonzero yields speaker-major order, so onsets and offsets pair
+    # elementwise (counts match per speaker: every run inside the padding
+    # opens and closes). This is called once per stream per hop on hot
+    # serving paths — per-column numpy calls dominated at 256 streams.
+    ext = np.zeros((num_frames + 2, num_speakers), np.int8)
+    ext[1:-1] = data > threshold
+    d = np.diff(ext.T, axis=1)
+    on_spk, on_idx = np.nonzero(d == 1)
+    _, off_idx = np.nonzero(d == -1)
+
     annotation = Annotation(uri=uri, modality="speech")
-    track = 0
-    for spk in range(num_speakers):
-        col = padded[:, spk]
-        # onsets: False -> True transition at index t+1 starts a turn there;
-        # an active first frame starts at middles[0] (blocks/utils.py:48).
-        diff = np.diff(col.astype(np.int8))
-        onset_idx = np.where(diff == 1)[0] + 1
-        offset_idx = np.where(diff == -1)[0] + 1
-        if col[0]:
-            onset_idx = np.concatenate([[0], onset_idx])
-        for s, e in zip(onset_idx, offset_idx):
-            annotation[Segment(middles[s], middles[e]), track] = f"speaker{spk}"
-            track += 1
+    labels = [f"speaker{spk}" for spk in range(num_speakers)]
+    for track in range(on_spk.size):
+        seg = Segment(middles[on_idx[track]], middles[off_idx[track]])
+        annotation[seg, track] = labels[on_spk[track]]
     return annotation

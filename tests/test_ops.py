@@ -244,6 +244,41 @@ class TestBinarize:
         ann = binarize(SlidingWindowFeature(scores, sw), 0.5)
         assert len(ann) == 0  # strictly greater-than
 
+    def test_random_vs_naive_scan(self):
+        """The single-pass 2D formulation must match a frame-by-frame scan
+        of the reference algorithm (blocks/utils.py:38-52) on random
+        activity patterns, incl. first/last-frame-active edges."""
+        rng = np.random.default_rng(7)
+        res = 0.1
+        sw = SlidingWindow(start=0.3, duration=res, step=res)
+        for trial in range(50):
+            frames = int(rng.integers(1, 12))
+            speakers = int(rng.integers(1, 6))
+            scores = rng.uniform(0, 1, (frames, speakers))
+            if trial % 3 == 0:  # force long runs + saturated columns
+                scores[:, 0] = 1.0
+                scores[:, -1] = 0.0
+            ann = binarize(SlidingWindowFeature(scores, sw), 0.5, uri="u")
+            got = sorted(
+                (label, round(seg.start, 6), round(seg.end, 6))
+                for seg, _, label in ann.itertracks(yield_label=True)
+            )
+            middles = sw.start + np.arange(frames + 1) * res + 0.5 * res
+            want = []
+            for spk in range(speakers):
+                on = None
+                for t in range(frames + 1):
+                    active = t < frames and scores[t, spk] > 0.5
+                    if active and on is None:
+                        on = t
+                    elif not active and on is not None:
+                        want.append(
+                            (f"speaker{spk}", round(middles[on], 6),
+                             round(middles[t], 6))
+                        )
+                        on = None
+            assert got == sorted(want)
+
 
 class TestResample:
     def test_tone_preserved(self):
