@@ -431,6 +431,56 @@ class TestInt16Ingestion:
 
         np.testing.assert_allclose(run(as_float), run(pcm), atol=1e-5)
 
+    def test_session_quantize_transfer_matches_float_session(self):
+        """The serving wiring (`MultiStreamSession(quantize_transfer=True)`,
+        what `diart-tpu-serve --int16-transfer` enables): the session
+        quantizes float blocks to int16 on the host and the device
+        dequantizes — emitted annotations must match the float session's on
+        quantization-exact audio."""
+        from diart_tpu.models import EmbeddingModel, SegmentationModel
+        from diart_tpu.parallel import MultiStreamEngine
+        from diart_tpu.parallel.session import MultiStreamSession
+
+        def build():
+            return MultiStreamEngine(
+                segmentation=SegmentationModel.from_registry(
+                    "tpu/pyannet", num_speakers=3, lstm_hidden=8,
+                    lstm_layers=1, linear_dims=(8,), init_samples=8000,
+                ),
+                embedding=EmbeddingModel.from_registry(
+                    "tpu/xvector", embedding_dim=16, init_samples=8000
+                ),
+                duration=0.5, step=0.25, latency=0.25, sample_rate=16000,
+                max_speakers=4, batch_size=2, tau_active=0.05,
+            )
+
+        rng = np.random.default_rng(11)
+        pcm = rng.integers(-4000, 4000, size=(6, 2, 4000)).astype(np.int16)
+        blocks = pcm.astype(np.float32) / 32768.0
+
+        def run(quantize):
+            sess = MultiStreamSession(
+                build(), tau_active=0.05, collect_audio=False,
+                quantize_transfer=quantize,
+            )
+            turns = []
+            for blk in blocks:
+                for out in sess.push(blk):
+                    if out is not None:
+                        ann = out[0]
+                        turns.append(sorted(
+                            (label, round(seg.start, 4), round(seg.end, 4))
+                            for seg, _, label in ann.itertracks(
+                                yield_label=True
+                            )
+                        ))
+            return turns
+
+        float_turns = run(False)
+        int16_turns = run(True)
+        assert float_turns, "no outputs emitted"
+        assert float_turns == int16_turns
+
 
 class TestStackedFrontend:
     """Engine-level stacked sinc frontend (opt-in; measured slower than two
