@@ -107,7 +107,9 @@ def build(artifacts: Path) -> dict:
             "batch1_step": batch1,
             "reference_gpu": ref,
             "precision": stats.get("precision"),
-            "artifact": str(path.relative_to(REPO)),
+            "artifact": str(
+                path.relative_to(REPO) if path.is_relative_to(REPO) else path
+            ),
         }
     return rows
 
