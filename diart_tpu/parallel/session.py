@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import numpy as np
 
 from ..core.annotation import Annotation
@@ -101,6 +102,37 @@ class MultiStreamSession:
                 self.uris[index] = uris[k]
             if self.collect_audio:
                 self._audio[index] = 0.0
+
+    def warm(self) -> None:
+        """Compile every executable the serving loop can hit, before any
+        real client connects: the step (warm-up and steady state), every
+        pow2 first-chunk gather bucket, and the churn-batch reset.
+
+        A cold executable costs seconds through a compile service (the
+        serve_bench ramp phases each stalled 3+ s on the first-chunk
+        gather buckets as fresh client cohorts joined, backing the server
+        up past real time). Runs on a SCRATCH state — session state and
+        bookkeeping are untouched, so this is safe at any point in a
+        server's life, not just at start."""
+        eng = self.engine
+        b = self.batch_size
+        blocks = np.zeros((b, eng.step_samples), np.float32)
+        if self.quantize_transfer:
+            blocks = blocks.astype(np.int16)
+        state = eng.init_state()
+        present = np.ones(b, bool)
+        out = None
+        for k in range(self.warmup_blocks + 1):
+            run = present & (k + 1 >= self.warmup_blocks)
+            state, out = eng.step(state, blocks, present, run)
+        width = 1
+        while True:
+            w = min(width, b)
+            jax.device_get([out.aggregated, out.newest[np.zeros(w, int)]])
+            if w >= b:
+                break
+            width *= 2
+        eng.reset_streams(state, present)
 
     # ------------------------------------------------------------------ #
     # Checkpoint / resume (fault recovery for long-running streams — the
@@ -191,8 +223,15 @@ class MultiStreamSession:
             self.chronometer.stop(do_count=False)
             return [None] * b
 
-        aggregated = np.asarray(out.aggregated)
-        chunk_index = np.asarray(out.chunk_index)
+        # The chunk index of the chunk just emitted is host-derivable —
+        # every present push increments blocks_seen and the stream runs
+        # exactly when blocks_seen >= warmup, so
+        # ``chunk_index = blocks_seen - warmup_blocks`` (the engine's
+        # ``out.chunk_index`` computes the same value on device; pinned
+        # equal by tests/test_runtime.py). Deriving it here both saves a
+        # device->host round trip per hop AND lets the first-chunk gather
+        # below be dispatched BEFORE the blocking fetch.
+        chunk_index = self.blocks_seen - self.warmup_blocks
         # ``newest`` (B, frames, M) is ~6x ``aggregated``'s bytes at the
         # default geometry and is only consumed by the first-chunk prepend
         # (c == 0, aggregation.py:188-212 semantics): fetch just those
@@ -201,7 +240,7 @@ class MultiStreamSession:
         # fetched. Measured against the serving loop: the full-tensor
         # fetch dominated the per-hop device<->host traffic.
         first_rows = np.flatnonzero(run_mask & (chunk_index == 0))
-        newest_rows = {}
+        fetch = [out.aggregated]
         if first_rows.size:
             # pad the index vector to the next power of two so the gather
             # executable is reused across hops (at most log2(B)+1 variants
@@ -210,8 +249,19 @@ class MultiStreamSession:
             idx = np.pad(
                 first_rows, (0, width - first_rows.size), mode="edge"
             )
-            gathered = np.asarray(out.newest[idx])
-            newest_rows = {int(r): gathered[k] for k, r in enumerate(first_rows)}
+            fetch.append(out.newest[idx])
+        # ONE blocking sync for everything this hop needs: device_get on
+        # the list overlaps the transfers, where sequential np.asarray
+        # calls each paid a full host<->device round trip (~50 ms per
+        # fetch through the dev tunnel — the serve_bench ramp phases
+        # showed 2-3 sequential fetches dominating the served step wall).
+        fetch = jax.device_get(fetch)
+        aggregated = fetch[0]
+        newest_rows = {}
+        if first_rows.size:
+            newest_rows = {
+                int(r): fetch[1][k] for k, r in enumerate(first_rows)
+            }
         self.chronometer.stop()
 
         geometry = self.engine.geometry

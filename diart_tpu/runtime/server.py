@@ -175,13 +175,23 @@ class StreamingServer:
                 pass
 
     # ------------------------------------------------------------------ #
-    async def serve(self):
+    async def serve(self, warm: bool = True):
         import websockets
 
         self._loop = asyncio.get_running_loop()
         self._stop = asyncio.Event()
         async with websockets.serve(self._handler, self.host, self.port):
             logger.info("serving on %s:%d", self.host, self.port)
+            if warm:
+                # compile the step, every first-chunk gather bucket, and
+                # the churn reset BEFORE the first tick — a cold
+                # executable costs seconds through a compile service, and
+                # an admission storm of fresh clients would pay it
+                # mid-stream otherwise. Listening already: clients can
+                # connect during the warm; their audio buffers until the
+                # ticker starts.
+                logger.info("warming serving executables...")
+                await self._loop.run_in_executor(None, self.session.warm)
             await self._ticker()
 
     def run(self):

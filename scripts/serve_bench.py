@@ -94,18 +94,10 @@ def _build_server(args):
 
 
 def _precompile(engine, server):
-    """Compile the step + churn-reset executables before clients connect,
-    so phase 1 measures serving, not the compile service."""
-    sess = server.session
-    rng = np.random.default_rng(0)
-    warm = int(round(engine.duration / engine.step_duration))
-    blocks = rng.normal(
-        scale=0.1, size=(engine.batch_size, engine.step_samples)
-    ).astype(np.float32)
-    for _ in range(warm + 1):
-        sess.push(blocks)
-    # partial-present executable is the same program (masks are dynamic)
-    sess.reset_slots(list(range(engine.batch_size)))
+    """Compile every serving executable before clients connect, so phase 1
+    measures serving, not the compile service — the step, every pow2
+    first-chunk gather bucket, and the churn reset (session.warm)."""
+    server.session.warm()
 
 
 def _client_audio(idx, hops, step_samples):
@@ -146,7 +138,7 @@ async def _client(idx, port, hops, step_dur, step_samples, out, start_evt):
                 send_times.append(time.perf_counter())
                 await ws.send(encode_audio(audio[k]))
             # drain the last replies before closing the slot
-            await asyncio.sleep(max(1.0, 4 * step_dur))
+            await asyncio.sleep(max(2.0, 8 * step_dur))
             rt.cancel()
     except Exception as e:
         out.append({"idx": idx, "error": repr(e)})
@@ -214,7 +206,7 @@ async def _run(args):
 
     print("# compiling (pre-client warm-up)...", file=sys.stderr, flush=True)
     _precompile(engine, server)
-    server_task = asyncio.create_task(server.serve())
+    server_task = asyncio.create_task(server.serve(warm=False))
     await asyncio.sleep(0.5)
 
     async def run_phase(n_clients, hops, tag):

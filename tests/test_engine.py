@@ -539,3 +539,61 @@ class TestStackedFrontend:
         for (sn, sa), (pn, pa) in zip(stacked, plain):
             np.testing.assert_allclose(sn, pn, atol=1e-4)
             np.testing.assert_allclose(sa, pa, atol=1e-4)
+
+
+class TestHostChunkIndex:
+    """session.push derives chunk_index on the host (blocks_seen - warmup)
+    instead of fetching the device's out.chunk_index — one less round trip
+    per hop. These pin the two formulations equal through warm-up, partial
+    presence, and churn resets."""
+
+    def test_matches_device_through_churn(self):
+        engine = make_engine(3)
+        session = MultiStreamSession(engine, tau_active=PARAMS["tau_active"])
+        orig_step = engine.step
+        host_vs_device = []
+
+        def spy_step(state, blocks, present=None, run_mask=None):
+            state, out = orig_step(state, blocks, present, run_mask)
+            host = session.blocks_seen - session.warmup_blocks
+            # blocks_seen was already incremented by push before step
+            dev = np.asarray(out.chunk_index)
+            run = np.asarray(run_mask)
+            host_vs_device.append((host.copy(), dev, run))
+            return state, out
+
+        engine.step = spy_step
+        rng = np.random.default_rng(0)
+        step_s = engine.step_samples
+        for hop in range(16):
+            present = np.array([True, hop % 2 == 0, True])
+            blocks = (0.1 * rng.normal(size=(3, step_s))).astype(np.float32)
+            session.push(blocks, present=present)
+            if hop == 9:  # churn: recycle slot 2 mid-run
+                session.reset_slots([2], uris=["fresh"])
+        assert host_vs_device
+        for host, dev, run in host_vs_device:
+            np.testing.assert_array_equal(host[run], dev[run])
+
+    def test_warm_is_side_effect_free(self):
+        """session.warm() compiles on a scratch state: outputs of a session
+        that warmed first must equal a session that never warmed, and
+        bookkeeping must be untouched."""
+        audio = synth_audio(STREAM_TURNS[0], TOTAL, seed=5)
+        step_s = int(STEP * SAMPLE_RATE)
+
+        def run(warm):
+            engine = make_engine(1)
+            session = MultiStreamSession(engine, tau_active=PARAMS["tau_active"])
+            if warm:
+                session.warm()
+                assert session.blocks_seen.sum() == 0
+                assert session.chronometer.history == []
+            outs = []
+            for blk in range(int(TOTAL / STEP)):
+                out = session.push(audio[:, blk * step_s : (blk + 1) * step_s])
+                if out[0] is not None:
+                    outs.append(out[0][0].to_rttm())
+            return outs
+
+        assert run(True) == run(False)
