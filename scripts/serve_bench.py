@@ -108,11 +108,18 @@ def _client_audio(idx, hops, step_samples):
     return w.astype(np.float32).reshape(hops, step_samples)
 
 
+def _encode(waveform):
+    """The wire format (diart_tpu.utils.encode_audio) without importing
+    diart_tpu — client worker processes stay jax-free."""
+    import base64
+
+    return base64.b64encode(waveform.astype(np.float32).tobytes()).decode()
+
+
 async def _client(idx, port, hops, step_dur, step_samples, out, start_evt):
     import websockets
 
-    from diart_tpu.utils import encode_audio
-
+    encode_audio = _encode
     audio = _client_audio(idx, hops, step_samples)
     send_times, recv_times = [], []
     try:
@@ -144,6 +151,36 @@ async def _client(idx, port, hops, step_dur, step_samples, out, start_evt):
         out.append({"idx": idx, "error": repr(e)})
         return
     out.append({"idx": idx, "send": send_times, "recv": recv_times})
+
+
+def _drive_clients(spec, conn):
+    """Client-worker subprocess entry: drive ``spec['indices']`` websocket
+    clients in this process's own event loop, starting at the shared
+    wall-clock deadline ``spec['start_at']``, and pipe the raw per-client
+    send/recv timestamp lists back. One event loop cannot pace 256 clients
+    at real time (the single-process harness saturated before the server
+    did); workers split the cohort."""
+    import asyncio
+    import time
+
+    results = []
+
+    async def main():
+        evt = asyncio.Event()
+        tasks = [
+            asyncio.create_task(
+                _client(i, spec["port"], spec["hops"], spec["step_dur"],
+                        spec["step_samples"], results, evt)
+            )
+            for i in spec["indices"]
+        ]
+        await asyncio.sleep(max(0.0, spec["start_at"] - time.time()))
+        evt.set()
+        await asyncio.gather(*tasks)
+
+    asyncio.run(main())
+    conn.send(results)
+    conn.close()
 
 
 def _phase_stats(results, warmup, hops):
@@ -210,24 +247,60 @@ async def _run(args):
     await asyncio.sleep(0.5)
 
     async def run_phase(n_clients, hops, tag):
-        results = []
-        start_evt = asyncio.Event()
-        tasks = [
-            asyncio.create_task(
-                _client(i, args.port, hops, engine.step_duration,
-                        engine.step_samples, results, start_evt)
-            )
-            for i in range(n_clients)
-        ]
-        await asyncio.sleep(0.2 + n_clients / 500.0)  # let slots claim
-        t0 = time.perf_counter()
-        start_evt.set()
-        await asyncio.gather(*tasks)
-        t1 = time.perf_counter()
+        loop = asyncio.get_running_loop()
+        if args.client_procs > 1:
+            # split the cohort over worker processes: one event loop cannot
+            # encode+pace 256 real-time clients (harness saturation shows
+            # up as wire latency the server never caused)
+            import multiprocessing as mp
+
+            ctx = mp.get_context("spawn")
+            start_at = time.time() + 5.0 + n_clients / 100.0
+            procs, pipes = [], []
+            for part in np.array_split(np.arange(n_clients), args.client_procs):
+                if not part.size:
+                    continue
+                parent, child = ctx.Pipe()
+                spec = {
+                    "indices": [int(i) for i in part],
+                    "port": args.port,
+                    "hops": hops,
+                    "step_dur": engine.step_duration,
+                    "step_samples": engine.step_samples,
+                    "start_at": start_at,
+                }
+                p = ctx.Process(target=_drive_clients, args=(spec, child))
+                p.start()
+                procs.append(p)
+                pipes.append(parent)
+            await asyncio.sleep(max(0.0, start_at - time.time()))
+            t0 = time.perf_counter()
+            results = []
+            for parent in pipes:
+                results.extend(await loop.run_in_executor(None, parent.recv))
+            for p in procs:
+                p.join()
+            t1 = time.perf_counter()
+        else:
+            results = []
+            start_evt = asyncio.Event()
+            tasks = [
+                asyncio.create_task(
+                    _client(i, args.port, hops, engine.step_duration,
+                            engine.step_samples, results, start_evt)
+                )
+                for i in range(n_clients)
+            ]
+            await asyncio.sleep(0.2 + n_clients / 500.0)  # let slots claim
+            t0 = time.perf_counter()
+            start_evt.set()
+            await asyncio.gather(*tasks)
+            t1 = time.perf_counter()
         stats = {
             "phase": tag,
             "clients": n_clients,
             "hops": hops,
+            "client_procs": max(1, args.client_procs),
             **_phase_stats(results, warmup, hops),
             **_step_stats(step_log, t0, t1),
         }
@@ -302,6 +375,10 @@ def main():
     p.add_argument("--churn-clients", type=int, default=128)
     p.add_argument("--duration", type=float, default=5.0)
     p.add_argument("--step", type=float, default=0.5)
+    p.add_argument("--client-procs", type=int, default=None,
+                   help="split the client cohort over N worker processes "
+                   "(1 = drive all clients in the server's event loop; "
+                   "default 4, or 1 with --quick)")
     p.add_argument("--int16", action="store_true",
                    help="ship int16 PCM blocks to the device (server-side "
                    "quantize_transfer: half the host->device bytes per hop)")
@@ -320,6 +397,10 @@ def main():
         args.hops = min(args.hops, 14)
         args.churn_clients = min(args.churn_clients, args.batch)
         args.duration, args.step = 1.0, 0.25
+        if args.client_procs is None:
+            args.client_procs = 1
+    if args.client_procs is None:
+        args.client_procs = 4
     if max(args.ramp + [args.churn_clients]) > args.batch:
         sys.exit("ramp/churn client counts must fit --batch")
     asyncio.run(_run(args))
