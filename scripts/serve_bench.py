@@ -377,8 +377,11 @@ def main():
     p.add_argument("--step", type=float, default=0.5)
     p.add_argument("--client-procs", type=int, default=None,
                    help="split the client cohort over N worker processes "
-                   "(1 = drive all clients in the server's event loop; "
-                   "default 4, or 1 with --quick)")
+                   "(1 = drive all clients in the server's event loop). "
+                   "Default 1: on the 1-core dev host, worker processes "
+                   "only add context-switch thrash (measured: ramp256 got "
+                   "worse, docs/campaigns/r4/r4_serve3.txt); use >1 only "
+                   "on multi-core hosts")
     p.add_argument("--int16", action="store_true",
                    help="ship int16 PCM blocks to the device (server-side "
                    "quantize_transfer: half the host->device bytes per hop)")
@@ -397,10 +400,8 @@ def main():
         args.hops = min(args.hops, 14)
         args.churn_clients = min(args.churn_clients, args.batch)
         args.duration, args.step = 1.0, 0.25
-        if args.client_procs is None:
-            args.client_procs = 1
     if args.client_procs is None:
-        args.client_procs = 4
+        args.client_procs = 1
     if max(args.ramp + [args.churn_clients]) > args.batch:
         sys.exit("ramp/churn client counts must fit --batch")
     asyncio.run(_run(args))
