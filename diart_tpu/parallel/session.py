@@ -12,6 +12,8 @@ pairs the reference pipelines emit per chunk
 
 from __future__ import annotations
 
+import time
+from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -23,6 +25,21 @@ from ..ops.binarize import binarize
 from .engine import MultiStreamEngine, StreamState
 
 __all__ = ["MultiStreamSession"]
+
+
+@dataclass
+class _PendingHop:
+    """A dispatched-but-not-harvested hop (see ``push_begin``): the device
+    arrays to fetch plus host-side snapshots of everything the assembly
+    needs, so slot churn between dispatch and harvest can't corrupt it."""
+
+    fetch: list
+    run_mask: np.ndarray
+    chunk_index: np.ndarray
+    first_rows: np.ndarray
+    uris: List[str]
+    shifts: List[float]
+    t0: float = field(default_factory=time.monotonic)
 
 
 class MultiStreamSession:
@@ -193,6 +210,31 @@ class MultiStreamSession:
         Returns a list with one entry per stream: ``None`` while warming up
         or absent, else ``(annotation, audio_region)``.
         """
+        pending = self.push_begin(blocks, present)
+        if pending is None:
+            return [None] * self.batch_size
+        return self.push_finish(pending)
+
+    def push_begin(
+        self,
+        blocks: np.ndarray,
+        present: Optional[np.ndarray] = None,
+    ) -> Optional["_PendingHop"]:
+        """Dispatch one hop WITHOUT blocking on the device: advances the
+        session state, enqueues the step (and the first-chunk gather when
+        needed), and returns an opaque pending handle — or ``None`` when no
+        stream produced output this hop (warm-up).
+
+        ``push_finish(pending)`` blocks on the transfer and assembles the
+        per-stream outputs. Splitting the two lets a serving loop overlap
+        hop k's device->host fetch + RTTM assembly with hop k+1's dispatch
+        (SURVEY §7: async dispatch so emission doesn't block the next hop).
+        Rules: ``push_begin`` calls must stay serial (state threading), and
+        every pending must be finished in dispatch order. The handle
+        snapshots uris/shifts/chunk indices, so slot resets may proceed
+        while a hop is in flight — but ``collect_audio=True`` sessions must
+        use the synchronous :meth:`push` (resets zero audio rows in place).
+        """
         b = self.batch_size
         if present is None:
             present = np.ones(b, bool)
@@ -215,13 +257,12 @@ class MultiStreamSession:
                 np.asarray(blocks) * 32768.0, -32768, 32767
             ).astype(np.int16)
 
-        self.chronometer.start()
+        t0 = time.monotonic()
         self.state, out = self.engine.step(
             self.state, device_blocks, present, run_mask
         )
         if not run_mask.any():
-            self.chronometer.stop(do_count=False)
-            return [None] * b
+            return None
 
         # The chunk index of the chunk just emitted is host-derivable —
         # every present push increments blocks_seen and the stream runs
@@ -250,19 +291,37 @@ class MultiStreamSession:
                 first_rows, (0, width - first_rows.size), mode="edge"
             )
             fetch.append(out.newest[idx])
+        return _PendingHop(
+            fetch=fetch,
+            run_mask=run_mask,
+            chunk_index=chunk_index.copy(),
+            first_rows=first_rows,
+            uris=list(self.uris),
+            shifts=list(self.shifts),
+            t0=t0,
+        )
+
+    def push_finish(
+        self, pending: "_PendingHop"
+    ) -> List[Optional[Tuple[Annotation, Optional[SlidingWindowFeature]]]]:
+        """Block on a pending hop's transfers and assemble its outputs."""
+        b = self.batch_size
+        run_mask = pending.run_mask
+        chunk_index = pending.chunk_index
+        first_rows = pending.first_rows
         # ONE blocking sync for everything this hop needs: device_get on
         # the list overlaps the transfers, where sequential np.asarray
         # calls each paid a full host<->device round trip (~50 ms per
         # fetch through the dev tunnel — the serve_bench ramp phases
         # showed 2-3 sequential fetches dominating the served step wall).
-        fetch = jax.device_get(fetch)
+        fetch = jax.device_get(pending.fetch)
         aggregated = fetch[0]
         newest_rows = {}
         if first_rows.size:
             newest_rows = {
                 int(r): fetch[1][k] for k, r in enumerate(first_rows)
             }
-        self.chronometer.stop()
+        self.chronometer.history.append(time.monotonic() - pending.t0)
 
         geometry = self.engine.geometry
         eng = self.engine
@@ -272,7 +331,7 @@ class MultiStreamSession:
                 outputs.append(None)
                 continue
             c = int(chunk_index[i])
-            shift = self.shifts[i]
+            shift = pending.shifts[i]
             if c == 0:
                 # first-chunk prepend: cover [0, duration - latency + step]
                 first = newest_rows[i][geometry.first_indices].copy()
@@ -289,7 +348,7 @@ class MultiStreamSession:
                 region_start = start - c * eng.step_duration  # offset in window
                 region_len = eng.step_duration
 
-            annotation = binarize(scores, self.tau_active, uri=self.uris[i])
+            annotation = binarize(scores, self.tau_active, uri=pending.uris[i])
 
             audio = None
             if self.collect_audio:

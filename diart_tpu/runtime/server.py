@@ -85,6 +85,13 @@ class StreamingServer:
         self._pending_resets: set = set()
         self._stop = None
         self._loop = None
+        # pipelined serving (see _tick): single-thread pools keep
+        # push_begin calls serial and push_finish in dispatch order
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._dispatch_pool = ThreadPoolExecutor(1, "diart-dispatch")
+        self._harvest_pool = ThreadPoolExecutor(1, "diart-harvest")
+        self._outbox: Optional[asyncio.Queue] = None
 
     # ------------------------------------------------------------------ #
     def _claim_slot(self, websocket) -> Optional[_ClientSlot]:
@@ -148,22 +155,45 @@ class StreamingServer:
             slot.buffer = slot.buffer[n:]
             present[i] = True
             clients[i] = slot
-        # The jitted step blocks on the device (contended steps of 100s of ms
-        # have been observed on shared TPUs); run it in a worker thread so
-        # websocket reads and heartbeats keep flowing during the step.
-        outputs = await asyncio.get_running_loop().run_in_executor(
-            None, self.session.push, blocks, present
+        # Pipelined serving (SURVEY §7: async dispatch so RTTM emission
+        # never blocks the next hop): the tick only DISPATCHES the hop
+        # (push_begin, serialized on its own one-thread pool — state
+        # threading must stay in order); the blocking device->host fetch +
+        # RTTM assembly (push_finish) runs on a second one-thread pool and
+        # the replies are sent by the _deliverer task. Hop k's fetch and
+        # emission overlap hop k+1's dispatch; both pools being single
+        # threads keeps begins serial and finishes in dispatch order (so
+        # per-client reply order is preserved). The bounded queue
+        # backpressures the ticker if harvests ever fall behind.
+        loop = asyncio.get_running_loop()
+        pending = await loop.run_in_executor(
+            self._dispatch_pool, self.session.push_begin, blocks, present
         )
-        for i, out in enumerate(outputs):
-            if out is None or i not in clients:
+        if pending is None:
+            return
+        fut = loop.run_in_executor(
+            self._harvest_pool, self.session.push_finish, pending
+        )
+        await self._outbox.put((fut, clients))
+
+    async def _deliverer(self):
+        """Consume harvested hops in order and send each client its RTTM."""
+        while True:
+            fut, clients = await self._outbox.get()
+            try:
+                outputs = await fut
+            except Exception:
+                logger.exception("hop harvest failed")
                 continue
-            annotation = out[0]
-            rttm = annotation.to_rttm()
-            if rttm:
-                try:
-                    await clients[i].websocket.send(rttm)
-                except Exception:
-                    pass
+            for i, out in enumerate(outputs):
+                if out is None or i not in clients:
+                    continue
+                rttm = out[0].to_rttm()
+                if rttm:
+                    try:
+                        await clients[i].websocket.send(rttm)
+                    except Exception:
+                        pass
 
     async def _ticker(self):
         interval = self.engine.step_duration if self.realtime else 0.005
@@ -173,6 +203,9 @@ class StreamingServer:
                 await asyncio.wait_for(self._stop.wait(), timeout=interval)
             except asyncio.TimeoutError:
                 pass
+        # drain in-flight hops so the last replies still go out
+        while not self._outbox.empty():
+            await asyncio.sleep(0.05)
 
     # ------------------------------------------------------------------ #
     async def serve(self, warm: bool = True):
@@ -180,6 +213,10 @@ class StreamingServer:
 
         self._loop = asyncio.get_running_loop()
         self._stop = asyncio.Event()
+        # bounded in-flight hops (each pins its device arrays until
+        # harvested); the put() in _tick backpressures past this depth
+        self._outbox = asyncio.Queue(maxsize=4)
+        deliverer = asyncio.create_task(self._deliverer())
         async with websockets.serve(self._handler, self.host, self.port):
             logger.info("serving on %s:%d", self.host, self.port)
             if warm:
@@ -192,7 +229,10 @@ class StreamingServer:
                 # ticker starts.
                 logger.info("warming serving executables...")
                 await self._loop.run_in_executor(None, self.session.warm)
-            await self._ticker()
+            try:
+                await self._ticker()
+            finally:
+                deliverer.cancel()
 
     def run(self):
         """Blocking entry point."""

@@ -210,16 +210,16 @@ def _phase_stats(results, warmup, hops):
     }
 
 
-def _step_stats(step_log, t0, t1):
+def _step_stats(step_log, t0, t1, prefix="step"):
     durs = [d for (t, d, n) in step_log if t0 <= t <= t1]
     ns = [n for (t, d, n) in step_log if t0 <= t <= t1]
     if not durs:
         return {}
     return {
-        "steps": len(durs),
-        "step_p50_ms": round(float(np.percentile(durs, 50)) * 1000, 2),
-        "step_p99_ms": round(float(np.percentile(durs, 99)) * 1000, 2),
-        "present_max": int(max(ns)),
+        f"{prefix}s": len(durs),
+        f"{prefix}_p50_ms": round(float(np.percentile(durs, 50)) * 1000, 2),
+        f"{prefix}_p99_ms": round(float(np.percentile(durs, 99)) * 1000, 2),
+        f"{prefix}_present_max": int(max(ns)),
     }
 
 
@@ -227,19 +227,32 @@ async def _run(args):
     engine, server = _build_server(args)
     warmup = int(round(engine.duration / engine.step_duration))
 
-    step_log = []
-    orig_push = server.session.push
+    # instrument BOTH halves of the pipelined serving path: dispatch
+    # (push_begin, what the ticker blocks on) and harvest (push_finish,
+    # overlapped with the next hop's dispatch)
+    begin_log, finish_log = [], []
+    orig_begin = server.session.push_begin
+    orig_finish = server.session.push_finish
 
-    def timed_push(blocks, present=None):
+    def timed_begin(blocks, present=None):
         t0 = time.perf_counter()
-        out = orig_push(blocks, present)
-        step_log.append(
+        pending = orig_begin(blocks, present)
+        begin_log.append(
             (t0, time.perf_counter() - t0,
              int(np.sum(present)) if present is not None else blocks.shape[0])
         )
+        return pending
+
+    def timed_finish(pending):
+        t0 = time.perf_counter()
+        out = orig_finish(pending)
+        finish_log.append(
+            (t0, time.perf_counter() - t0, int(np.sum(pending.run_mask)))
+        )
         return out
 
-    server.session.push = timed_push
+    server.session.push_begin = timed_begin
+    server.session.push_finish = timed_finish
 
     print("# compiling (pre-client warm-up)...", file=sys.stderr, flush=True)
     _precompile(engine, server)
@@ -302,7 +315,8 @@ async def _run(args):
             "hops": hops,
             "client_procs": max(1, args.client_procs),
             **_phase_stats(results, warmup, hops),
-            **_step_stats(step_log, t0, t1),
+            **_step_stats(begin_log, t0, t1, prefix="dispatch"),
+            **_step_stats(finish_log, t0, t1, prefix="harvest"),
         }
         print(json.dumps(stats), flush=True)
         await asyncio.sleep(1.0)  # slots release
@@ -354,8 +368,14 @@ async def _run(args):
         "clients": n,
         "churned": kill,
         **_phase_stats(results, warmup, args.hops),
-        "pre_churn": _step_stats(step_log, t0, t_mid),
-        "post_churn": _step_stats(step_log, t_mid, t1),
+        "pre_churn": {
+            **_step_stats(begin_log, t0, t_mid, prefix="dispatch"),
+            **_step_stats(finish_log, t0, t_mid, prefix="harvest"),
+        },
+        "post_churn": {
+            **_step_stats(begin_log, t_mid, t1, prefix="dispatch"),
+            **_step_stats(finish_log, t_mid, t1, prefix="harvest"),
+        },
     }
     print(json.dumps(stats), flush=True)
 
