@@ -45,6 +45,25 @@ def run():
         help="Ship int16 PCM blocks to the device (half the host->device "
         "bytes per hop; ~96 dB quantization floor, dequantized on device)",
     )
+    parser.add_argument(
+        "--pipelined",
+        action="store_true",
+        help="Overlap hop k's device fetch + RTTM assembly with hop k+1's "
+        "dispatch. Measured as an overload-throughput mode: more replies "
+        "under overload, but higher wire latency at or below capacity on "
+        "single-core hosts (PERF.md round-4 serving)",
+    )
+    parser.add_argument(
+        "--coalesce-ms",
+        default=0.0,
+        type=float,
+        help="Hold a partial client wave up to this many ms so one "
+        "synchronized wave dispatches as ONE hop (fewer full-batch "
+        "host->device transfers). Default 0: the hold was measured to "
+        "cost more wire latency than the transfer saving pays back "
+        "(PERF.md round-4 serving); raise only when host->device "
+        "transfer is the measured bottleneck",
+    )
     args = parser.parse_args()
     apply_precision_arg(args)
 
@@ -94,6 +113,8 @@ def run():
         host=args.host,
         port=args.port,
         quantize_transfer=args.int16_transfer,
+        pipelined=args.pipelined,
+        coalesce=args.coalesce_ms / 1000.0,
     )
     try:
         server.run()

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import time
 from typing import Dict, Optional
 
 import numpy as np
@@ -53,6 +54,34 @@ class StreamingServer:
         and batch-over-websocket workloads).
     quantize_transfer: ship int16 PCM blocks to the device (half the
         host->device bytes per hop; dequantized on device).
+    pipelined: overlap hop k's device->host fetch + RTTM assembly with hop
+        k+1's dispatch (see ``_tick``). Default OFF: the on-chip A/B
+        (``scripts/serve_bench.py --pipeline-ab``,
+        ``docs/campaigns/r4/r4_serve7_ab.txt``) measured the overlap as a
+        wire-latency LOSS at or below capacity on this single-core host
+        (128 clients: wire p50 312 ms sync vs 637 ms pipelined — dispatch
+        and harvest contend for the one core and the one device tunnel, so
+        overlap only queues) and a throughput win ONLY under overload
+        (256 clients past sustainable rate: 2.2x the replies delivered,
+        p50 17.0 s -> 13.6 s). Turn it on for overload-shedding
+        deployments or multi-core hosts where the two halves really can
+        run concurrently; togglable per tick so the A/B can flip it
+        back to back in one process on the time-shared dev chip.
+    coalesce: fast-poll wave coalescing (seconds). When > 0, a tick that
+        finds only SOME active slots ready holds the hop until every
+        active slot has a block queued, capped at this age — collapsing a
+        synchronized client wave into one dispatched hop instead of ~3
+        partial ones, each of which ships the full (B, step) host->device
+        transfer (the device batch is always B wide). Default 0 (dispatch
+        immediately): measured on the dev host, the hold taxes early
+        senders more than the ~3x transfer saving pays back — 128 clients
+        wire p50 312 ms at coalesce=0 vs 498 ms at a quarter-step hold,
+        even though dispatches/wave fell 134->61
+        (``docs/campaigns/r4/r4_serve8.txt`` vs ``r4_serve7_ab.txt``
+        ramp128_sync). Worth raising only when host->device transfer is
+        the measured bottleneck (e.g. many clients over a thin link) and
+        the latency budget has room. Overload (any client >= 2 blocks
+        queued) always dispatches immediately.
     """
 
     def __init__(
@@ -63,11 +92,15 @@ class StreamingServer:
         port: int = 7007,
         realtime: bool = False,
         quantize_transfer: bool = False,
+        pipelined: bool = False,
+        coalesce: float = 0.0,
     ):
         self.engine = engine
         self.host = host
         self.port = port
         self.realtime = realtime
+        self.pipelined = pipelined
+        self.coalesce = coalesce
         self.session = MultiStreamSession(
             engine,
             tau_active=tau_active,
@@ -92,6 +125,8 @@ class StreamingServer:
         self._dispatch_pool = ThreadPoolExecutor(1, "diart-dispatch")
         self._harvest_pool = ThreadPoolExecutor(1, "diart-harvest")
         self._outbox: Optional[asyncio.Queue] = None
+        self._in_flight = 0  # dispatched hops whose replies haven't gone out
+        self._wave_t0 = None  # first-ready time of the current wave, _tick
 
     # ------------------------------------------------------------------ #
     def _claim_slot(self, websocket) -> Optional[_ClientSlot]:
@@ -146,7 +181,28 @@ class StreamingServer:
             if slot is not None and slot.buffer.shape[0] >= n
         ]
         if not ready:
+            self._wave_t0 = None
             return
+        # Optional wave coalescing (fast-poll mode, opt-in via
+        # ``coalesce``; see the class docstring for the measured tradeoff):
+        # hold a partial wave until every active slot is ready, but never
+        # past the age cap (stragglers / clients draining their last
+        # replies must not stall the batch), and never when someone is
+        # falling behind (>= 2 blocks queued — overload: dispatch now).
+        # realtime mode polls once per step already.
+        if self.coalesce > 0 and not self.realtime:
+            partial = len(ready) < sum(
+                s is not None for s in self.slots.values()
+            )
+            if partial and not any(
+                s.buffer.shape[0] >= 2 * n for _, s in ready
+            ):
+                now = time.monotonic()
+                if self._wave_t0 is None:
+                    self._wave_t0 = now
+                if now - self._wave_t0 < self.coalesce:
+                    return
+        self._wave_t0 = None
         blocks = np.zeros((b, n), np.float32)
         present = np.zeros((b,), bool)
         clients = {}
@@ -155,17 +211,27 @@ class StreamingServer:
             slot.buffer = slot.buffer[n:]
             present[i] = True
             clients[i] = slot
-        # Pipelined serving (SURVEY §7: async dispatch so RTTM emission
-        # never blocks the next hop): the tick only DISPATCHES the hop
-        # (push_begin, serialized on its own one-thread pool — state
-        # threading must stay in order); the blocking device->host fetch +
-        # RTTM assembly (push_finish) runs on a second one-thread pool and
-        # the replies are sent by the _deliverer task. Hop k's fetch and
-        # emission overlap hop k+1's dispatch; both pools being single
-        # threads keeps begins serial and finishes in dispatch order (so
-        # per-client reply order is preserved). The bounded queue
-        # backpressures the ticker if harvests ever fall behind.
         loop = asyncio.get_running_loop()
+        if not self.pipelined:
+            # default synchronous path: the tick blocks on the full push
+            # (device step + fetch + assembly) before sending this hop's
+            # replies — measured faster at or below capacity (see the
+            # class docstring / PERF.md round-4 serving)
+            outputs = await loop.run_in_executor(
+                self._dispatch_pool, self.session.push, blocks, present
+            )
+            await self._send_outputs(outputs, clients)
+            return
+        # Pipelined serving (opt-in; an overload-throughput mode): the
+        # tick only DISPATCHES the hop (push_begin, serialized on its own
+        # one-thread pool — state threading must stay in order); the
+        # blocking device->host fetch + RTTM assembly (push_finish) runs
+        # on a second one-thread pool and the replies are sent by the
+        # _deliverer task. Hop k's fetch and emission overlap hop k+1's
+        # dispatch; both pools being single threads keeps begins serial
+        # and finishes in dispatch order (so per-client reply order is
+        # preserved). The bounded queue backpressures the ticker if
+        # harvests ever fall behind.
         pending = await loop.run_in_executor(
             self._dispatch_pool, self.session.push_begin, blocks, present
         )
@@ -174,7 +240,19 @@ class StreamingServer:
         fut = loop.run_in_executor(
             self._harvest_pool, self.session.push_finish, pending
         )
+        self._in_flight += 1
         await self._outbox.put((fut, clients))
+
+    async def _send_outputs(self, outputs, clients):
+        for i, out in enumerate(outputs):
+            if out is None or i not in clients:
+                continue
+            rttm = out[0].to_rttm()
+            if rttm:
+                try:
+                    await clients[i].websocket.send(rttm)
+                except Exception:
+                    pass
 
     async def _deliverer(self):
         """Consume harvested hops in order and send each client its RTTM."""
@@ -182,18 +260,11 @@ class StreamingServer:
             fut, clients = await self._outbox.get()
             try:
                 outputs = await fut
+                await self._send_outputs(outputs, clients)
             except Exception:
                 logger.exception("hop harvest failed")
-                continue
-            for i, out in enumerate(outputs):
-                if out is None or i not in clients:
-                    continue
-                rttm = out[0].to_rttm()
-                if rttm:
-                    try:
-                        await clients[i].websocket.send(rttm)
-                    except Exception:
-                        pass
+            finally:
+                self._in_flight -= 1
 
     async def _ticker(self):
         interval = self.engine.step_duration if self.realtime else 0.005
@@ -203,8 +274,10 @@ class StreamingServer:
                 await asyncio.wait_for(self._stop.wait(), timeout=interval)
             except asyncio.TimeoutError:
                 pass
-        # drain in-flight hops so the last replies still go out
-        while not self._outbox.empty():
+        # drain in-flight hops so the last replies still go out (counter,
+        # not queue emptiness: the deliverer pops an item BEFORE awaiting
+        # its harvest, so an empty queue can still have a hop in flight)
+        while self._in_flight > 0:
             await asyncio.sleep(0.05)
 
     # ------------------------------------------------------------------ #
@@ -213,9 +286,13 @@ class StreamingServer:
 
         self._loop = asyncio.get_running_loop()
         self._stop = asyncio.Event()
-        # bounded in-flight hops (each pins its device arrays until
-        # harvested); the put() in _tick backpressures past this depth
-        self._outbox = asyncio.Queue(maxsize=4)
+        # Bounded in-flight hops (each pins its device arrays until
+        # harvested); the put() in _tick backpressures past this depth.
+        # Depth 1 = exactly one hop harvesting while the next dispatches:
+        # the measured sweet spot — at depth 4 harvests queued behind
+        # dispatches and every queued hop added ~120 ms wire latency at 128
+        # clients (docs/campaigns/r4/r4_serve6_ab.txt ramp128_pipe).
+        self._outbox = asyncio.Queue(maxsize=1)
         deliverer = asyncio.create_task(self._deliverer())
         async with websockets.serve(self._handler, self.host, self.port):
             logger.info("serving on %s:%d", self.host, self.port)

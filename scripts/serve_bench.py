@@ -89,6 +89,7 @@ def _build_server(args):
     server = StreamingServer(
         engine, tau_active=0.05, host="127.0.0.1", port=args.port,
         realtime=False, quantize_transfer=args.int16,
+        coalesce=args.coalesce_ms / 1000.0,
     )
     return engine, server
 
@@ -314,6 +315,8 @@ async def _run(args):
             "clients": n_clients,
             "hops": hops,
             "client_procs": max(1, args.client_procs),
+            "pipelined": server.pipelined,
+            "coalesce_ms": round(server.coalesce * 1000, 1),
             **_phase_stats(results, warmup, hops),
             **_step_stats(begin_log, t0, t1, prefix="dispatch"),
             **_step_stats(finish_log, t0, t1, prefix="harvest"),
@@ -323,7 +326,17 @@ async def _run(args):
         return stats
 
     for n in args.ramp:
-        await run_phase(n, args.hops, f"ramp{n}")
+        if args.pipeline_ab:
+            # back-to-back sync-vs-pipelined A/B per client count — the
+            # only honest comparison on the time-shared dev chip (single
+            # runs move with contention; PERF.md "Headline reconciliation")
+            default_pipelined = server.pipelined
+            for mode in ("sync", "pipe"):
+                server.pipelined = mode == "pipe"
+                await run_phase(n, args.hops, f"ramp{n}_{mode}")
+            server.pipelined = default_pipelined
+        else:
+            await run_phase(n, args.hops, f"ramp{n}")
 
     # ---- churn phase: disconnect a third mid-run, admit replacements --- #
     n = args.churn_clients
@@ -405,6 +418,13 @@ def main():
     p.add_argument("--int16", action="store_true",
                    help="ship int16 PCM blocks to the device (server-side "
                    "quantize_transfer: half the host->device bytes per hop)")
+    p.add_argument("--pipeline-ab", action="store_true",
+                   help="run each ramp phase twice back to back: "
+                   "synchronous push vs pipelined dispatch/harvest")
+    p.add_argument("--coalesce-ms", type=float, default=0.0,
+                   help="server-side wave coalescing hold (ms; 0 = "
+                   "dispatch partial waves immediately — the measured "
+                   "default, see PERF.md round-4 serving)")
     p.add_argument("--quick", action="store_true",
                    help="tiny models / CPU smoke")
     args = p.parse_args()

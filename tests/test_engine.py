@@ -597,3 +597,98 @@ class TestHostChunkIndex:
             return outs
 
         assert run(True) == run(False)
+
+
+class TestPipelinedPush:
+    def test_begin_finish_overlap_matches_push(self):
+        """The pipelined split (push_begin / push_finish, serving path) must
+        produce exactly the synchronous push's outputs, even with two hops
+        in flight and a slot reset landing between a hop's dispatch and its
+        harvest (the pending handle snapshots uris/shifts/chunk indices)."""
+        from collections import deque
+
+        batch = 3
+        audios = [
+            synth_audio(t, TOTAL, seed=i)
+            for i, t in enumerate(STREAM_TURNS[:batch])
+        ]
+
+        def feed(session, pipelined):
+            step_s = session.engine.step_samples
+            num_blocks = int(TOTAL * SAMPLE_RATE) // step_s
+            rttms = [[] for _ in range(batch)]
+            inflight = deque()
+
+            def harvest(pending):
+                for i, out in enumerate(session.push_finish(pending)):
+                    if out is not None:
+                        rttms[i].append(out[0].to_rttm())
+
+            for blk in range(num_blocks):
+                blocks = np.stack(
+                    [a[0, blk * step_s : (blk + 1) * step_s] for a in audios]
+                )
+                if not pipelined:
+                    for i, out in enumerate(session.push(blocks)):
+                        if out is not None:
+                            rttms[i].append(out[0].to_rttm())
+                    continue
+                pending = session.push_begin(blocks)
+                if pending is not None:
+                    inflight.append(pending)
+                while len(inflight) > 2:
+                    harvest(inflight.popleft())
+            while inflight:
+                harvest(inflight.popleft())
+            return rttms
+
+        eng_sync, eng_pipe = make_engine(batch), make_engine(batch)
+        sess_sync = MultiStreamSession(
+            eng_sync, tau_active=PARAMS["tau_active"], collect_audio=False
+        )
+        sess_pipe = MultiStreamSession(
+            eng_pipe, tau_active=PARAMS["tau_active"], collect_audio=False
+        )
+        assert feed(sess_sync, False) == feed(sess_pipe, True)
+
+    def test_slot_reset_between_begin_and_finish(self):
+        """A reset of slot 0 while its hop is in flight must not corrupt the
+        in-flight hop's output: the pending snapshot keeps the OLD uri/shift
+        and the harvested annotation reflects the pre-reset stream."""
+        batch = 2
+        engine = make_engine(batch)
+        session = MultiStreamSession(
+            engine, tau_active=PARAMS["tau_active"], collect_audio=False
+        )
+        audios = [
+            synth_audio(t, TOTAL, seed=i)
+            for i, t in enumerate(STREAM_TURNS[:batch])
+        ]
+        step_s = engine.step_samples
+        num_blocks = int(TOTAL * SAMPLE_RATE) // step_s
+        got_old_uri = False
+        for blk in range(num_blocks):
+            blocks = np.stack(
+                [a[0, blk * step_s : (blk + 1) * step_s] for a in audios]
+            )
+            pending = session.push_begin(blocks)
+            if pending is None:
+                continue
+            if not got_old_uri:
+                # churn slot 0 while the hop is in flight
+                session.reset_slot(0, uri="newclient", shift=1.0)
+                outs = session.push_finish(pending)
+                if outs[0] is not None:
+                    assert outs[0][0].uri == "stream0"
+                    got_old_uri = True
+                # slot 0 restarts warm-up under the new uri
+                continue
+            outs = session.push_finish(pending)
+            if outs[0] is not None:
+                assert outs[0][0].uri == "newclient"
+                assert session.blocks_seen[0] >= session.warmup_blocks
+                return
+        pytest.fail(
+            "in-flight output never harvested or slot 0 never re-warmed "
+            f"(got_old_uri={got_old_uri})"
+        )

@@ -153,6 +153,88 @@ class TestStudyAndOptimizer:
 
 
 class TestStreamingServer:
+    def test_wave_coalescing(self):
+        """With ``coalesce`` set, fast-poll ticks collapse one synchronized
+        client wave into ONE dispatched hop: a partial ready set is held
+        until every active slot is ready, but never past the age cap, and
+        never when a client is falling behind (>= 2 blocks queued). With
+        the default coalesce=0, partial waves dispatch immediately."""
+        import asyncio
+
+        from diart_tpu.runtime.server import StreamingServer, _ClientSlot
+
+        engine = MultiStreamEngine(
+            segmentation=fake_segmentation(),
+            embedding=fake_embedding(),
+            batch_size=4,
+            **PIPELINE_PARAMS,
+        )
+        hold = 0.25 * PIPELINE_PARAMS["step"]
+        server = StreamingServer(
+            engine, tau_active=0.6, realtime=False, coalesce=hold
+        )
+        pushes = []
+
+        def fake_push(blocks, present):
+            pushes.append(present.copy())
+            return [None] * engine.batch_size
+
+        server.session.push = fake_push
+        server.session.reset_slots = lambda *a, **k: None
+        n = engine.step_samples
+
+        def set_slots(*block_counts):
+            server.slots = {i: None for i in range(engine.batch_size)}
+            for i, c in enumerate(block_counts):
+                if c is None:
+                    continue
+                slot = _ClientSlot(i, websocket=None)
+                slot.buffer = np.zeros((c * n,), np.float32)
+                server.slots[i] = slot
+            server._pending_resets.clear()
+            server._wave_t0 = None
+
+        tick = lambda: asyncio.run(server._tick())
+
+        # all 3 active slots ready -> one immediate dispatch of all 3
+        set_slots(1, 1, 1, None)
+        tick()
+        assert len(pushes) == 1 and pushes[0].sum() == 3
+
+        # 2 of 3 ready -> held (no dispatch) until the age cap passes
+        set_slots(1, 1, 0, None)
+        pushes.clear()
+        tick()
+        assert not pushes and server._wave_t0 is not None
+        tick()  # still inside the age cap
+        assert not pushes
+        server._wave_t0 -= hold + 0.01
+        tick()
+        assert len(pushes) == 1 and pushes[0].sum() == 2
+
+        # partial wave but a client has 2 blocks queued -> overload,
+        # dispatch immediately
+        set_slots(2, 1, 0, None)
+        pushes.clear()
+        tick()
+        assert len(pushes) == 1 and pushes[0].sum() == 2
+
+        # straggler's block arriving mid-hold completes the wave
+        set_slots(1, 1, 0, None)
+        pushes.clear()
+        tick()
+        assert not pushes
+        server.slots[2].buffer = np.zeros((n,), np.float32)
+        tick()
+        assert len(pushes) == 1 and pushes[0].sum() == 3
+
+        # default coalesce=0: a partial wave dispatches immediately
+        server.coalesce = 0.0
+        set_slots(1, 1, 0, None)
+        pushes.clear()
+        tick()
+        assert len(pushes) == 1 and pushes[0].sum() == 2
+
     def test_multi_client_serving(self):
         pytest.importorskip("websockets")
         from websockets.sync.client import connect
@@ -232,13 +314,15 @@ class TestStreamingServer:
         server = StreamingServer(
             engine, tau_active=0.6, host="127.0.0.1", port=port, realtime=False
         )
-        real_push = server.session.push
+        # the pipelined tick calls push_begin/push_finish (not push); the
+        # contended-device wait lives in the harvest half
+        real_finish = server.session.push_finish
 
-        def slow_push(blocks, present):
+        def slow_finish(pending):
             time.sleep(0.4)  # simulate a contended device step
-            return real_push(blocks, present)
+            return real_finish(pending)
 
-        server.session.push = slow_push
+        server.session.push_finish = slow_finish
         thread = threading.Thread(target=server.run, daemon=True)
         thread.start()
         time.sleep(0.5)
