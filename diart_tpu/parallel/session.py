@@ -21,7 +21,7 @@ import numpy as np
 
 from ..core.annotation import Annotation
 from ..core.segment import SlidingWindow, SlidingWindowFeature
-from ..ops.binarize import binarize
+from ..ops.binarize import batch_binarize_rttm, binarize, binarize_rttm
 from .engine import MultiStreamEngine, StreamState
 
 __all__ = ["MultiStreamSession"]
@@ -365,4 +365,87 @@ class MultiStreamSession:
                     ),
                 )
             outputs.append((annotation, audio))
+        return outputs
+
+    def push_rttm(
+        self,
+        blocks: np.ndarray,
+        present: Optional[np.ndarray] = None,
+    ) -> List[Optional[str]]:
+        """``push`` for the serving wire: one RTTM text per stream (``None``
+        while warming up / absent) instead of ``(Annotation, audio)``."""
+        pending = self.push_begin(blocks, present)
+        if pending is None:
+            return [None] * self.batch_size
+        return self.push_finish_rttm(pending)
+
+    def push_finish_rttm(
+        self, pending: "_PendingHop"
+    ) -> List[Optional[str]]:
+        """``push_finish`` that emits per-stream RTTM text directly.
+
+        The serving loop only ships RTTM lines back over the websocket, and
+        the annotation route's per-turn ``Segment``/``Annotation`` churn
+        costs more host time per hop than the device step at serving batch
+        sizes (measured at 256 streams: 14.9 ms/hop for smooth 2-speaker
+        activity vs the 11.9 ms device step — the "~0.1 ms/stream host
+        post-processing" production floor, PERF.md round-4 serving). Here
+        all steady-state streams go through ONE batched transition pass
+        (``ops.binarize.batch_binarize_rttm``; first-chunk streams keep the
+        per-stream route — their prepended window has its own length and
+        resolution). String equality with
+        ``push_finish(...)[i][0].to_rttm()`` is pinned by
+        tests/test_engine.py::TestRttmFastPath."""
+        b = self.batch_size
+        run_mask = pending.run_mask
+        chunk_index = pending.chunk_index
+        first_rows = pending.first_rows
+        fetch = jax.device_get(pending.fetch)
+        aggregated = fetch[0]
+        newest_rows = {}
+        if first_rows.size:
+            newest_rows = {
+                int(r): fetch[1][k] for k, r in enumerate(first_rows)
+            }
+        self.chronometer.history.append(time.monotonic() - pending.t0)
+
+        geometry = self.engine.geometry
+        eng = self.engine
+        outputs: List[Optional[str]] = [None] * b
+
+        steady = [
+            i for i in range(b) if run_mask[i] and int(chunk_index[i]) > 0
+        ]
+        if steady:
+            res = geometry.out_resolution
+            starts = np.array(
+                [
+                    eng.output_start(int(chunk_index[i])) + pending.shifts[i]
+                    for i in steady
+                ]
+            )
+            texts = batch_binarize_rttm(
+                np.asarray(aggregated[steady]),
+                starts,
+                res,
+                self.tau_active,
+                [pending.uris[i] for i in steady],
+            )
+            for k, i in enumerate(steady):
+                outputs[i] = texts[k]
+
+        for i in range(b):
+            if not run_mask[i] or int(chunk_index[i]) != 0:
+                continue
+            first = newest_rows[i][geometry.first_indices].copy()
+            first[-geometry.num_out :] = aggregated[i]
+            res0 = geometry.first_resolution
+            window = SlidingWindow(
+                start=pending.shifts[i], duration=res0, step=res0
+            )
+            outputs[i] = binarize_rttm(
+                SlidingWindowFeature(first, window),
+                self.tau_active,
+                uri=pending.uris[i],
+            )
         return outputs

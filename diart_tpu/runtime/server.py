@@ -218,7 +218,7 @@ class StreamingServer:
             # replies — measured faster at or below capacity (see the
             # class docstring / PERF.md round-4 serving)
             outputs = await loop.run_in_executor(
-                self._dispatch_pool, self.session.push, blocks, present
+                self._dispatch_pool, self.session.push_rttm, blocks, present
             )
             await self._send_outputs(outputs, clients)
             return
@@ -238,21 +238,22 @@ class StreamingServer:
         if pending is None:
             return
         fut = loop.run_in_executor(
-            self._harvest_pool, self.session.push_finish, pending
+            self._harvest_pool, self.session.push_finish_rttm, pending
         )
         self._in_flight += 1
         await self._outbox.put((fut, clients))
 
     async def _send_outputs(self, outputs, clients):
-        for i, out in enumerate(outputs):
-            if out is None or i not in clients:
+        """Send each client its hop's RTTM text (``session.push_rttm`` /
+        ``push_finish_rttm`` output: one string per stream, skipping the
+        Annotation object churn the wire never needed)."""
+        for i, rttm in enumerate(outputs):
+            if not rttm or i not in clients:
                 continue
-            rttm = out[0].to_rttm()
-            if rttm:
-                try:
-                    await clients[i].websocket.send(rttm)
-                except Exception:
-                    pass
+            try:
+                await clients[i].websocket.send(rttm)
+            except Exception:
+                pass
 
     async def _deliverer(self):
         """Consume harvested hops in order and send each client its RTTM."""

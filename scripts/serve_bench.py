@@ -233,7 +233,7 @@ async def _run(args):
     # overlapped with the next hop's dispatch)
     begin_log, finish_log = [], []
     orig_begin = server.session.push_begin
-    orig_finish = server.session.push_finish
+    orig_finish = server.session.push_finish_rttm
 
     def timed_begin(blocks, present=None):
         t0 = time.perf_counter()
@@ -253,7 +253,7 @@ async def _run(args):
         return out
 
     server.session.push_begin = timed_begin
-    server.session.push_finish = timed_finish
+    server.session.push_finish_rttm = timed_finish
 
     print("# compiling (pre-client warm-up)...", file=sys.stderr, flush=True)
     _precompile(engine, server)

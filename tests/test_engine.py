@@ -599,6 +599,48 @@ class TestHostChunkIndex:
         assert run(True) == run(False)
 
 
+class TestRttmFastPath:
+    def test_push_rttm_matches_annotation_route(self):
+        """session.push_rttm must emit the EXACT RTTM strings of
+        push(...)[i][0].to_rttm() for every stream and hop — including the
+        first-chunk prepend rows (per-stream route) and steady-state rows
+        (batched transition pass)."""
+        batch = 3
+        audios = [
+            synth_audio(t, TOTAL, seed=i)
+            for i, t in enumerate(STREAM_TURNS[:batch])
+        ]
+
+        def feed(session, rttm):
+            step_s = session.engine.step_samples
+            num_blocks = int(TOTAL * SAMPLE_RATE) // step_s
+            texts = [[] for _ in range(batch)]
+            for blk in range(num_blocks):
+                blocks = np.stack(
+                    [a[0, blk * step_s : (blk + 1) * step_s] for a in audios]
+                )
+                outs = (
+                    session.push_rttm(blocks) if rttm else session.push(blocks)
+                )
+                for i, out in enumerate(outs):
+                    if out is not None:
+                        texts[i].append(out if rttm else out[0].to_rttm())
+            return texts
+
+        sess_a = MultiStreamSession(
+            make_engine(batch), tau_active=PARAMS["tau_active"],
+            collect_audio=False,
+        )
+        sess_b = MultiStreamSession(
+            make_engine(batch), tau_active=PARAMS["tau_active"],
+            collect_audio=False,
+        )
+        ann_route = feed(sess_a, rttm=False)
+        fast_route = feed(sess_b, rttm=True)
+        assert any(any(t for t in stream) for stream in ann_route)
+        assert ann_route == fast_route
+
+
 class TestPipelinedPush:
     def test_begin_finish_overlap_matches_push(self):
         """The pipelined split (push_begin / push_finish, serving path) must

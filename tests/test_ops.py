@@ -279,6 +279,53 @@ class TestBinarize:
                         on = None
             assert got == sorted(want)
 
+    def test_rttm_fast_path_exact(self):
+        """binarize_rttm must produce the EXACT string of
+        binarize(...).to_rttm() — same turn set, ordering (incl. identical-
+        segment ties resolved by str(track)), and %.3f rendering."""
+        from diart_tpu.ops.binarize import binarize_rttm
+
+        rng = np.random.default_rng(11)
+        for trial in range(60):
+            frames = int(rng.integers(1, 40))
+            speakers = int(rng.integers(1, 8))
+            scores = rng.uniform(0, 1, (frames, speakers))
+            if trial % 4 == 0:
+                # quantize so several speakers share identical on/off
+                # frames -> identical segments, exercising the tie order
+                scores = np.round(scores)
+            res = float(rng.choice([0.016875, 0.1, 0.5]))
+            start = float(rng.uniform(0, 100))
+            sw = SlidingWindow(start=start, duration=res, step=res)
+            th = float(rng.choice([0.3, 0.5, 0.9]))
+            uri = None if trial % 5 == 0 else f"u{trial}"
+            swf = SlidingWindowFeature(scores, sw)
+            assert binarize_rttm(swf, th, uri=uri) == binarize(
+                swf, th, uri=uri
+            ).to_rttm()
+
+    def test_rttm_batch_matches_per_stream(self):
+        """batch_binarize_rttm (one transition pass for the whole hop) must
+        equal the per-stream binarize().to_rttm() route for every stream,
+        including all-inactive streams (empty string)."""
+        from diart_tpu.ops.binarize import batch_binarize_rttm
+
+        rng = np.random.default_rng(12)
+        b, frames, speakers = 7, 23, 5
+        data = rng.uniform(0, 1, (b, frames, speakers))
+        data[3] = 0.0  # silent stream
+        data[5] = np.round(data[5])  # tie-heavy stream
+        res = 0.016875
+        starts = rng.uniform(0, 50, (b,))
+        uris = [f"c{i}" if i % 2 else None for i in range(b)]
+        got = batch_binarize_rttm(data, starts, res, 0.5, uris)
+        for i in range(b):
+            sw = SlidingWindow(start=float(starts[i]), duration=res, step=res)
+            want = binarize(
+                SlidingWindowFeature(data[i], sw), 0.5, uri=uris[i]
+            ).to_rttm()
+            assert got[i] == want, f"stream {i}"
+
 
 class TestResample:
     def test_tone_preserved(self):

@@ -179,7 +179,7 @@ class TestStreamingServer:
             pushes.append(present.copy())
             return [None] * engine.batch_size
 
-        server.session.push = fake_push
+        server.session.push_rttm = fake_push
         server.session.reset_slots = lambda *a, **k: None
         n = engine.step_samples
 
@@ -314,15 +314,16 @@ class TestStreamingServer:
         server = StreamingServer(
             engine, tau_active=0.6, host="127.0.0.1", port=port, realtime=False
         )
-        # the pipelined tick calls push_begin/push_finish (not push); the
-        # contended-device wait lives in the harvest half
-        real_finish = server.session.push_finish
+        # the serving tick harvests via push_finish_rttm (both the sync
+        # push_rttm and the pipelined path); the contended-device wait
+        # lives in that harvest half
+        real_finish = server.session.push_finish_rttm
 
         def slow_finish(pending):
             time.sleep(0.4)  # simulate a contended device step
             return real_finish(pending)
 
-        server.session.push_finish = slow_finish
+        server.session.push_finish_rttm = slow_finish
         thread = threading.Thread(target=server.run, daemon=True)
         thread.start()
         time.sleep(0.5)
