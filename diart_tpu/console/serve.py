@@ -54,6 +54,14 @@ def run():
         "single-core hosts (PERF.md round-4 serving)",
     )
     parser.add_argument(
+        "--realtime",
+        action="store_true",
+        help="Tick once per step of wall clock instead of polling for "
+        "arrived audio every 5 ms: one hop per step period regardless of "
+        "client arrival phase (the fewest host->device transfers; adds up "
+        "to one tick of alignment latency). Default: fast-poll",
+    )
+    parser.add_argument(
         "--coalesce-ms",
         default=0.0,
         type=float,
@@ -112,6 +120,7 @@ def run():
         tau_active=args.tau_active,
         host=args.host,
         port=args.port,
+        realtime=args.realtime,
         quantize_transfer=args.int16_transfer,
         pipelined=args.pipelined,
         coalesce=args.coalesce_ms / 1000.0,

@@ -96,6 +96,64 @@ def test_benchmark_cli_report(wav_file, tmp_path):
     assert "diarization error rate" in result.stdout
 
 
+def test_serve_client_cli_end_to_end(wav_file):
+    """diart-tpu-serve + diart-tpu-client as real subprocesses: the client
+    streams the wav over the websocket and must get RTTM lines back (the
+    reference CI's serve smoke has no analogue — it never tests serving)."""
+    import socket
+    import time
+
+    port = 7967
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    server = subprocess.Popen(
+        [
+            sys.executable, "-m", "diart_tpu.console.serve",
+            "--cpu",
+            "--port", str(port),
+            "--num-streams", "2",
+            "--duration", "1",
+            "--step", "0.5",
+            "--latency", "0.5",
+            "--max-speakers", "6",
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        env=env,
+        cwd=REPO,
+    )
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            try:
+                socket.create_connection(("127.0.0.1", port), 1).close()
+                break
+            except OSError:
+                if server.poll() is not None:
+                    pytest.fail(
+                        f"server exited early: {server.stderr.read()[-2000:]}"
+                    )
+                time.sleep(0.5)
+        else:
+            pytest.fail("server never listened")
+        result = run_cli(
+            "client", wav_file,
+            "--host", "127.0.0.1",
+            "--port", port,
+            "--step", "0.5",
+        )
+        assert result.returncode == 0, result.stderr[-2000:]
+        lines = [l for l in result.stdout.splitlines() if l.strip()]
+        assert lines and all(l.split()[0] == "SPEAKER" for l in lines)
+    finally:
+        server.terminate()
+        try:
+            server.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            server.kill()
+
+
 def test_convert_cli_roundtrip(tmp_path):
     """diart-tpu-convert: torch checkpoint -> native .msgpack, reloadable."""
     import subprocess
