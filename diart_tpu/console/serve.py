@@ -74,6 +74,11 @@ def run():
     )
     args = parser.parse_args()
     apply_precision_arg(args)
+    if args.realtime and args.coalesce_ms:
+        parser.error(
+            "--coalesce-ms only applies to the fast-poll ticker; "
+            "--realtime already dispatches one hop per step"
+        )
 
     if args.cpu:
         import jax

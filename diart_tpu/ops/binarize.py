@@ -21,6 +21,26 @@ from ..core.segment import Segment, SlidingWindowFeature
 __all__ = ["binarize", "binarize_rttm", "batch_binarize_rttm"]
 
 
+def _transitions(data: np.ndarray, threshold: float):
+    """Onset/offset frame indices for one stream's (frames, speakers)
+    scores — the shared core of both emission routes, so the thresholding
+    semantics ('strictly greater-than') can never diverge between them.
+
+    One 2D transition pass for ALL speakers: pad an inactive frame on both
+    sides, then +1/-1 edges of the diff are turn onsets/offsets. An active
+    first frame starts a turn at the first frame middle
+    (blocks/utils.py:48). Transposing before nonzero yields speaker-major
+    order, so onsets and offsets pair elementwise (counts match per
+    speaker: every run inside the padding opens and closes)."""
+    num_frames, num_speakers = data.shape
+    ext = np.zeros((num_frames + 2, num_speakers), np.int8)
+    ext[1:-1] = data > threshold
+    d = np.diff(ext.T, axis=1)
+    on_spk, on_idx = np.nonzero(d == 1)
+    _, off_idx = np.nonzero(d == -1)
+    return on_spk, on_idx, off_idx
+
+
 def binarize(
     scores: SlidingWindowFeature,
     threshold: float,
@@ -46,19 +66,7 @@ def binarize(
     # Frame-middle timestamps; one artificial inactive frame closes open turns
     # (blocks/utils.py:46-47).
     middles = sw.start + np.arange(num_frames + 1) * sw.step + 0.5 * sw.duration
-
-    # One 2D transition pass for ALL speakers: pad an inactive frame on both
-    # sides, then +1/-1 edges of the diff are turn onsets/offsets. An active
-    # first frame starts at middles[0] (blocks/utils.py:48). Transposing
-    # before nonzero yields speaker-major order, so onsets and offsets pair
-    # elementwise (counts match per speaker: every run inside the padding
-    # opens and closes). This is called once per stream per hop on hot
-    # serving paths — per-column numpy calls dominated at 256 streams.
-    ext = np.zeros((num_frames + 2, num_speakers), np.int8)
-    ext[1:-1] = data > threshold
-    d = np.diff(ext.T, axis=1)
-    on_spk, on_idx = np.nonzero(d == 1)
-    _, off_idx = np.nonzero(d == -1)
+    on_spk, on_idx, off_idx = _transitions(data, threshold)
 
     annotation = Annotation(uri=uri, modality="speech")
     labels = [f"speaker{spk}" for spk in range(num_speakers)]
@@ -103,14 +111,10 @@ def binarize_rttm(
     ~11.9 ms device step). String equality with the annotation route is
     pinned by tests/test_ops.py."""
     data = np.asarray(scores.data)
-    num_frames, num_speakers = data.shape
+    num_frames = data.shape[0]
     sw = scores.sliding_window
     middles = sw.start + np.arange(num_frames + 1) * sw.step + 0.5 * sw.duration
-    ext = np.zeros((num_frames + 2, num_speakers), np.int8)
-    ext[1:-1] = data > threshold
-    d = np.diff(ext.T, axis=1)
-    on_spk, on_idx = np.nonzero(d == 1)
-    _, off_idx = np.nonzero(d == -1)
+    on_spk, on_idx, off_idx = _transitions(data, threshold)
     return _rttm_lines(uri, middles[on_idx], middles[off_idx], on_spk)
 
 

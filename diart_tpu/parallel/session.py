@@ -85,6 +85,10 @@ class MultiStreamSession:
         self.warmup_blocks = int(
             round(engine.duration / engine.step_duration)
         )  # blocks per full chunk
+        # dispatched-but-unharvested hops; guards the collect_audio
+        # restriction below (push_begin docstring) with an error instead
+        # of silently corrupted audio regions
+        self._inflight_hops = 0
         if self.collect_audio:
             self._audio = np.zeros((b, engine.chunk_samples), np.float32)
 
@@ -240,6 +244,16 @@ class MultiStreamSession:
             present = np.ones(b, bool)
         present = np.asarray(present, bool)
 
+        if self.collect_audio and self._inflight_hops:
+            # the rolling audio window advances in place below, so an
+            # unfinished hop's push_finish would slice the NEXT hop's
+            # samples — refuse rather than silently emit wrong audio
+            raise RuntimeError(
+                "push_begin with a hop still in flight requires "
+                "collect_audio=False (the audio ring advances in place); "
+                "finish the pending hop first or use the synchronous push"
+            )
+
         self.blocks_seen[present] += 1
         run_mask = present & (self.blocks_seen >= self.warmup_blocks)
 
@@ -291,6 +305,7 @@ class MultiStreamSession:
                 first_rows, (0, width - first_rows.size), mode="edge"
             )
             fetch.append(out.newest[idx])
+        self._inflight_hops += 1
         return _PendingHop(
             fetch=fetch,
             run_mask=run_mask,
@@ -301,6 +316,24 @@ class MultiStreamSession:
             t0=t0,
         )
 
+    def _harvest(self, pending: "_PendingHop"):
+        """Block on a pending hop's transfers: ONE ``device_get`` on the
+        fetch list (sequential ``np.asarray`` calls each paid a full
+        host<->device round trip, ~50 ms through the dev tunnel — the
+        serve_bench ramp phases showed 2-3 sequential fetches dominating
+        the served step wall). Returns ``(aggregated, newest_rows)`` for
+        the two finish routes."""
+        fetch = jax.device_get(pending.fetch)
+        aggregated = fetch[0]
+        newest_rows = {}
+        if pending.first_rows.size:
+            newest_rows = {
+                int(r): fetch[1][k] for k, r in enumerate(pending.first_rows)
+            }
+        self.chronometer.history.append(time.monotonic() - pending.t0)
+        self._inflight_hops = max(0, self._inflight_hops - 1)
+        return aggregated, newest_rows
+
     def push_finish(
         self, pending: "_PendingHop"
     ) -> List[Optional[Tuple[Annotation, Optional[SlidingWindowFeature]]]]:
@@ -308,20 +341,7 @@ class MultiStreamSession:
         b = self.batch_size
         run_mask = pending.run_mask
         chunk_index = pending.chunk_index
-        first_rows = pending.first_rows
-        # ONE blocking sync for everything this hop needs: device_get on
-        # the list overlaps the transfers, where sequential np.asarray
-        # calls each paid a full host<->device round trip (~50 ms per
-        # fetch through the dev tunnel — the serve_bench ramp phases
-        # showed 2-3 sequential fetches dominating the served step wall).
-        fetch = jax.device_get(pending.fetch)
-        aggregated = fetch[0]
-        newest_rows = {}
-        if first_rows.size:
-            newest_rows = {
-                int(r): fetch[1][k] for k, r in enumerate(first_rows)
-            }
-        self.chronometer.history.append(time.monotonic() - pending.t0)
+        aggregated, newest_rows = self._harvest(pending)
 
         geometry = self.engine.geometry
         eng = self.engine
@@ -399,15 +419,7 @@ class MultiStreamSession:
         b = self.batch_size
         run_mask = pending.run_mask
         chunk_index = pending.chunk_index
-        first_rows = pending.first_rows
-        fetch = jax.device_get(pending.fetch)
-        aggregated = fetch[0]
-        newest_rows = {}
-        if first_rows.size:
-            newest_rows = {
-                int(r): fetch[1][k] for k, r in enumerate(first_rows)
-            }
-        self.chronometer.history.append(time.monotonic() - pending.t0)
+        aggregated, newest_rows = self._harvest(pending)
 
         geometry = self.engine.geometry
         eng = self.engine

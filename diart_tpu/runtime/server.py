@@ -287,6 +287,16 @@ class StreamingServer:
 
         self._loop = asyncio.get_running_loop()
         self._stop = asyncio.Event()
+        # fresh pools per serve() run (the finally below shuts them down so
+        # worker threads don't outlive the server; __init__ also creates a
+        # pair so _tick works without serve, e.g. in unit tests — an
+        # unused ThreadPoolExecutor spawns no threads)
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._dispatch_pool.shutdown(wait=False)
+        self._harvest_pool.shutdown(wait=False)
+        self._dispatch_pool = ThreadPoolExecutor(1, "diart-dispatch")
+        self._harvest_pool = ThreadPoolExecutor(1, "diart-harvest")
         # Bounded in-flight hops (each pins its device arrays until
         # harvested); the put() in _tick backpressures past this depth.
         # Depth 1 = exactly one hop harvesting while the next dispatches:
@@ -311,6 +321,11 @@ class StreamingServer:
                 await self._ticker()
             finally:
                 deliverer.cancel()
+                # don't leak the worker threads across server lifetimes
+                # (each instance would otherwise pin two threads until
+                # interpreter exit)
+                self._dispatch_pool.shutdown(wait=False)
+                self._harvest_pool.shutdown(wait=False)
 
     def run(self):
         """Blocking entry point."""

@@ -16,13 +16,17 @@ Per phase (client ramp, default 64/128/256) it reports:
 * wire->RTTM latency p50/p99 — client-side clock from sending the block
   that completes a hop to receiving that hop's RTTM line (includes the
   server's <=5 ms tick poll, the device step, and host post-processing);
-* server-side step wall p50/p99 over the phase (session.push wrap).
+* server-side dispatch (``push_begin``) and harvest (``push_finish_rttm``)
+  wall p50/p99 over the phase — the two halves of a served hop.
 
 The churn phase starts clients, disconnects a third mid-run, and admits
 replacements — exercising slot release/claim + the batched
-``reset_streams`` under load; step-time stability across the churn is
-reported. Everything runs in ONE process/event loop (the engine step runs
-in an executor thread and releases the GIL while blocked on the device).
+``reset_streams`` under load; dispatch/harvest stability across the churn
+is reported. By default everything runs in ONE process/event loop (the
+engine step runs in an executor thread and releases the GIL while blocked
+on the device); ``--client-procs N`` splits the RAMP cohorts over worker
+processes for multi-core hosts — the churn phase always stays in-process
+(its stats line says so via ``client_procs``).
 
 Run on the real TPU: ``python scripts/serve_bench.py``; ``--quick`` is a
 CPU/CI smoke (tiny models, few clients — numbers not publication-grade).
@@ -216,8 +220,9 @@ def _step_stats(step_log, t0, t1, prefix="step"):
     ns = [n for (t, d, n) in step_log if t0 <= t <= t1]
     if not durs:
         return {}
+    plural = f"{prefix}es" if prefix.endswith(("ch", "sh")) else f"{prefix}s"
     return {
-        f"{prefix}s": len(durs),
+        plural: len(durs),
         f"{prefix}_p50_ms": round(float(np.percentile(durs, 50)) * 1000, 2),
         f"{prefix}_p99_ms": round(float(np.percentile(durs, 99)) * 1000, 2),
         f"{prefix}_present_max": int(max(ns)),
@@ -380,6 +385,10 @@ async def _run(args):
         "phase": "churn",
         "clients": n,
         "churned": kill,
+        # the churn choreography (staggered short/replacement cohorts)
+        # always runs in the server's event loop, even when the ramp
+        # phases used --client-procs workers
+        "client_procs": 1,
         **_phase_stats(results, warmup, args.hops),
         "pre_churn": {
             **_step_stats(begin_log, t0, t_mid, prefix="dispatch"),

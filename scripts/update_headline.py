@@ -122,7 +122,7 @@ def render_headline(rows: dict) -> str:
         f"-estimate per 0.5 s hop for {f['batch']} concurrent streams with "
         f"two *distinct* SincNet filterbanks — the real serving shape every "
         f"pretrained seg+emb pair produces — i.e. "
-        f"**{f['streams']:,.0f} real-time streams per chip** as printed by "
+        f"*{f['streams']:,.0f} real-time streams per chip* as printed by "
         f"`python bench.py` ({f['streams']/10:,.0f}× the reference's 50 ms "
         f"per hop for a single stream on a V100, paper §5), "
         f"{dev_streams:,.0f} by device time, at {f['mfu_pct']:.1f}% of v5e "

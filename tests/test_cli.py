@@ -103,7 +103,11 @@ def test_serve_client_cli_end_to_end(wav_file):
     import socket
     import time
 
-    port = 7967
+    # ephemeral port so a concurrent run or stale server can't satisfy the
+    # readiness probe in our place
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
     server = subprocess.Popen(

@@ -693,6 +693,27 @@ class TestPipelinedPush:
         )
         assert feed(sess_sync, False) == feed(sess_pipe, True)
 
+    def test_collect_audio_overlap_refused(self):
+        """A collect_audio session must REFUSE overlapped push_begin calls
+        (the audio ring advances in place, so an unfinished hop would slice
+        the next hop's samples) instead of silently corrupting audio."""
+        engine = make_engine(1)
+        session = MultiStreamSession(engine, tau_active=0.5, collect_audio=True)
+        step_s = engine.step_samples
+        rng = np.random.default_rng(0)
+        pending = None
+        for _ in range(session.warmup_blocks + 2):
+            block = rng.standard_normal((1, step_s)).astype(np.float32)
+            pending = session.push_begin(block)
+            if pending is not None:
+                break
+        assert pending is not None
+        with pytest.raises(RuntimeError, match="collect_audio"):
+            session.push_begin(rng.standard_normal((1, step_s)).astype(np.float32))
+        # finishing the hop clears the guard
+        session.push_finish(pending)
+        session.push_begin(rng.standard_normal((1, step_s)).astype(np.float32))
+
     def test_slot_reset_between_begin_and_finish(self):
         """A reset of slot 0 while its hop is in flight must not corrupt the
         in-flight hop's output: the pending snapshot keeps the OLD uri/shift
