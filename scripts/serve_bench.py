@@ -188,24 +188,35 @@ def _drive_clients(spec, conn):
     conn.close()
 
 
-def _phase_stats(results, warmup, hops):
-    lat, errors, got, expected = [], 0, 0, 0
+def _phase_stats(results, warmup):
+    """Latency pairing is positional (reply j <- the block that completed
+    hop warmup-1+j), which is only sound when NO reply was dropped — a
+    single gap would shift every later pair by one hop and inflate each
+    misaligned sample by ~step_dur. Clients with missing replies are
+    therefore excluded from the latency percentiles (their reply counts
+    still show in replies_got/expected; ``latency_excluded_clients`` says
+    how many were dropped from the timing pool)."""
+    lat, errors, got, expected, excluded = [], 0, 0, 0, 0
     for r in results:
         if "error" in r:
             errors += 1
             continue
         send, recv = r["send"], r["recv"]
-        expected += max(0, len(send) - warmup + 1)
+        n_expected = max(0, len(send) - warmup + 1)
+        expected += n_expected
         got += len(recv)
+        if len(recv) != n_expected:
+            excluded += 1
+            continue
         for j, tr in enumerate(recv):
-            k = warmup - 1 + j  # reply j <- the block that completed hop k
-            if k < len(send):
-                lat.append(tr - send[k])
+            k = warmup - 1 + j
+            lat.append(tr - send[k])
     lat = np.asarray(lat)
     return {
         "clients_errored": errors,
         "replies_expected": expected,
         "replies_got": got,
+        "latency_excluded_clients": excluded,
         "wire_rttm_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 1)
         if lat.size else None,
         "wire_rttm_p99_ms": round(float(np.percentile(lat, 99)) * 1000, 1)
@@ -322,7 +333,7 @@ async def _run(args):
             "client_procs": max(1, args.client_procs),
             "pipelined": server.pipelined,
             "coalesce_ms": round(server.coalesce * 1000, 1),
-            **_phase_stats(results, warmup, hops),
+            **_phase_stats(results, warmup),
             **_step_stats(begin_log, t0, t1, prefix="dispatch"),
             **_step_stats(finish_log, t0, t1, prefix="harvest"),
         }
@@ -389,7 +400,7 @@ async def _run(args):
         # always runs in the server's event loop, even when the ramp
         # phases used --client-procs workers
         "client_procs": 1,
-        **_phase_stats(results, warmup, args.hops),
+        **_phase_stats(results, warmup),
         "pre_churn": {
             **_step_stats(begin_log, t0, t_mid, prefix="dispatch"),
             **_step_stats(finish_log, t0, t_mid, prefix="harvest"),

@@ -7,7 +7,8 @@
 set -u
 cd /root/repo
 LOG=.bench_logs
-mkdir -p "$LOG"
+ART=docs/campaigns/r4
+mkdir -p "$LOG" "$ART"
 
 run() {
   local name=$1
@@ -15,6 +16,8 @@ run() {
   echo "=== $name start $(date -u +%H:%M:%S) :: $*" >> "$LOG/campaign.log"
   timeout 5400 "$@" > "$LOG/$name.out" 2> "$LOG/$name.err"
   echo "=== $name exit=$? $(date -u +%H:%M:%S)" >> "$LOG/campaign.log"
+  # the committed artifact update_headline.py reads (stderr stats + stdout JSON)
+  cat "$LOG/$name.err" "$LOG/$name.out" > "$ART/$name.txt"
 }
 
 # current-default per-family rows (these become HEADLINE.json / README)

@@ -45,8 +45,10 @@ _STAT = re.compile(r"(\w+)=([^\s]+)")
 
 
 def parse_stats_line(text: str) -> dict:
-    """Parse the LAST bench stats line (single-run artifacts have one;
-    --ab artifacts: the B leg is last, pass the leg explicitly)."""
+    """Parse the bench stats line of a SINGLE-RUN artifact. ``--ab``
+    artifacts carry two stats lines (A=baseline, B=variant) whose stats
+    and headline JSON would mix legs if parsed blindly — refuse them; the
+    ledger rows are single-run by construction."""
     lines = [
         l
         for l in text.splitlines()
@@ -54,6 +56,11 @@ def parse_stats_line(text: str) -> dict:
     ]
     if not lines:
         raise ValueError("no bench stats line found")
+    if len(lines) > 1:
+        raise ValueError(
+            "multiple stats lines (an --ab artifact?) — ledger rows must "
+            "be single-run artifacts"
+        )
     stats = {}
     for k, v in _STAT.findall(lines[-1]):
         stats[k] = v
@@ -117,6 +124,14 @@ def build(artifacts: Path) -> dict:
 def render_headline(rows: dict) -> str:
     f = rows["r4_flagship"]
     dev_streams = f["batch"] * 500.0 / f["device_ms"]
+    # bench.py omits pct_peak when the device kind has no peak figure;
+    # render without the MFU clause rather than crash the refresh
+    mfu = (
+        f", at {f['mfu_pct']:.1f}% of v5e bf16 peak per the compiled "
+        f"step's cost analysis"
+        if f["mfu_pct"] is not None
+        else ""
+    )
     return (
         f"**{f['wall_ms']:.1f} ms wall / {f['device_ms']:.2f} ms device"
         f"-estimate per 0.5 s hop for {f['batch']} concurrent streams with "
@@ -125,8 +140,7 @@ def render_headline(rows: dict) -> str:
         f"*{f['streams']:,.0f} real-time streams per chip* as printed by "
         f"`python bench.py` ({f['streams']/10:,.0f}× the reference's 50 ms "
         f"per hop for a single stream on a V100, paper §5), "
-        f"{dev_streams:,.0f} by device time, at {f['mfu_pct']:.1f}% of v5e "
-        f"bf16 peak per the compiled step's cost analysis "
+        f"{dev_streams:,.0f} by device time{mfu} "
         f"(artifact: `{f['artifact']}`).**"
     )
 

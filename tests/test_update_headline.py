@@ -46,12 +46,13 @@ def test_parse_stats_line_fields_and_precision():
     assert stats["precision"] == {"pallas_lstm": True, "fbank_ring": True}
 
 
-def test_parse_stats_line_takes_last_line():
-    """--ab artifacts carry two stats lines; the B (current-default) leg
-    is printed last and must win."""
+def test_parse_stats_line_refuses_ab_artifacts():
+    """--ab artifacts carry two stats lines (A=baseline, B=variant); a
+    blind parse would pair one leg's stats with the other leg's headline
+    JSON, so the ledger refuses them — rows must be single-run."""
     a = STATS_LINE.replace("t_device_est=11.91ms", "t_device_est=99.99ms")
-    stats = uh.parse_stats_line(a + "\n" + STATS_LINE)
-    assert uh._num(stats, "t_device_est") == 11.91
+    with pytest.raises(ValueError, match="single-run"):
+        uh.parse_stats_line(a + "\n" + STATS_LINE)
 
 
 def test_parse_headline_json():
