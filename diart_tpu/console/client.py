@@ -17,14 +17,24 @@ from ..runtime import FileAudioSource, MicrophoneAudioSource
 from ..runtime.rx import ops
 
 
-def send_audio(ws, source: Text, step: float, sample_rate: int, realtime: bool):
+def send_audio(
+    ws, source: Text, step: float, sample_rate: int, realtime: bool,
+    wire_int16: bool = False,
+):
     if source != "microphone":
         audio_source = FileAudioSource(source, sample_rate, block_duration=step)
     else:
         audio_source = MicrophoneAudioSource(step)
 
+    if wire_int16:
+        # one-time wire-config handshake (diart-tpu extension; half the
+        # wire bytes of the reference's float32 protocol — see
+        # docs/SERVING.md). Must precede any audio.
+        ws.send('{"format": "int16"}')
+    encode = utils.encode_audio_int16 if wire_int16 else utils.encode_audio
+
     def emit(block):
-        ws.send(utils.encode_audio(block))
+        ws.send(encode(block))
         if realtime and source != "microphone":
             time.sleep(step)
 
@@ -67,6 +77,12 @@ def run():
         "-o", "--output-file", type=Path, help="Output RTTM file. Defaults to no writing"
     )
     parser.add_argument(
+        "--wire-int16", action="store_true",
+        help="Send int16 PCM over the wire (half the bytes of the float32 "
+        "format; exact to 1/32768). Requires a diart-tpu server — "
+        "reference servers only speak float32",
+    )
+    parser.add_argument(
         "--drain-timeout", default=30.0, type=float,
         help="After all audio is sent, close once no prediction arrived for "
         "this many seconds (covers the server's latency tail / cold "
@@ -81,7 +97,8 @@ def run():
         last_recv = [time.monotonic()]
         sender = threading.Thread(
             target=send_audio,
-            args=(ws, args.source, args.step, args.sample_rate, args.realtime),
+            args=(ws, args.source, args.step, args.sample_rate, args.realtime,
+                  args.wire_int16),
         )
         receiver = threading.Thread(
             target=receive_audio, args=(ws, args.output_file, last_recv)

@@ -33,10 +33,11 @@ logger = logging.getLogger(__name__)
 
 
 class _ClientSlot:
-    def __init__(self, index: int, websocket):
+    def __init__(self, index: int, websocket, dtype=np.float32):
         self.index = index
         self.websocket = websocket
-        self.buffer = np.zeros((0,), np.float32)
+        self.buffer = np.zeros((0,), dtype)
+        self.wire_format = "f32"  # set by the optional JSON handshake
         self.closed = False
 
 
@@ -107,6 +108,14 @@ class StreamingServer:
             collect_audio=False,
             quantize_transfer=quantize_transfer,
         )
+        # The dtype slot buffers and hop blocks are kept in. With
+        # quantize_transfer everything is int16 end to end — int16-wire
+        # clients' bytes are never converted on the host, f32-wire clients
+        # are quantized once at ingest (same clip-scale the session would
+        # apply per hop) — and the session ships the int16 block to the
+        # device as-is. Without it, int16-wire clients are dequantized at
+        # ingest and the pipeline stays float32.
+        self._ingest_dtype = np.int16 if quantize_transfer else np.float32
         self.slots: Dict[int, Optional[_ClientSlot]] = {
             i: None for i in range(engine.batch_size)
         }
@@ -132,7 +141,7 @@ class StreamingServer:
     def _claim_slot(self, websocket) -> Optional[_ClientSlot]:
         for i, slot in self.slots.items():
             if slot is None:
-                client = _ClientSlot(i, websocket)
+                client = _ClientSlot(i, websocket, self._ingest_dtype)
                 self.slots[i] = client
                 self._pending_resets.add(i)
                 return client
@@ -150,12 +159,45 @@ class StreamingServer:
         logger.info("client connected on slot %d", client.index)
         try:
             async for message in websocket:
-                samples = utils.decode_audio(message)[0]
+                if message.startswith("{"):
+                    # Optional wire-config handshake before any audio,
+                    # e.g. {"format": "int16"} (half the wire bytes of the
+                    # reference's float32 protocol). Reference clients
+                    # never send JSON — base64 audio cannot start with
+                    # '{' — so the default f32 path is untouched.
+                    import json
+
+                    fmt = json.loads(message).get("format", "f32")
+                    if fmt not in ("f32", "int16"):
+                        await websocket.close(
+                            code=1003, reason=f"unknown format {fmt!r}"
+                        )
+                        return
+                    client.wire_format = fmt
+                    continue
+                samples = self._ingest(message, client.wire_format)
                 client.buffer = np.concatenate([client.buffer, samples])
         except Exception as e:  # connection errors end the stream
             logger.info("client %d disconnected: %s", client.index, e)
         finally:
             self._release_slot(client)
+
+    def _ingest(self, message: str, wire_format: str) -> np.ndarray:
+        """Decode one audio message into the server's ingest dtype.
+        int16 wire + int16 ingest (quantize_transfer) is the zero-copy
+        path: the PCM bytes go to the device untouched. The f32->int16
+        quantization here is the exact clip-scale ``session.push_begin``
+        applies, so WHERE the quantization happens never changes the
+        output (pinned by tests/test_tools.py wire-format parity)."""
+        if wire_format == "int16":
+            samples = utils.decode_audio_int16(message)[0]
+            if self._ingest_dtype == np.int16:
+                return samples
+            return samples.astype(np.float32) / 32768.0
+        samples = utils.decode_audio(message)[0]
+        if self._ingest_dtype == np.int16:
+            return np.clip(samples * 32768.0, -32768, 32767).astype(np.int16)
+        return samples
 
     async def _tick(self):
         """Advance every stream that has a full step block queued."""
@@ -203,7 +245,7 @@ class StreamingServer:
                 if now - self._wave_t0 < self.coalesce:
                     return
         self._wave_t0 = None
-        blocks = np.zeros((b, n), np.float32)
+        blocks = np.zeros((b, n), self._ingest_dtype)
         present = np.zeros((b,), bool)
         clients = {}
         for i, slot in ready:

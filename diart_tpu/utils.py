@@ -72,6 +72,29 @@ def decode_audio(data: str) -> np.ndarray:
     return samples.reshape(1, -1)
 
 
+def encode_audio_int16(waveform: np.ndarray) -> str:
+    """float32 samples -> base64 of int16 PCM: HALF the wire bytes of the
+    reference's float32 format (``encode_audio``). Quantization is the same
+    clip-scale used device-side by ``quantize_transfer`` (exact to
+    1/32768); a server told via the ``{"format": "int16"}`` handshake
+    decodes with :func:`decode_audio_int16`."""
+    if np.issubdtype(np.asarray(waveform).dtype, np.integer):
+        pcm = np.asarray(waveform, np.int16)
+    else:
+        pcm = np.clip(
+            np.asarray(waveform, np.float32) * 32768.0, -32768, 32767
+        ).astype(np.int16)
+    return base64.b64encode(pcm.tobytes()).decode("utf-8")
+
+
+def decode_audio_int16(data: str) -> np.ndarray:
+    """base64 -> (1, samples) int16 PCM (no float conversion: an
+    int16-transfer server ships these bytes to the device as-is and
+    dequantizes there)."""
+    samples = np.frombuffer(base64.decodebytes(data.encode("utf-8")), dtype=np.int16)
+    return samples.reshape(1, -1)
+
+
 def get_padding_left(stream_duration: float, chunk_duration: float) -> float:
     """Zero-padding needed so short streams still fill one chunk."""
     if stream_duration < chunk_duration:

@@ -121,16 +121,33 @@ def _encode(waveform):
     return base64.b64encode(waveform.astype(np.float32).tobytes()).decode()
 
 
-async def _client(idx, port, hops, step_dur, step_samples, out, start_evt):
+def _encode_int16(waveform):
+    """diart_tpu.utils.encode_audio_int16 without importing diart_tpu:
+    half the wire bytes; preceded by the {"format": "int16"} handshake."""
+    import base64
+
+    pcm = np.clip(
+        waveform.astype(np.float32) * 32768.0, -32768, 32767
+    ).astype(np.int16)
+    return base64.b64encode(pcm.tobytes()).decode()
+
+
+async def _client(
+    idx, port, hops, step_dur, step_samples, out, start_evt,
+    wire_int16=False,
+):
     import websockets
 
-    encode_audio = _encode
+    encode_audio = _encode_int16 if wire_int16 else _encode
     audio = _client_audio(idx, hops, step_samples)
     send_times, recv_times = [], []
     try:
         async with websockets.connect(
             f"ws://127.0.0.1:{port}", max_size=None
         ) as ws:
+            if wire_int16:
+                await ws.send('{"format": "int16"}')
+
             async def reader():
                 try:
                     while True:
@@ -175,7 +192,8 @@ def _drive_clients(spec, conn):
         tasks = [
             asyncio.create_task(
                 _client(i, spec["port"], spec["hops"], spec["step_dur"],
-                        spec["step_samples"], results, evt)
+                        spec["step_samples"], results, evt,
+                        spec["wire_int16"])
             )
             for i in spec["indices"]
         ]
@@ -298,6 +316,7 @@ async def _run(args):
                     "step_dur": engine.step_duration,
                     "step_samples": engine.step_samples,
                     "start_at": start_at,
+                    "wire_int16": args.wire_int16,
                 }
                 p = ctx.Process(target=_drive_clients, args=(spec, child))
                 p.start()
@@ -317,7 +336,8 @@ async def _run(args):
             tasks = [
                 asyncio.create_task(
                     _client(i, args.port, hops, engine.step_duration,
-                            engine.step_samples, results, start_evt)
+                            engine.step_samples, results, start_evt,
+                            args.wire_int16)
                 )
                 for i in range(n_clients)
             ]
@@ -333,6 +353,7 @@ async def _run(args):
             "client_procs": max(1, args.client_procs),
             "pipelined": server.pipelined,
             "coalesce_ms": round(server.coalesce * 1000, 1),
+            "wire_int16": args.wire_int16,
             **_phase_stats(results, warmup),
             **_step_stats(begin_log, t0, t1, prefix="dispatch"),
             **_step_stats(finish_log, t0, t1, prefix="harvest"),
@@ -362,7 +383,8 @@ async def _run(args):
     long_tasks = [
         asyncio.create_task(
             _client(i, args.port, args.hops, engine.step_duration,
-                    engine.step_samples, results, start_evt)
+                    engine.step_samples, results, start_evt,
+                    args.wire_int16)
         )
         for i in range(n - kill)
     ]
@@ -370,7 +392,7 @@ async def _run(args):
         asyncio.create_task(
             _client(1000 + i, args.port, args.hops // 2,
                     engine.step_duration, engine.step_samples, results,
-                    start_evt)
+                    start_evt, args.wire_int16)
         )
         for i in range(kill)
     ]
@@ -384,7 +406,8 @@ async def _run(args):
     repl_tasks = [
         asyncio.create_task(
             _client(2000 + i, args.port, args.hops // 2,
-                    engine.step_duration, engine.step_samples, results, evt2)
+                    engine.step_duration, engine.step_samples, results, evt2,
+                    args.wire_int16)
         )
         for i in range(kill)
     ]
@@ -438,6 +461,10 @@ def main():
     p.add_argument("--int16", action="store_true",
                    help="ship int16 PCM blocks to the device (server-side "
                    "quantize_transfer: half the host->device bytes per hop)")
+    p.add_argument("--wire-int16", action="store_true",
+                   help="clients send int16 PCM over the websocket (half "
+                   "the wire bytes; combined with --int16 the audio stays "
+                   "int16 from wire to device)")
     p.add_argument("--pipeline-ab", action="store_true",
                    help="run each ramp phase twice back to back: "
                    "synchronous push vs pipelined dispatch/harvest")

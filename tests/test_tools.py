@@ -295,6 +295,82 @@ class TestStreamingServer:
             assert "SPEAKER" in text
 
 
+    def test_wire_int16_parity(self):
+        """An int16-wire client (JSON handshake + int16 PCM frames, half
+        the wire bytes) and a float32-wire client sending the SAME
+        int16-exact audio through a quantize_transfer server must receive
+        IDENTICAL RTTM streams: quantizing at ingest vs per hop is the
+        same clip-scale, and the zero-conversion int16 path changes no
+        sample."""
+        pytest.importorskip("websockets")
+        from websockets.sync.client import connect
+
+        from diart_tpu.runtime.server import StreamingServer
+        from diart_tpu.utils import encode_audio_int16
+
+        engine = MultiStreamEngine(
+            segmentation=fake_segmentation(),
+            embedding=fake_embedding(),
+            batch_size=2,
+            **PIPELINE_PARAMS,
+        )
+        port = 7317
+        server = StreamingServer(
+            engine, tau_active=0.6, host="127.0.0.1", port=port,
+            realtime=False, quantize_transfer=True,
+        )
+        thread = threading.Thread(target=server.run, daemon=True)
+        thread.start()
+        time.sleep(0.5)
+
+        # int16-exact audio: both wires carry the same quantized samples
+        raw = synth_audio(FILES["conv1"], TOTAL, seed=0)
+        pcm = np.clip(raw * 32768.0, -32768, 32767).astype(np.int16)
+        audio = pcm.astype(np.float32) / 32768.0
+        step_samples = int(PIPELINE_PARAMS["step"] * SAMPLE_RATE)
+        received = {"f32": [], "int16": []}
+
+        def client(fmt):
+            with connect(f"ws://127.0.0.1:{port}") as ws:
+                if fmt == "int16":
+                    ws.send('{"format": "int16"}')
+                    encode = encode_audio_int16
+                else:
+                    encode = encode_audio
+                for start in range(0, audio.shape[1], step_samples):
+                    ws.send(encode(audio[:, start : start + step_samples]))
+                    time.sleep(0.01)
+                deadline = time.time() + 30
+                while time.time() < deadline:
+                    try:
+                        received[fmt].append(ws.recv(timeout=1.0))
+                    except TimeoutError:
+                        if received[fmt]:
+                            break
+                    except Exception:
+                        break
+
+        threads = [
+            threading.Thread(target=client, args=(f,)) for f in received
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        server.close()
+        thread.join(timeout=10)
+
+        assert received["f32"] and received["int16"]
+        # identical per-hop RTTM apart from the slot-assigned uri
+        strip = lambda msgs: [
+            " ".join(
+                tok for k, tok in enumerate(line.split()) if k != 1
+            )
+            for m in msgs
+            for line in m.splitlines()
+        ]
+        assert strip(received["f32"]) == strip(received["int16"])
+
     def test_clients_stay_responsive_during_slow_steps(self):
         """A slow/contended device step must not freeze the websocket loop:
         session.push runs in an executor, so pings answer while a step is in
