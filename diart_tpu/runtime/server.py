@@ -288,14 +288,40 @@ class StreamingServer:
     async def _send_outputs(self, outputs, clients):
         """Send each client its hop's RTTM text (``session.push_rttm`` /
         ``push_finish_rttm`` output: one string per stream, skipping the
-        Annotation object churn the wire never needed)."""
-        for i, rttm in enumerate(outputs):
-            if not rttm or i not in clients:
-                continue
+        Annotation object churn the wire never needed).
+
+        Slow-consumer eviction: ``websocket.send`` blocks when a client's
+        TCP write buffer is full (websockets flow control), and one
+        stalled client must NOT stall the hop for everyone else — the
+        sends of one hop run concurrently, each capped at a step period;
+        a client that can't drain an RTTM line within a full step is
+        evicted (closed 1011) and its slot recycled."""
+        timeout = max(self.engine.step_duration, 0.25)
+
+        async def send_one(slot, rttm):
             try:
-                await clients[i].websocket.send(rttm)
+                await asyncio.wait_for(slot.websocket.send(rttm), timeout)
+            except asyncio.TimeoutError:
+                logger.warning(
+                    "slot %d cannot keep up; evicting", slot.index
+                )
+                try:
+                    await asyncio.wait_for(
+                        slot.websocket.close(code=1011, reason="too slow"),
+                        1.0,
+                    )
+                except Exception:
+                    pass
             except Exception:
                 pass
+
+        sends = [
+            send_one(clients[i], rttm)
+            for i, rttm in enumerate(outputs)
+            if rttm and i in clients
+        ]
+        if sends:
+            await asyncio.gather(*sends)
 
     async def _deliverer(self):
         """Consume harvested hops in order and send each client its RTTM."""

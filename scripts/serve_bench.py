@@ -363,7 +363,16 @@ async def _run(args):
         return stats
 
     for n in args.ramp:
-        if args.pipeline_ab:
+        if args.wire_ab:
+            # back-to-back f32-wire vs int16-wire A/B per client count
+            # (same server, same process — the only honest comparison on
+            # the time-shared dev chip)
+            base = args.wire_int16
+            for mode in ("f32", "i16"):
+                args.wire_int16 = mode == "i16"
+                await run_phase(n, args.hops, f"ramp{n}_{mode}")
+            args.wire_int16 = base
+        elif args.pipeline_ab:
             # back-to-back sync-vs-pipelined A/B per client count — the
             # only honest comparison on the time-shared dev chip (single
             # runs move with contention; PERF.md "Headline reconciliation")
@@ -465,6 +474,9 @@ def main():
                    help="clients send int16 PCM over the websocket (half "
                    "the wire bytes; combined with --int16 the audio stays "
                    "int16 from wire to device)")
+    p.add_argument("--wire-ab", action="store_true",
+                   help="run each ramp phase twice back to back: f32 wire "
+                   "vs int16 wire (same server process)")
     p.add_argument("--pipeline-ab", action="store_true",
                    help="run each ramp phase twice back to back: "
                    "synchronous push vs pipelined dispatch/harvest")

@@ -371,6 +371,54 @@ class TestStreamingServer:
         ]
         assert strip(received["f32"]) == strip(received["int16"])
 
+    def test_slow_consumer_does_not_stall_the_hop(self):
+        """A client whose TCP write buffer never drains (websocket.send
+        blocks forever) must not stall the hop's other replies: sends run
+        concurrently with a one-step cap, the stalled client is evicted
+        (close 1011), and the healthy client still gets its RTTM."""
+        import asyncio
+
+        from diart_tpu.runtime.server import StreamingServer, _ClientSlot
+
+        engine = MultiStreamEngine(
+            segmentation=fake_segmentation(),
+            embedding=fake_embedding(),
+            batch_size=2,
+            **PIPELINE_PARAMS,
+        )
+        server = StreamingServer(engine, tau_active=0.6)
+
+        class StuckSocket:
+            def __init__(self):
+                self.closed = None
+
+            async def send(self, msg):
+                await asyncio.sleep(3600)
+
+            async def close(self, code=None, reason=None):
+                self.closed = code
+
+        class GoodSocket:
+            def __init__(self):
+                self.sent = []
+
+            async def send(self, msg):
+                self.sent.append(msg)
+
+        stuck, good = _ClientSlot(0, StuckSocket()), _ClientSlot(1, GoodSocket())
+
+        async def run():
+            await asyncio.wait_for(
+                server._send_outputs(
+                    ["SPEAKER a\n", "SPEAKER b\n"], {0: stuck, 1: good}
+                ),
+                timeout=3 * engine.step_duration,
+            )
+
+        asyncio.run(run())
+        assert good.websocket.sent == ["SPEAKER b\n"]
+        assert stuck.websocket.closed == 1011
+
     def test_clients_stay_responsive_during_slow_steps(self):
         """A slow/contended device step must not freeze the websocket loop:
         session.push runs in an executor, so pings answer while a step is in
