@@ -17,6 +17,7 @@ back the RTTM lines of each latency-delayed prediction.
 from __future__ import annotations
 
 import asyncio
+import json
 import logging
 import time
 from typing import Dict, Optional
@@ -165,8 +166,6 @@ class StreamingServer:
                     # reference's float32 protocol). Reference clients
                     # never send JSON — base64 audio cannot start with
                     # '{' — so the default f32 path is untouched.
-                    import json
-
                     fmt = json.loads(message).get("format", "f32")
                     if fmt not in ("f32", "int16"):
                         await websocket.close(
