@@ -11,7 +11,9 @@ serve 100 meetings from one chip".
 
 Wire protocol (compatible with the reference's client, ``utils.py:56-66``):
 clients send base64-encoded float32 blocks as text frames; the server sends
-back the RTTM lines of each latency-delayed prediction.
+back the RTTM lines of each latency-delayed prediction. Extension: a client
+may first send the JSON handshake ``{"format": "int16"}`` and then int16
+PCM frames — half the wire bytes (docs/SERVING.md "Wire protocol").
 """
 
 from __future__ import annotations
