@@ -19,6 +19,8 @@ without reshuffling.
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -140,7 +142,16 @@ class BiLSTM(nn.Module):
                     )
                     + b[None, :, None, :]
                 ).astype(stream_dtype)
-                out_t = lstm_sweep_tm(proj_t, w_hh)  # (T, 2, B, H) natural
+                # DMA-blocked sweep (K timesteps per double-buffered DMA
+                # pair instead of 4 DMA start/waits per step); bit-exact
+                # vs the per-step kernel, so engaging it is a pure
+                # scheduling change.
+                block = (
+                    int(os.environ.get("DIART_TPU_LSTM_BLOCK_K", "8"))
+                    if precision.enabled("lstm_block")
+                    else 0
+                )
+                out_t = lstm_sweep_tm(proj_t, w_hh, block=block)  # (T, 2, B, H)
                 x = jnp.concatenate([out_t[:, 0], out_t[:, 1]], axis=-1)
             else:
                 # (2, B, T, in): dir 0 forward, dir 1 time-flipped

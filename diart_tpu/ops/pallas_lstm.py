@@ -244,9 +244,12 @@ def _run_kernel(proj, w_hh, interpret):
     return jnp.moveaxis(out_t, 0, 2)  # (2, B, T, H)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "block"))
 def lstm_sweep_tm(
-    proj_t: jnp.ndarray, w_hh: jnp.ndarray, interpret: bool = None
+    proj_t: jnp.ndarray,
+    w_hh: jnp.ndarray,
+    interpret: bool = None,
+    block: int = 0,
 ) -> jnp.ndarray:
     """Time-major bidirectional sweep over UNREVERSED projections.
 
@@ -255,10 +258,17 @@ def lstm_sweep_tm(
     materializes a time-flipped copy of the gate stream). Returns
     (T, 2, B, H) hidden states, both directions in natural time order.
     Differentiable (backward through the XLA scan formulation).
+
+    block: 0/1 = the per-timestep kernel (one fetch + one writeback DMA
+    pair per step). block >= 2 = the DMA-blocked kernel: ``block``
+    timesteps per double-buffered fetch/writeback DMA, amortizing the
+    per-step DMA start/wait overhead that dominates this latency-bound
+    sweep (the per-step recurrent matmul is ~0.3 us against ~2 us of
+    measured per-step cost; see PERF.md).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _with_vjp_tm(interpret)(proj_t, w_hh)
+    return _with_vjp_tm(interpret, int(block))(proj_t, w_hh)
 
 
 def _tm_reference(proj_t, w_hh):
@@ -278,9 +288,13 @@ def _bidirectional_scan_lazy(proj, w_hh, hidden):
 
 
 @lru_cache(maxsize=None)
-def _with_vjp_tm(interpret: bool):
+def _with_vjp_tm(interpret: bool, block: int = 0):
     @jax.custom_vjp
     def run(proj_t, w_hh):
+        # the blocked kernel's epilogue re-fetches a full block window, so
+        # it needs at least two full blocks of timesteps
+        if block >= 2 and proj_t.shape[0] >= 2 * block:
+            return _pallas_sweep_blocked(proj_t, w_hh, interpret, block)
         return _pallas_sweep(proj_t, w_hh, interpret, flip_dir1=True)
 
     def fwd(proj_t, w_hh):
@@ -292,4 +306,235 @@ def _with_vjp_tm(interpret: bool):
 
     run.defvjp(fwd, bwd)
     return run
+
+
+def _lstm_block_kernel(
+    proj_ref, w_hh_ref, out_ref, h_scr, c_scr, x_scr, o_scr, sem, *, block
+):
+    """DMA-blocked variant of :func:`_lstm_kernel` (flip_dir1 semantics).
+
+    proj_ref/out_ref: (T, 2, B, 4H|H) in HBM, natural time order, NO time
+    padding (the caller guarantees T >= 2*block). x_scr/o_scr: (2 slots,
+    block, 2, B, 4H|H) VMEM. sem: 8 DMA semaphores — [slot*2 + dir] for
+    fetches, [4 + slot*2 + dir] for writebacks.
+
+    Per outer iteration the kernel moves ``block`` timesteps of both
+    directions with ONE fetch DMA pair and ONE writeback DMA pair (the
+    per-timestep kernel pays 4 DMA start/waits per step), then runs the
+    ``block`` recurrence steps unrolled out of VMEM. Writebacks are
+    double-buffered: block j's flush is only waited when its staging slot
+    is re-staged at block j+2 (and drained at kernel end).
+
+    Direction 1 walks backwards: outer block j fetches natural rows
+    [T - (j+1)*block, T - j*block) and the k-th substep consumes staged
+    row block-1-k. The T %% block tail is a STATIC epilogue after the
+    loop: it fetches the last full-block window (rows [T-block, T) for
+    dir 0, [0, block) for dir 1 — re-fetching a few already-consumed rows
+    keeps the DMA shape static), computes the remaining r substeps at
+    static in-block offsets, and flushes only the r fresh rows of each
+    direction with static partial-row DMAs. No zero-padding ever enters
+    the recurrence, so no state masking is needed anywhere.
+    """
+    time, dirs, batch, gates4 = proj_ref.shape
+    hidden = gates4 // 4
+    out_dtype = out_ref.dtype
+    nb = time // block  # full blocks; caller guarantees nb >= 2
+    rem = time - nb * block
+
+    h_scr[...] = jnp.zeros_like(h_scr)
+    c_scr[...] = jnp.zeros_like(c_scr)
+
+    def fetch(slot, j):
+        """Start-of-window offsets for full block j (j may be traced)."""
+        return (
+            pltpu.make_async_copy(
+                proj_ref.at[pl.ds(j * block, block), 0],
+                x_scr.at[slot, :, 0],
+                sem.at[slot * 2],
+            ),
+            pltpu.make_async_copy(
+                proj_ref.at[pl.ds(time - (j + 1) * block, block), 1],
+                x_scr.at[slot, :, 1],
+                sem.at[slot * 2 + 1],
+            ),
+        )
+
+    def fetch_epilogue(slot):
+        return (
+            pltpu.make_async_copy(
+                proj_ref.at[pl.ds(time - block, block), 0],
+                x_scr.at[slot, :, 0],
+                sem.at[slot * 2],
+            ),
+            pltpu.make_async_copy(
+                proj_ref.at[pl.ds(0, block), 1],
+                x_scr.at[slot, :, 1],
+                sem.at[slot * 2 + 1],
+            ),
+        )
+
+    def flush(slot, j):
+        return (
+            pltpu.make_async_copy(
+                o_scr.at[slot, :, 0],
+                out_ref.at[pl.ds(j * block, block), 0],
+                sem.at[4 + slot * 2],
+            ),
+            pltpu.make_async_copy(
+                o_scr.at[slot, :, 1],
+                out_ref.at[pl.ds(time - (j + 1) * block, block), 1],
+                sem.at[4 + slot * 2 + 1],
+            ),
+        )
+
+    def flush_epilogue(slot):
+        # only the r fresh rows: dir 0 tail [T-rem, T), dir 1 head [0, rem)
+        return (
+            pltpu.make_async_copy(
+                o_scr.at[slot, pl.ds(block - rem, rem), 0],
+                out_ref.at[pl.ds(time - rem, rem), 0],
+                sem.at[4 + slot * 2],
+            ),
+            pltpu.make_async_copy(
+                o_scr.at[slot, pl.ds(0, rem), 1],
+                out_ref.at[pl.ds(0, rem), 1],
+                sem.at[4 + slot * 2 + 1],
+            ),
+        )
+
+    def substep(slot, k_in, k_out):
+        """One recurrence step from staged rows: direction 0 reads staged
+        row k_in and stages its output at row k_out; direction 1 reads
+        staged row block-1-k_in and stages at block-1-k_out."""
+        xt = jnp.stack(
+            [x_scr[slot, k_in, 0], x_scr[slot, block - 1 - k_in, 1]]
+        )  # (2, B, 4H)
+        h = h_scr[...].astype(w_hh_ref.dtype)
+        gates = xt.astype(jnp.float32) + jax.lax.dot_general(
+            h,
+            w_hh_ref[...],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        i = jax.nn.sigmoid(gates[..., 0 * hidden : 1 * hidden])
+        f = jax.nn.sigmoid(gates[..., 1 * hidden : 2 * hidden])
+        g = jnp.tanh(gates[..., 2 * hidden : 3 * hidden])
+        o = jax.nn.sigmoid(gates[..., 3 * hidden : 4 * hidden])
+        c = f * c_scr[...] + i * g
+        h_new = o * jnp.tanh(c)
+        c_scr[...] = c
+        h_scr[...] = h_new
+        o_scr[slot, k_out, 0] = h_new[0].astype(out_dtype)
+        o_scr[slot, block - 1 - k_out, 1] = h_new[1].astype(out_dtype)
+
+    # warm-up: start block 0's fetch
+    for c in fetch(0, 0):
+        c.start()
+
+    def outer(j, _):
+        slot = jax.lax.rem(j, 2)
+        next_slot = jax.lax.rem(j + 1, 2)
+
+        @pl.when(j + 1 < nb)
+        def _():
+            for c in fetch(next_slot, j + 1):
+                c.start()
+
+        if rem:
+
+            @pl.when(j + 1 == nb)
+            def _():
+                for c in fetch_epilogue(next_slot):
+                    c.start()
+
+        for c in fetch(slot, j):
+            c.wait()
+
+        # o_scr[slot] was last flushed by block j-2; drain before restaging
+        @pl.when(j >= 2)
+        def _():
+            for c in flush(slot, j - 2):
+                c.wait()
+
+        for k in range(block):
+            substep(slot, k, k)
+
+        for c in flush(slot, j):
+            c.start()
+        return 0
+
+    jax.lax.fori_loop(0, nb, outer, 0)
+
+    if rem:
+        slot = nb % 2
+        for c in fetch_epilogue(slot):
+            c.wait()
+        for c in flush(slot, nb - 2):
+            c.wait()
+        # dir 0's remaining timesteps [T-rem, T) sit at staged rows
+        # block-rem..block-1 of the [T-block, T) window; dir 1's remaining
+        # positions rem-1..0 are read via block-1-k_in = rem-1-i, i.e.
+        # k_in = block-rem+i as well. Staging at k_out = k_in lands the
+        # fresh rows exactly where flush_epilogue slices them.
+        for i in range(rem):
+            substep(slot, block - rem + i, block - rem + i)
+        for c in flush_epilogue(slot):
+            c.start()
+        for c in flush((nb - 1) % 2, nb - 1):
+            c.wait()
+        for c in flush_epilogue(slot):
+            c.wait()
+    else:
+        for c in flush((nb - 2) % 2, nb - 2):
+            c.wait()
+        for c in flush((nb - 1) % 2, nb - 1):
+            c.wait()
+
+
+def _pallas_sweep_blocked(proj_t, w_hh, interpret, block):
+    """proj_t: (T, 2, B, 4H) time-major natural order -> (T, 2, B, H).
+
+    The caller (:func:`lstm_sweep_tm`) guarantees T >= 2*block. Sub-8
+    batches are zero-padded to the sublane tile behind an
+    ``optimization_barrier``: XLA:CPU's interpret-mode emulation misreads
+    an operand whose batch-axis pad was fused into the kernel call (the
+    un-padded layout leaks through; observed 2026-08-20), and the barrier
+    forces the padded buffer to materialize. Production batches are
+    already sublane-aligned, so the barrier never fires there.
+    """
+    time, dirs, batch, gates4 = proj_t.shape
+    hidden = gates4 // 4
+    bpad = (-batch) % 8
+    if bpad:
+        proj_t = jax.lax.optimization_barrier(
+            jnp.pad(proj_t, ((0, 0), (0, 0), (0, bpad), (0, 0)))
+        )
+    w_hh = w_hh.astype(proj_t.dtype)
+    out = pl.pallas_call(
+        partial(_lstm_block_kernel, block=block),
+        out_shape=jax.ShapeDtypeStruct(
+            (time, dirs, batch + bpad, hidden), proj_t.dtype
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # proj streams via DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_hh resident
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((dirs, batch + bpad, hidden), jnp.float32),  # h
+            pltpu.VMEM((dirs, batch + bpad, hidden), jnp.float32),  # c
+            pltpu.VMEM(
+                (2, block, dirs, batch + bpad, gates4), proj_t.dtype
+            ),  # x double buffer
+            pltpu.VMEM(
+                (2, block, dirs, batch + bpad, hidden), proj_t.dtype
+            ),  # out staging double buffer
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1.2e8),
+        ),
+    )(proj_t, w_hh)
+    return out[:, :, :batch] if bpad else out
 

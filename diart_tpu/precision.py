@@ -54,6 +54,7 @@ _ENV_VARS = {
     "fast_fbank": "DIART_TPU_FAST_FBANK",
     "phased_ring": "DIART_TPU_PHASED_RING",
     "fbank_ring": "DIART_TPU_FBANK_RING",
+    "lstm_block": "DIART_TPU_LSTM_BLOCK",
 }
 # Paths that only exist for TPU backends (Pallas lowering, bf16 storage
 # layouts); they resolve to False anywhere else no matter what the policy
@@ -67,6 +68,7 @@ _TPU_ONLY = frozenset(
         "bf16_lstm",
         "bf16_frontend",
         "fast_fbank",
+        "lstm_block",
     )
 )
 
@@ -155,6 +157,14 @@ class Precision:
     # serving path through warm-up, steady state, pause/resume and slot
     # resets. Opt out with DIART_TPU_FBANK_RING=0.
     fbank_ring: bool = True
+    # lstm_block: DMA-blocked LSTM sweep kernel — `DIART_TPU_LSTM_BLOCK_K`
+    # (default 8) timesteps per double-buffered fetch/writeback DMA pair
+    # instead of 4 DMA start/waits per timestep (ops/pallas_lstm.py
+    # `_lstm_block_kernel`). Bit-exact vs the per-timestep kernel (same
+    # gate math, same order; parity in tests/test_ops.py and compiled
+    # on-chip). Default pending an engine-level on-chip A/B
+    # (`bench.py --ab --set lstm_block=1`).
+    lstm_block: bool = False
 
     def resolved(self) -> Dict[str, bool]:
         """The switches as they would actually resolve right now (env
@@ -208,6 +218,7 @@ class Precision:
             fast_fbank=False,
             phased_ring=False,
             fbank_ring=False,
+            lstm_block=False,
         )
 
 
