@@ -87,7 +87,13 @@ class MultiStreamSession:
         )  # blocks per full chunk
         # dispatched-but-unharvested hops; guards the collect_audio
         # restriction below (push_begin docstring) with an error instead
-        # of silently corrupted audio regions
+        # of silently corrupted audio regions. Incremented on the dispatch
+        # thread, decremented on the harvest thread under the pipelined
+        # server — the lock keeps the read-modify-write atomic so the
+        # counter cannot drift across threads.
+        import threading
+
+        self._inflight_lock = threading.Lock()
         self._inflight_hops = 0
         if self.collect_audio:
             self._audio = np.zeros((b, engine.chunk_samples), np.float32)
@@ -305,7 +311,8 @@ class MultiStreamSession:
                 first_rows, (0, width - first_rows.size), mode="edge"
             )
             fetch.append(out.newest[idx])
-        self._inflight_hops += 1
+        with self._inflight_lock:
+            self._inflight_hops += 1
         return _PendingHop(
             fetch=fetch,
             run_mask=run_mask,
@@ -331,7 +338,8 @@ class MultiStreamSession:
                 int(r): fetch[1][k] for k, r in enumerate(pending.first_rows)
             }
         self.chronometer.history.append(time.monotonic() - pending.t0)
-        self._inflight_hops = max(0, self._inflight_hops - 1)
+        with self._inflight_lock:
+            self._inflight_hops = max(0, self._inflight_hops - 1)
         return aggregated, newest_rows
 
     def push_finish(

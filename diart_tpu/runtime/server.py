@@ -41,6 +41,7 @@ class _ClientSlot:
         self.websocket = websocket
         self.buffer = np.zeros((0,), dtype)
         self.wire_format = "f32"  # set by the optional JSON handshake
+        self.audio_seen = False  # handshake must precede any audio
         self.closed = False
 
 
@@ -168,6 +169,15 @@ class StreamingServer:
                     # reference's float32 protocol). Reference clients
                     # never send JSON — base64 audio cannot start with
                     # '{' — so the default f32 path is untouched.
+                    if client.audio_seen:
+                        # the documented contract (docs/SERVING.md "Wire
+                        # protocol") is handshake-BEFORE-audio; a mid-stream
+                        # format switch would silently reinterpret queued
+                        # bytes, so reject it as a protocol error
+                        await websocket.close(
+                            code=1002, reason="handshake after audio"
+                        )
+                        return
                     fmt = json.loads(message).get("format", "f32")
                     if fmt not in ("f32", "int16"):
                         await websocket.close(
@@ -177,6 +187,7 @@ class StreamingServer:
                     client.wire_format = fmt
                     continue
                 samples = self._ingest(message, client.wire_format)
+                client.audio_seen = True
                 client.buffer = np.concatenate([client.buffer, samples])
         except Exception as e:  # connection errors end the stream
             logger.info("client %d disconnected: %s", client.index, e)
@@ -284,6 +295,11 @@ class StreamingServer:
             self._harvest_pool, self.session.push_finish_rttm, pending
         )
         self._in_flight += 1
+        if self._outbox is None:
+            # _tick called outside serve() (unit tests drive it directly):
+            # create the queue here; serve() rebinds a fresh one to its own
+            # running loop before the ticker starts
+            self._outbox = asyncio.Queue(maxsize=1)
         await self._outbox.put((fut, clients))
 
     async def _send_outputs(self, outputs, clients):
@@ -346,8 +362,18 @@ class StreamingServer:
                 pass
         # drain in-flight hops so the last replies still go out (counter,
         # not queue emptiness: the deliverer pops an item BEFORE awaiting
-        # its harvest, so an empty queue can still have a hop in flight)
+        # its harvest, so an empty queue can still have a hop in flight).
+        # Bounded: a wedged device tunnel must not hang shutdown forever —
+        # after a few step periods, log and abandon the remaining hops.
+        deadline = time.monotonic() + max(3 * self.engine.step_duration, 2.0)
         while self._in_flight > 0:
+            if time.monotonic() > deadline:
+                logger.warning(
+                    "shutdown drain timed out with %d hop(s) still in "
+                    "flight; abandoning their replies",
+                    self._in_flight,
+                )
+                break
             await asyncio.sleep(0.05)
 
     # ------------------------------------------------------------------ #

@@ -235,6 +235,107 @@ class TestStreamingServer:
         tick()
         assert len(pushes) == 1 and pushes[0].sum() == 2
 
+    def test_handshake_after_audio_rejected(self):
+        """The {"format": ...} handshake must precede any audio
+        (docs/SERVING.md wire protocol); one arriving after audio has been
+        buffered is rejected with close code 1002 instead of silently
+        switching the wire format mid-stream."""
+        import asyncio
+
+        from diart_tpu.runtime.server import StreamingServer
+
+        engine = MultiStreamEngine(
+            segmentation=fake_segmentation(),
+            embedding=fake_embedding(),
+            batch_size=2,
+            **PIPELINE_PARAMS,
+        )
+        server = StreamingServer(engine, realtime=False)
+
+        class FakeSocket:
+            def __init__(self, messages):
+                self._messages = list(messages)
+                self.close_code = None
+
+            def __aiter__(self):
+                return self
+
+            async def __anext__(self):
+                if not self._messages:
+                    raise StopAsyncIteration
+                return self._messages.pop(0)
+
+            async def close(self, code=1000, reason=""):
+                self.close_code = code
+
+        audio = encode_audio(np.zeros((1, 64), np.float32))
+        late = FakeSocket([audio, '{"format": "int16"}'])
+        asyncio.run(server._handler(late))
+        assert late.close_code == 1002
+        # ...but a handshake BEFORE any audio is accepted (no close)
+        early = FakeSocket(['{"format": "int16"}'])
+        asyncio.run(server._handler(early))
+        assert early.close_code is None
+
+    def test_pipelined_tick_without_serve(self):
+        """Driving a pipelined server's _tick directly (as unit tests do
+        for the sync path) must not crash on the outbox that serve()
+        normally creates — it is created lazily."""
+        import asyncio
+
+        from diart_tpu.runtime.server import StreamingServer, _ClientSlot
+
+        engine = MultiStreamEngine(
+            segmentation=fake_segmentation(),
+            embedding=fake_embedding(),
+            batch_size=2,
+            **PIPELINE_PARAMS,
+        )
+        server = StreamingServer(engine, realtime=False, pipelined=True)
+        server.session.reset_slots = lambda *a, **k: None
+        server.session.push_begin = lambda blocks, present: None  # warm-up
+        slot = _ClientSlot(0, websocket=None)
+        slot.buffer = np.zeros((engine.step_samples,), np.float32)
+        server.slots[0] = slot
+        asyncio.run(server._tick())  # no AttributeError
+        # and with a real pending handle the hop lands in the lazy outbox
+        server.session.push_begin = lambda blocks, present: object()
+        server.session.push_finish_rttm = lambda pending: ["x", None]
+        slot.buffer = np.zeros((engine.step_samples,), np.float32)
+
+        async def drive():
+            await server._tick()
+            assert server._outbox is not None
+            assert server._outbox.qsize() == 1
+
+        asyncio.run(drive())
+
+    def test_shutdown_drain_is_bounded(self):
+        """A wedged harvest (in-flight counter never reaching zero) must
+        not hang server shutdown forever: the drain loop gives up after a
+        few step periods."""
+        import asyncio
+
+        from diart_tpu.runtime.server import StreamingServer
+
+        engine = MultiStreamEngine(
+            segmentation=fake_segmentation(),
+            embedding=fake_embedding(),
+            batch_size=2,
+            **PIPELINE_PARAMS,
+        )
+        server = StreamingServer(engine, realtime=False)
+        server._in_flight = 1  # simulate a hop whose reply never lands
+
+        async def drive():
+            server._stop = asyncio.Event()
+            server._stop.set()
+            await asyncio.wait_for(server._ticker(), timeout=10.0)
+
+        t0 = time.monotonic()
+        asyncio.run(drive())  # returns instead of hanging
+        assert time.monotonic() - t0 < 8.0
+
     def test_multi_client_serving(self):
         pytest.importorskip("websockets")
         from websockets.sync.client import connect
