@@ -162,9 +162,15 @@ class Precision:
     # instead of 4 DMA start/waits per timestep (ops/pallas_lstm.py
     # `_lstm_block_kernel`). Bit-exact vs the per-timestep kernel (same
     # gate math, same order; parity in tests/test_ops.py and compiled
-    # on-chip). Default pending an engine-level on-chip A/B
-    # (`bench.py --ab --set lstm_block=1`).
-    lstm_block: bool = False
+    # on-chip). ON since round 5: the engine-level on-chip A/B wins on both
+    # LSTM-dominated pipelines (flagship 12.91->12.58 ms, -2.5%; VAD
+    # 7.73->7.45 ms, -3.6%; docs/campaigns/r5/r5_lstm_ab*.txt) and the
+    # kernel-level sweep agrees (block=8 is 2.35x the per-step kernel at
+    # the production geometry, bf16 7.20->3.06 ms/layer, bit-exact;
+    # r5_lstm_kernel.txt — measured with a D2H-fetch sync; the earlier
+    # "per-step faster" reading was the unsynchronized dispatch time).
+    # Opt out with DIART_TPU_LSTM_BLOCK=0.
+    lstm_block: bool = True
 
     def resolved(self) -> Dict[str, bool]:
         """The switches as they would actually resolve right now (env

@@ -22,6 +22,19 @@ sys.path.insert(0, str(_ROOT))
 from diart_tpu.ops.pallas_lstm import lstm_sweep_tm  # noqa: E402
 
 
+def _sync(x):
+    """True synchronization: fetch 4 bytes of the RESULT (data dependency).
+    In this dev environment the remote runtime's block_until_ready has been
+    observed to return before the device finished (bench.py `_sync`) — the
+    round-4 run of this script printed a 0.117 ms/layer bf16 "per-step"
+    figure, i.e. pure-matmul speed with zero per-step overhead, which is
+    the unsynchronized dispatch time, not the kernel."""
+    jax.block_until_ready(x)
+    import numpy as np
+
+    np.asarray(jax.device_get(x.ravel()[:1]))
+
+
 def bench(fn, proj_t, w_hh, iters=50):
     """Perturb w_hh per iteration: the axon terminal caches results for
     identical (executable, inputs) pairs (PERF.md 'How to measure').
@@ -29,11 +42,11 @@ def bench(fn, proj_t, w_hh, iters=50):
     the stream dtype): 1e-9 rounds away in bf16 and the whole loop then
     measures the cache — observed 0.042 "ms/layer"."""
     outs = fn(proj_t, w_hh + 0.0)
-    jax.block_until_ready(outs)
+    _sync(outs)
     t0 = time.perf_counter()
     for i in range(iters):
         outs = fn(proj_t, w_hh + (i + 1) * 1e-3)
-    jax.block_until_ready(outs)
+    _sync(outs)
     return (time.perf_counter() - t0) / iters * 1e3
 
 
