@@ -210,6 +210,14 @@ def main():
         "on stderr",
     )
     parser.add_argument(
+        "--repeat", type=int, default=1, metavar="N",
+        help="measure the same engine N times back-to-back in ONE process "
+        "and report each run plus a noise band (median +/- half-range of "
+        "t_device_est across runs) — the error bar that tells a real "
+        "round-over-round regression from dev-chip measurement noise. The "
+        "driver-facing JSON line reports the MEDIAN run",
+    )
+    parser.add_argument(
         "--quick", action="store_true",
         help="tiny measurement windows (smoke/CI mode — e.g. the CPU-mesh "
         "end-to-end test; numbers are NOT publication-grade)",
@@ -254,6 +262,9 @@ def main():
 
     if args.ab and not (args.set or args.int16):
         sys.exit("--ab requires --set and/or --int16 (the variant to compare)")
+    if args.ab and args.repeat > 1:
+        sys.exit("--ab and --repeat are mutually exclusive; the A/B is "
+                 "already a back-to-back pair")
     if args.ab and args.profile:
         # Two engines would race for one trace directory and the reader
         # could not tell which run produced it — refuse instead of silently
@@ -310,6 +321,29 @@ def main():
             file=sys.stderr,
         )
         _print_headline(stats_a)
+        return
+
+    if args.repeat > 1:
+        # back-to-back repeats in ONE process (the r2-reconciliation
+        # method): same engine, same compiled executables, fresh state and
+        # audio per run. The spread across runs is the device-estimate
+        # noise band on the time-shared dev chip.
+        runs = []
+        for r in range(args.repeat):
+            runs.append(_measure(engine, args, profile=None))
+            _report(runs[-1], args, engine, label=f"run{r + 1}")
+        dev = sorted(s["t_device"] for s in runs)
+        wall = sorted(s["t_median"] for s in runs)
+        band = (dev[-1] - dev[0]) / 2
+        print(
+            f"# noise_band runs={args.repeat} "
+            f"t_device_est_ms={[round(d * 1e3, 2) for d in dev]} "
+            f"median={np.median(dev) * 1e3:.2f} spread=+/-{band * 1e3:.2f} "
+            f"t_step_median_ms={[round(w * 1e3, 2) for w in wall]}",
+            file=sys.stderr,
+        )
+        median_run = sorted(runs, key=lambda s: s["t_median"])[len(runs) // 2]
+        _print_headline(median_run)
         return
 
     stats = _measure(engine, args, profile=args.profile)

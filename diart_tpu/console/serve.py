@@ -32,6 +32,18 @@ def run():
         help=f"{argdoc.NUM_STREAMS}. Defaults to 16",
     )
     parser.add_argument(
+        "--cohorts",
+        default=1,
+        type=int,
+        help="Time-multiplex N independent stream cohorts onto the chip "
+        "(capacity = N * --num-streams concurrent clients). Each cohort "
+        "is its own device state sharing the one compiled engine; in "
+        "--realtime mode cohorts tick at staggered phases within the "
+        "step period. One 256-stream hop costs ~13 ms of a 500 ms "
+        "period, so a single chip sustains many cohorts "
+        "(docs/SERVING.md capacity planning)",
+    )
+    parser.add_argument(
         "--mesh",
         default=0,
         type=int,
@@ -129,6 +141,7 @@ def run():
         quantize_transfer=args.int16_transfer,
         pipelined=args.pipelined,
         coalesce=args.coalesce_ms / 1000.0,
+        cohorts=args.cohorts,
     )
     try:
         server.run()

@@ -270,8 +270,11 @@ class MultiStreamSession:
             self._audio = np.where(present[:, None], upd, self._audio)
 
         device_blocks = blocks
+        # .dtype directly, NOT np.asarray(blocks).dtype: blocks may already
+        # be a device array (pre-staged pools), and np.asarray on one is a
+        # full device->host fetch just to read the dtype
         if self.quantize_transfer and not np.issubdtype(
-            np.asarray(blocks).dtype, np.integer
+            np.dtype(blocks.dtype), np.integer
         ):
             device_blocks = np.clip(
                 np.asarray(blocks) * 32768.0, -32768, 32767

@@ -50,8 +50,22 @@ class StreamingServer:
 
     Parameters
     ----------
-    engine: compiled engine; ``engine.batch_size`` is the max number of
-        concurrent clients.
+    engine: compiled engine; ``engine.batch_size * cohorts`` is the max
+        number of concurrent clients.
+    cohorts: number of independent stream cohorts time-multiplexed onto
+        the one chip. Each cohort is its own
+        :class:`~diart_tpu.parallel.session.MultiStreamSession` (own device
+        state, ~100-200 MB HBM at the default geometry) sharing the ONE
+        compiled engine (params and executables are per-engine, so extra
+        cohorts cost no compile and no parameter HBM). A hop advances one
+        cohort; in realtime mode cohort ``j`` ticks at phase
+        ``j * step / cohorts`` within the step period, so the chip —
+        busy ~13 ms per 500 ms period for one 256-stream cohort, i.e.
+        ~97% idle — serves ``cohorts * batch_size`` concurrent streams
+        instead of leaving the headline throughput unreachable behind a
+        one-cohort slot table (the round-4 ceiling). Capacity planning in
+        docs/SERVING.md; measured on chip in
+        docs/campaigns/r5 (cohort_bench).
     tau_active: binarization threshold for emitted predictions.
     host/port: bind address.
     realtime: if True, ticks every ``engine.step_duration`` seconds of wall
@@ -99,6 +113,7 @@ class StreamingServer:
         quantize_transfer: bool = False,
         pipelined: bool = False,
         coalesce: float = 0.0,
+        cohorts: int = 1,
     ):
         self.engine = engine
         self.host = host
@@ -106,12 +121,19 @@ class StreamingServer:
         self.realtime = realtime
         self.pipelined = pipelined
         self.coalesce = coalesce
-        self.session = MultiStreamSession(
-            engine,
-            tau_active=tau_active,
-            collect_audio=False,
-            quantize_transfer=quantize_transfer,
-        )
+        self.cohorts = int(cohorts)
+        assert self.cohorts >= 1
+        self.sessions = [
+            MultiStreamSession(
+                engine,
+                tau_active=tau_active,
+                collect_audio=False,
+                quantize_transfer=quantize_transfer,
+            )
+            for _ in range(self.cohorts)
+        ]
+        # single-cohort alias (tests and simple callers)
+        self.session = self.sessions[0]
         # The dtype slot buffers and hop blocks are kept in. With
         # quantize_transfer everything is int16 end to end — int16-wire
         # clients' bytes are never converted on the host, f32-wire clients
@@ -120,15 +142,17 @@ class StreamingServer:
         # device as-is. Without it, int16-wire clients are dequantized at
         # ingest and the pipeline stays float32.
         self._ingest_dtype = np.int16 if quantize_transfer else np.float32
+        # Global slot table: slot i belongs to cohort i // batch_size,
+        # lane i % batch_size of that cohort's session.
         self.slots: Dict[int, Optional[_ClientSlot]] = {
-            i: None for i in range(engine.batch_size)
+            i: None for i in range(engine.batch_size * self.cohorts)
         }
-        # Slots claimed since the last tick. Session state is only touched
-        # from _tick (resets first, then the push), so the jitted step —
-        # which DONATES the state buffers — can never race a reset_slot
-        # reading freed arrays, and a reset can't be lost to the executor
-        # thread's state reassignment.
-        self._pending_resets: set = set()
+        # Slots claimed since the last tick, per cohort. Session state is
+        # only touched from _tick (resets first, then the push), so the
+        # jitted step — which DONATES the state buffers — can never race a
+        # reset_slot reading freed arrays, and a reset can't be lost to the
+        # executor thread's state reassignment.
+        self._pending_resets: list = [set() for _ in range(self.cohorts)]
         self._stop = None
         self._loop = None
         # pipelined serving (see _tick): single-thread pools keep
@@ -139,7 +163,8 @@ class StreamingServer:
         self._harvest_pool = ThreadPoolExecutor(1, "diart-harvest")
         self._outbox: Optional[asyncio.Queue] = None
         self._in_flight = 0  # dispatched hops whose replies haven't gone out
-        self._wave_t0 = None  # first-ready time of the current wave, _tick
+        # first-ready time of each cohort's current wave, _tick
+        self._wave_t0: list = [None] * self.cohorts
 
     # ------------------------------------------------------------------ #
     def _claim_slot(self, websocket) -> Optional[_ClientSlot]:
@@ -147,7 +172,7 @@ class StreamingServer:
             if slot is None:
                 client = _ClientSlot(i, websocket, self._ingest_dtype)
                 self.slots[i] = client
-                self._pending_resets.add(i)
+                self._pending_resets[i // self.engine.batch_size].add(i)
                 return client
         return None
 
@@ -211,31 +236,39 @@ class StreamingServer:
             return np.clip(samples * 32768.0, -32768, 32767).astype(np.int16)
         return samples
 
-    async def _tick(self):
-        """Advance every stream that has a full step block queued."""
-        if self._pending_resets:
+    async def _tick(self, cohort: int = 0):
+        """Advance every stream in ``cohort`` that has a full step block
+        queued. One hop advances one cohort; the ticker staggers cohorts
+        across the step period (realtime) or round-robins them (fast
+        poll), so cohorts time-multiplex the chip."""
+        session = self.sessions[cohort]
+        b = self.engine.batch_size
+        lo = cohort * b  # this cohort's slot range is [lo, lo + b)
+        if self._pending_resets[cohort]:
             idxs = [
-                i for i in self._pending_resets if self.slots[i] is not None
+                i
+                for i in self._pending_resets[cohort]
+                if self.slots[i] is not None
             ]
-            self._pending_resets.clear()
+            self._pending_resets[cohort].clear()
             if idxs:
                 # one compiled call for the whole churn batch (a per-index
                 # reset serialized client admission on the device)
-                self.session.reset_slots(
-                    idxs, uris=[f"client{i}" for i in idxs]
+                session.reset_slots(
+                    [i - lo for i in idxs], uris=[f"client{i}" for i in idxs]
                 )
-        b = self.engine.batch_size
         n = self.engine.step_samples
         # find ready slots BEFORE allocating the batch: the ticker polls
         # every 5 ms, and allocating a (B, step) zero array per idle poll
         # is ~GB/s of pure host allocation churn at batch 256
         ready = [
-            (i, slot)
-            for i, slot in self.slots.items()
-            if slot is not None and slot.buffer.shape[0] >= n
+            (i, self.slots[i])
+            for i in range(lo, lo + b)
+            if self.slots[i] is not None
+            and self.slots[i].buffer.shape[0] >= n
         ]
         if not ready:
-            self._wave_t0 = None
+            self._wave_t0[cohort] = None
             return
         # Optional wave coalescing (fast-poll mode, opt-in via
         # ``coalesce``; see the class docstring for the measured tradeoff):
@@ -246,25 +279,26 @@ class StreamingServer:
         # realtime mode polls once per step already.
         if self.coalesce > 0 and not self.realtime:
             partial = len(ready) < sum(
-                s is not None for s in self.slots.values()
+                self.slots[i] is not None for i in range(lo, lo + b)
             )
             if partial and not any(
                 s.buffer.shape[0] >= 2 * n for _, s in ready
             ):
                 now = time.monotonic()
-                if self._wave_t0 is None:
-                    self._wave_t0 = now
-                if now - self._wave_t0 < self.coalesce:
+                if self._wave_t0[cohort] is None:
+                    self._wave_t0[cohort] = now
+                if now - self._wave_t0[cohort] < self.coalesce:
                     return
-        self._wave_t0 = None
+        self._wave_t0[cohort] = None
         blocks = np.zeros((b, n), self._ingest_dtype)
         present = np.zeros((b,), bool)
         clients = {}
         for i, slot in ready:
-            blocks[i] = slot.buffer[:n]
+            lane = i - lo
+            blocks[lane] = slot.buffer[:n]
             slot.buffer = slot.buffer[n:]
-            present[i] = True
-            clients[i] = slot
+            present[lane] = True
+            clients[lane] = slot
         loop = asyncio.get_running_loop()
         if not self.pipelined:
             # default synchronous path: the tick blocks on the full push
@@ -272,7 +306,7 @@ class StreamingServer:
             # replies — measured faster at or below capacity (see the
             # class docstring / PERF.md round-4 serving)
             outputs = await loop.run_in_executor(
-                self._dispatch_pool, self.session.push_rttm, blocks, present
+                self._dispatch_pool, session.push_rttm, blocks, present
             )
             await self._send_outputs(outputs, clients)
             return
@@ -287,12 +321,12 @@ class StreamingServer:
         # preserved). The bounded queue backpressures the ticker if
         # harvests ever fall behind.
         pending = await loop.run_in_executor(
-            self._dispatch_pool, self.session.push_begin, blocks, present
+            self._dispatch_pool, session.push_begin, blocks, present
         )
         if pending is None:
             return
         fut = loop.run_in_executor(
-            self._harvest_pool, self.session.push_finish_rttm, pending
+            self._harvest_pool, session.push_finish_rttm, pending
         )
         self._in_flight += 1
         if self._outbox is None:
@@ -353,9 +387,24 @@ class StreamingServer:
                 self._in_flight -= 1
 
     async def _ticker(self):
-        interval = self.engine.step_duration if self.realtime else 0.005
+        # Realtime: each cohort ticks once per step period, staggered at
+        # phase j * step / cohorts — the chip time-multiplexes K hops of
+        # ~13 ms across the 500 ms period instead of idling ~97% of it.
+        # Fast poll: round-robin every cohort per 5 ms poll (a cohort with
+        # no ready slot returns immediately).
+        interval = (
+            self.engine.step_duration / self.cohorts
+            if self.realtime
+            else 0.005
+        )
+        cohort = 0
         while not self._stop.is_set():
-            await self._tick()
+            if self.realtime:
+                await self._tick(cohort)
+                cohort = (cohort + 1) % self.cohorts
+            else:
+                for j in range(self.cohorts):
+                    await self._tick(j)
             try:
                 await asyncio.wait_for(self._stop.wait(), timeout=interval)
             except asyncio.TimeoutError:
@@ -411,6 +460,8 @@ class StreamingServer:
                 # connect during the warm; their audio buffers until the
                 # ticker starts.
                 logger.info("warming serving executables...")
+                # one warm covers every cohort: executables are per-engine
+                # and warm() runs on scratch state
                 await self._loop.run_in_executor(None, self.session.warm)
             try:
                 await self._ticker()

@@ -191,8 +191,8 @@ class TestStreamingServer:
                 slot = _ClientSlot(i, websocket=None)
                 slot.buffer = np.zeros((c * n,), np.float32)
                 server.slots[i] = slot
-            server._pending_resets.clear()
-            server._wave_t0 = None
+            server._pending_resets[0].clear()
+            server._wave_t0[0] = None
 
         tick = lambda: asyncio.run(server._tick())
 
@@ -205,10 +205,10 @@ class TestStreamingServer:
         set_slots(1, 1, 0, None)
         pushes.clear()
         tick()
-        assert not pushes and server._wave_t0 is not None
+        assert not pushes and server._wave_t0[0] is not None
         tick()  # still inside the age cap
         assert not pushes
-        server._wave_t0 -= hold + 0.01
+        server._wave_t0[0] -= hold + 0.01
         tick()
         assert len(pushes) == 1 and pushes[0].sum() == 2
 
@@ -234,6 +234,74 @@ class TestStreamingServer:
         pushes.clear()
         tick()
         assert len(pushes) == 1 and pushes[0].sum() == 2
+
+    def test_cohort_serving(self):
+        """With ``cohorts=2`` and ``batch_size=1`` the server accepts TWO
+        concurrent clients (capacity = cohorts * batch_size): the second
+        client lands in cohort 1 lane 0, whose hops run through a separate
+        session sharing the same compiled engine. Both clients must get
+        their own RTTM stream back."""
+        pytest.importorskip("websockets")
+        from websockets.sync.client import connect
+
+        from diart_tpu.runtime.server import StreamingServer
+
+        engine = MultiStreamEngine(
+            segmentation=fake_segmentation(),
+            embedding=fake_embedding(),
+            batch_size=1,
+            **PIPELINE_PARAMS,
+        )
+        port = 7317
+        server = StreamingServer(
+            engine, tau_active=0.6, host="127.0.0.1", port=port,
+            realtime=False, cohorts=2,
+        )
+        thread = threading.Thread(target=server.run, daemon=True)
+        thread.start()
+        time.sleep(0.5)
+
+        audios = {
+            uri: synth_audio(turns, TOTAL, seed=i)
+            for i, (uri, turns) in enumerate(FILES.items())
+        }
+        received = {uri: [] for uri in FILES}
+
+        def client(uri):
+            audio = audios[uri]
+            step_samples = int(PIPELINE_PARAMS["step"] * SAMPLE_RATE)
+            with connect(f"ws://127.0.0.1:{port}") as ws:
+                for start in range(0, audio.shape[1], step_samples):
+                    ws.send(encode_audio(audio[:, start : start + step_samples]))
+                    time.sleep(0.01)
+                deadline = time.time() + 30
+                while time.time() < deadline:
+                    try:
+                        msg = ws.recv(timeout=1.0)
+                        received[uri].append(msg)
+                    except TimeoutError:
+                        if received[uri]:
+                            break
+                    except Exception:
+                        break
+
+        threads = [threading.Thread(target=client, args=(u,)) for u in FILES]
+        for t in threads:
+            t.start()
+            time.sleep(0.2)  # deterministic claim order: conv1 slot 0, conv2 slot 1
+        for t in threads:
+            t.join(timeout=60)
+        server.close()
+        thread.join(timeout=10)
+
+        for uri in FILES:
+            assert received[uri], f"client {uri} received no RTTM"
+            text = "".join(received[uri])
+            assert "SPEAKER" in text
+        # the two clients ran in DIFFERENT cohorts (slot 1 = cohort 1),
+        # and each got its own slot's uri back
+        texts = ["".join(received[u]) for u in FILES]
+        assert "client0" in texts[0] and "client1" in texts[1]
 
     def test_handshake_after_audio_rejected(self):
         """The {"format": ...} handshake must precede any audio
