@@ -19,8 +19,13 @@ the portable policy's own output (the isolation of what the fast paths
 change). Run ON TPU for a meaningful table — the Pallas/bf16 switches
 resolve to off on CPU.
 
-Usage: ``python scripts/precision_der.py [train_steps]`` (default 400).
-Prints one JSON line per policy.
+Usage: ``python scripts/precision_der.py [train_steps] [--family sinc]``
+(default 400 steps, SincNet x-vector). ``--family xvect-sb`` swaps the
+embedding for the speechbrain-fbank x-vector — the cheapest MEL-frontend
+family — so the end-to-end DER table covers the mel fast paths the
+flagship row never exercises (``fast_fbank``, ``fbank_ring``; VERDICT r4
+weak #6) under the shipping default switch set. Prints one JSON line per
+policy.
 """
 
 import dataclasses
@@ -134,7 +139,30 @@ def train_segmentation(train_steps):
     return seg
 
 
-def train_embedding(train_steps=600):
+# Embedding families for the table. "sinc" is the flagship serving pair;
+# "xvect-sb" is the cheapest mel-frontend family (speechbrain fbank), sized
+# down but running the REAL mel compute paths (DFT-conv fbank, fast_fbank
+# precision, fbank_ring incremental frames) the precision switches control.
+EMB_FAMILIES = {
+    "sinc": ("tpu/xvector", {"embedding_dim": 64}),
+    "xvect-sb": (
+        "tpu/xvect-sb",
+        {
+            "embedding_dim": 64,
+            "num_mels": 24,
+            "tdnn_specs": (
+                (5, 1, 128),
+                (3, 2, 128),
+                (3, 3, 128),
+                (1, 1, 128),
+                (1, 1, 256),
+            ),
+        },
+    ),
+}
+
+
+def train_embedding(train_steps=600, family="sinc"):
     """Train the real x-vector on speaker classification of the tone
     speakers (softmax head over L2-normalized embeddings), so the engine's
     online clustering operates on DISCRIMINATIVE embeddings. Untrained
@@ -149,8 +177,9 @@ def train_embedding(train_steps=600):
     from diart_tpu import precision
     from diart_tpu.models import EmbeddingModel
 
+    reg_name, reg_kwargs = EMB_FAMILIES[family]
     emb = EmbeddingModel.from_registry(
-        "tpu/xvector", embedding_dim=64, dtype="f32", init_samples=CHUNK
+        reg_name, dtype="f32", init_samples=CHUNK, **reg_kwargs
     )
     emb.load()
     module = emb.module
@@ -211,15 +240,16 @@ def train_embedding(train_steps=600):
 
 
 def evaluate(seg, policy_name, policy, emb_dtype, emb_params,
-             tau_active=0.5, delta_new=0.7):
+             tau_active=0.5, delta_new=0.7, family="sinc"):
     from diart_tpu.metrics import DiarizationErrorRate
     from diart_tpu.models import EmbeddingModel
     from diart_tpu.parallel import MultiStreamEngine, MultiStreamSession
     from diart_tpu.runtime.sinks import PredictionAccumulator
     from fakes import synth_audio, turns_to_annotation
 
+    reg_name, reg_kwargs = EMB_FAMILIES[family]
     emb = EmbeddingModel.from_registry(
-        "tpu/xvector", embedding_dim=64, dtype=emb_dtype, init_samples=CHUNK
+        reg_name, dtype=emb_dtype, init_samples=CHUNK, **reg_kwargs
     )
     emb.load()
     emb.params = emb_params  # identical weights across policies
@@ -257,13 +287,25 @@ def evaluate(seg, policy_name, policy, emb_dtype, emb_params,
 
 
 def main():
+    import argparse
+
     import jax
 
     from diart_tpu.precision import Precision
 
-    train_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    ap = argparse.ArgumentParser()
+    ap.add_argument("train_steps", nargs="?", type=int, default=400)
+    ap.add_argument(
+        "--family", default="sinc", choices=sorted(EMB_FAMILIES),
+        help="embedding family for the table row (xvect-sb = the mel "
+        "fast paths under the shipping defaults)",
+    )
+    args = ap.parse_args()
+    train_steps = args.train_steps
+    family = args.family
     print(
-        f"# backend={jax.default_backend()} device={jax.devices()[0].device_kind}",
+        f"# backend={jax.default_backend()} "
+        f"device={jax.devices()[0].device_kind} family={family}",
         file=sys.stderr,
     )
     seg = train_segmentation(train_steps)
@@ -271,7 +313,7 @@ def main():
     # One set of embedding weights shared by every policy (dtype only
     # changes compute precision) — trained on tone-speaker classification
     # so the clustering stage operates on discriminative embeddings.
-    emb_params = train_embedding(max(200, train_steps // 4))
+    emb_params = train_embedding(max(200, train_steps // 4), family)
 
     # The embedding model is real-architecture but UNTRAINED (no egress,
     # no pretrained checkpoints): random-projection embeddings of the tone
@@ -285,7 +327,8 @@ def main():
     for tau in (0.2, 0.35, 0.5, 0.65):
         for delta in (0.4, 0.7, 1.0):
             _, der, _ = evaluate(
-                seg, "sweep", Precision.portable(), "f32", emb_params, tau, delta
+                seg, "sweep", Precision.portable(), "f32", emb_params,
+                tau, delta, family,
             )
             print(
                 f"# tau={tau} delta_new={delta}: portable DER={der:.4f}",
@@ -305,7 +348,7 @@ def main():
 
     for name, policy, emb_dtype in policies:
         preds, der_truth, resolved = evaluate(
-            seg, name, policy, emb_dtype, emb_params, *best
+            seg, name, policy, emb_dtype, emb_params, *best, family
         )
         if portable_preds is None:
             portable_preds = preds
@@ -322,6 +365,7 @@ def main():
         print(
             json.dumps(
                 {
+                    "family": family,
                     "policy": name,
                     "der_vs_truth": round(der_truth, 5),
                     "der_vs_portable": round(der_vs_portable, 5),

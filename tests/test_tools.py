@@ -378,6 +378,92 @@ class TestStreamingServer:
 
         asyncio.run(drive())
 
+    def test_pipelined_overlap_wins_when_halves_overlap(self):
+        """The mechanism behind --pipelined, pinned hermetically: when the
+        hop's two halves (device step vs fetch+assembly) genuinely run
+        concurrently — sleeps release the GIL, standing in for a
+        multi-core host or a device working while the host assembles —
+        pipelined delivery approaches max(a, b) per hop while sync pays
+        a + b. On the 1-core dev host with CPU-bound halves the measured
+        result was the opposite (PERF.md round-4 serving), which is why
+        the flag defaults OFF; this test turns the documented multi-core
+        upside from extrapolation into a demonstrated latency overlap."""
+        import asyncio
+
+        from diart_tpu.runtime.server import StreamingServer, _ClientSlot
+
+        engine = MultiStreamEngine(
+            segmentation=fake_segmentation(),
+            embedding=fake_embedding(),
+            batch_size=1,
+            **PIPELINE_PARAMS,
+        )
+        half = 0.03  # each half of the hop
+        hops = 8
+
+        def run_mode(pipelined):
+            server = StreamingServer(
+                engine, realtime=False, pipelined=pipelined
+            )
+            server.session.reset_slots = lambda *a, **k: None
+
+            def begin(blocks, present):
+                time.sleep(half)  # the dispatch half (device step)
+                return object()
+
+            def finish(pending):
+                time.sleep(half)  # the harvest half (fetch + assembly)
+                return ["SPEAKER x 1 0.0 0.5 <NA> <NA> s0 <NA> <NA>\n"]
+
+            server.session.push_begin = begin
+            server.session.push_finish_rttm = finish
+            server.session.push_rttm = lambda blocks, present: finish(
+                begin(blocks, present)
+            )
+            received = []
+
+            class Socket:
+                def __init__(self, slot_index):
+                    self.index = slot_index
+
+                async def send(self, rttm):
+                    received.append(time.perf_counter())
+
+            slot = _ClientSlot(0, websocket=None)
+            slot.websocket = Socket(0)
+            server.slots[0] = slot
+
+            async def drive():
+                deliverer = None
+                if pipelined:
+                    server._outbox = asyncio.Queue(maxsize=1)
+                    deliverer = asyncio.create_task(server._deliverer())
+                t0 = time.perf_counter()
+                for _ in range(hops):
+                    slot.buffer = np.zeros(
+                        (engine.step_samples,), np.float32
+                    )
+                    await server._tick()
+                deadline = time.perf_counter() + 5.0
+                while len(received) < hops:
+                    assert time.perf_counter() < deadline, (
+                        f"only {len(received)}/{hops} replies"
+                    )
+                    await asyncio.sleep(0.005)
+                if deliverer:
+                    deliverer.cancel()
+                return time.perf_counter() - t0
+
+            return asyncio.run(drive())
+
+        t_sync = run_mode(False)
+        t_pipe = run_mode(True)
+        # sync pays hops*(a+b); pipelined overlaps to ~(a+b) + (hops-1)*a
+        assert t_sync > hops * 2 * half * 0.9
+        assert t_pipe < t_sync * 0.8, (
+            f"pipelined {t_pipe:.3f}s should overlap vs sync {t_sync:.3f}s"
+        )
+
     def test_shutdown_drain_is_bounded(self):
         """A wedged harvest (in-flight counter never reaching zero) must
         not hang server shutdown forever: the drain loop gives up after a
