@@ -22,22 +22,24 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 # README table rows: artifact stem -> (pipeline label, batch-1 figure,
-# reference-GPU column). The batch-1 medians were measured in the r3
-# campaign (PERF.md per-family table) and are not re-run per refresh.
+# reference-GPU column). Artifact file = <dir>/<dirname>_<stem>.txt (so the
+# same rows re-point to any round's campaign via --artifacts). The batch-1
+# medians were measured in the r3 campaign (PERF.md per-family table) and
+# are not re-run per refresh.
 ROWS = [
-    ("r4_flagship", "PyanNet + XVectorSincNet", "2.5 ms",
+    ("flagship", "PyanNet + XVectorSincNet", "2.5 ms",
      "12 ms (pyannote/embedding)"),
-    ("r4_powerset", "PyanNet(powerset) + XVectorSincNet", "—",
+    ("powerset", "PyanNet(powerset) + XVectorSincNet", "—",
      "8 ms (segmentation-3.0) + 12 ms"),
-    ("r4_ecapa", "PyanNet + ECAPA-TDNN", "2.5 ms",
+    ("ecapa", "PyanNet + ECAPA-TDNN", "2.5 ms",
      "14 ms (speechbrain ecapa)"),
-    ("r4_resnet34", "PyanNet + ResNet34", "3.0 ms",
+    ("resnet34", "PyanNet + ResNet34", "3.0 ms",
      "29 ms torch / 15 ms ONNX (wespeaker)"),
-    ("r4_titanet", "PyanNet + TitaNet-L", "3.2 ms",
+    ("titanet", "PyanNet + TitaNet-L", "3.2 ms",
      "16 ms (nvidia titanet_large)"),
-    ("r4_xvect_sb", "PyanNet + XVector-SB (speechbrain fbank)", "1.9 ms",
+    ("xvect_sb", "PyanNet + XVector-SB (speechbrain fbank)", "1.9 ms",
      "41 ms CPU / 15 ms GPU (spkrec-xvect)"),
-    ("r4_vad", "VAD (PyanNet only)", "2.0 ms",
+    ("vad", "VAD (PyanNet only)", "2.0 ms",
      "8 ms (pyannote/segmentation)"),
 ]
 
@@ -45,10 +47,14 @@ _STAT = re.compile(r"(\w+)=([^\s]+)")
 
 
 def parse_stats_line(text: str) -> dict:
-    """Parse the bench stats line of a SINGLE-RUN artifact. ``--ab``
-    artifacts carry two stats lines (A=baseline, B=variant) whose stats
-    and headline JSON would mix legs if parsed blindly — refuse them; the
-    ledger rows are single-run by construction."""
+    """Parse the bench stats line of a ledger artifact. Single-run
+    artifacts have ONE stats line. ``--repeat`` artifacts (the noise-band
+    method) have one line per run plus a ``# noise_band`` summary — the
+    MEDIAN run (by wall step median, matching the headline bench.py
+    prints) is used and the band spread is attached as
+    ``device_ms_spread``. ``--ab`` artifacts (two legs whose stats would
+    mix) are refused; ledger rows are single-run or repeat-band by
+    construction."""
     lines = [
         l
         for l in text.splitlines()
@@ -56,16 +62,28 @@ def parse_stats_line(text: str) -> dict:
     ]
     if not lines:
         raise ValueError("no bench stats line found")
+    band = re.search(r"# noise_band runs=\d+ .*spread=\+/-([\d.]+)", text)
     if len(lines) > 1:
-        raise ValueError(
-            "multiple stats lines (an --ab artifact?) — ledger rows must "
-            "be single-run artifacts"
-        )
+        if band is None:
+            raise ValueError(
+                "multiple stats lines without a noise_band summary (an "
+                "--ab artifact?) — ledger rows must be single-run or "
+                "--repeat artifacts"
+            )
+        def wall(line):
+            m = re.search(r"t_step_median=([\d.]+)ms", line)
+            return float(m.group(1))
+        lines.sort(key=wall)
+        line = lines[len(lines) // 2]
+    else:
+        line = lines[0]
     stats = {}
-    for k, v in _STAT.findall(lines[-1]):
+    for k, v in _STAT.findall(line):
         stats[k] = v
+    if band is not None:
+        stats["device_ms_spread"] = float(band.group(1))
     # precision json is split by the \s tokenizer; recover it whole
-    m = re.search(r"precision=(\{.*?\})", lines[-1])
+    m = re.search(r"precision=(\{.*?\})", line)
     if m:
         stats["precision"] = json.loads(m.group(1))
     return stats
@@ -89,7 +107,7 @@ def parse_headline_json(text: str) -> dict:
 def build(artifacts: Path) -> dict:
     rows = {}
     for stem, label, batch1, ref in ROWS:
-        path = artifacts / f"{stem}.txt"
+        path = artifacts / f"{artifacts.name}_{stem}.txt"
         if not path.exists():
             print(f"update_headline: missing {path}, skipping row", file=sys.stderr)
             continue
@@ -100,6 +118,7 @@ def build(artifacts: Path) -> dict:
             "label": label,
             "wall_ms": _num(stats, "t_step_median"),
             "device_ms": _num(stats, "t_device_est"),
+            "device_ms_spread": stats.get("device_ms_spread"),
             "streams": headline["value"],
             "streams_best": float(stats["streams_best"]),
             "p50_ms": _num(stats, "p50_chunk_latency"),
@@ -122,8 +141,13 @@ def build(artifacts: Path) -> dict:
 
 
 def render_headline(rows: dict) -> str:
-    f = rows["r4_flagship"]
+    f = rows["flagship"]
     dev_streams = f["batch"] * 500.0 / f["device_ms"]
+    spread = (
+        f" ± {f['device_ms_spread']:.2f}"
+        if f.get("device_ms_spread") is not None
+        else ""
+    )
     # bench.py omits pct_peak when the device kind has no peak figure;
     # render without the MFU clause rather than crash the refresh
     mfu = (
@@ -133,8 +157,8 @@ def render_headline(rows: dict) -> str:
         else ""
     )
     return (
-        f"**{f['wall_ms']:.1f} ms wall / {f['device_ms']:.2f} ms device"
-        f"-estimate per 0.5 s hop for {f['batch']} concurrent streams with "
+        f"**{f['wall_ms']:.1f} ms wall / {f['device_ms']:.2f}{spread} ms "
+        f"device-estimate per 0.5 s hop for {f['batch']} concurrent streams with "
         f"two *distinct* SincNet filterbanks — the real serving shape every "
         f"pretrained seg+emb pair produces — i.e. "
         f"*{f['streams']:,.0f} real-time streams per chip* as printed by "
@@ -179,7 +203,7 @@ def main():
     args = p.parse_args()
 
     rows = build(REPO / args.artifacts)
-    if "r4_flagship" not in rows:
+    if "flagship" not in rows:
         sys.exit("update_headline: flagship artifact missing — nothing to do")
     ledger = REPO / "docs/campaigns/HEADLINE.json"
     payload = {"source": args.artifacts, "rows": rows}
