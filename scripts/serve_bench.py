@@ -94,6 +94,7 @@ def _build_server(args):
         engine, tau_active=0.05, host="127.0.0.1", port=args.port,
         realtime=False, quantize_transfer=args.int16,
         coalesce=args.coalesce_ms / 1000.0,
+        cohorts=args.cohorts,
     )
     return engine, server
 
@@ -453,6 +454,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--port", type=int, default=7801)
     p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--cohorts", type=int, default=1,
+                   help="server cohorts: capacity = cohorts * batch; ramp "
+                   "phases past `batch` clients land in higher cohorts "
+                   "(websocket-level exercise of the cohort scheduler; the "
+                   "device-side capacity claim is cohort_bench.py's)")
     p.add_argument("--ramp", default="64,128,256",
                    help="comma-separated client counts")
     p.add_argument("--hops", type=int, default=40,
@@ -495,14 +501,15 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
         args.batch = min(args.batch, 8)
-        args.ramp = [min(r, args.batch) for r in args.ramp[:1]]
+        capacity = args.batch * args.cohorts
+        args.ramp = [min(r, capacity) for r in args.ramp[:1]]
         args.hops = min(args.hops, 14)
         args.churn_clients = min(args.churn_clients, args.batch)
         args.duration, args.step = 1.0, 0.25
     if args.client_procs is None:
         args.client_procs = 1
-    if max(args.ramp + [args.churn_clients]) > args.batch:
-        sys.exit("ramp/churn client counts must fit --batch")
+    if max(args.ramp + [args.churn_clients]) > args.batch * args.cohorts:
+        sys.exit("ramp/churn client counts must fit --batch * --cohorts")
     asyncio.run(_run(args))
 
 
