@@ -197,7 +197,7 @@ def splice(text: str, tag: str, payload: str) -> str:
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--artifacts", default="docs/campaigns/r4")
+    p.add_argument("--artifacts", default="docs/campaigns/r5")
     p.add_argument("--check", action="store_true",
                    help="exit 1 if README does not match the artifacts")
     args = p.parse_args()

@@ -66,9 +66,13 @@ def test_parse_stats_line_raises_without_stats():
 
 
 def test_build_row_from_artifact(tmp_path):
-    (tmp_path / "r4_flagship.txt").write_text(STATS_LINE + "\n" + JSON_LINE)
+    # artifact names are <dirname>_<stem>.txt so one ROWS table re-points
+    # to any round's campaign directory
+    (tmp_path / f"{tmp_path.name}_flagship.txt").write_text(
+        STATS_LINE + "\n" + JSON_LINE
+    )
     rows = uh.build(tmp_path)
-    r = rows["r4_flagship"]
+    r = rows["flagship"]
     assert r["streams"] == 9883.6
     assert r["device_ms"] == 11.91
     assert r["batch"] == 256
