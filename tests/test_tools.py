@@ -303,6 +303,44 @@ class TestStreamingServer:
         texts = ["".join(received[u]) for u in FILES]
         assert "client0" in texts[0] and "client1" in texts[1]
 
+    def test_realtime_ticker_staggers_cohorts(self):
+        """In realtime mode with K cohorts the ticker fires one cohort per
+        step/K interval, cycling 0..K-1 — the staggered-phase schedule the
+        cohort capacity measurements rely on."""
+        import asyncio
+
+        from diart_tpu.runtime.server import StreamingServer
+
+        engine = MultiStreamEngine(
+            segmentation=fake_segmentation(),
+            embedding=fake_embedding(),
+            batch_size=1,
+            **PIPELINE_PARAMS,
+        )
+        server = StreamingServer(engine, realtime=True, cohorts=4)
+        ticks = []
+
+        async def fake_tick(cohort=0):
+            ticks.append((cohort, time.perf_counter()))
+            if len(ticks) >= 8:
+                server._stop.set()
+
+        server._tick = fake_tick
+
+        async def drive():
+            server._stop = asyncio.Event()
+            await asyncio.wait_for(server._ticker(), timeout=10.0)
+
+        asyncio.run(drive())
+        order = [c for c, _ in ticks[:8]]
+        assert order == [0, 1, 2, 3, 0, 1, 2, 3]
+        gaps = [
+            t1 - t0
+            for (_, t0), (_, t1) in zip(ticks, ticks[1:7])
+        ]
+        phase = PIPELINE_PARAMS["step"] / 4
+        assert all(0.5 * phase < g < 2.5 * phase for g in gaps), gaps
+
     def test_handshake_after_audio_rejected(self):
         """The {"format": ...} handshake must precede any audio
         (docs/SERVING.md wire protocol); one arriving after audio has been
