@@ -101,21 +101,15 @@ def _stats(xs):
 
 
 def run_config(engine, n_cohorts, mode, args):
-    from diart_tpu.parallel.session import MultiStreamSession
+    from diart_tpu.parallel import CohortScheduler
 
     b = engine.batch_size
     step = engine.step_duration
-    phase = step / n_cohorts
-    sessions = [
-        MultiStreamSession(
-            engine,
-            uris=[f"c{j}s{i}" for i in range(b)],
-            collect_audio=False,
-            quantize_transfer=args.int16,
-        )
-        for j in range(n_cohorts)
-    ]
-    per_session = _state_bytes(sessions[0].state)
+    scheduler = CohortScheduler(
+        engine, n_cohorts, quantize_transfer=args.int16
+    )
+    phase = scheduler.phase
+    per_session = _state_bytes(scheduler.sessions[0].state)
     print(
         f"# cohorts={n_cohorts} mode={mode} session_state="
         f"{per_session/1e6:.0f}MB total={n_cohorts*per_session/1e9:.2f}GB",
@@ -146,70 +140,39 @@ def run_config(engine, n_cohorts, mode, args):
     # warm-up: compile (warm() on scratch state) then advance every
     # session past its warm-up boundary so the measured run is all
     # steady-state full-path hops
-    sessions[0].warm()
-    warm_hops = sessions[0].warmup_blocks
-    for s in sessions:
-        for k in range(warm_hops):
-            s.push_rttm(pool[k % len(pool)], present)
+    scheduler.warm()
+    scheduler.prime(lambda j, k: (pool[k % len(pool)], present))
 
     churn_at = args.periods // 3 if args.churn else -1
-    churned = False
 
-    # the schedule: hop (p, j) due at t0 + p*step + j*phase
-    lateness, reply, hop_wall = [], [], []
-    # pipelined: one single-thread executor PER COHORT — harvests of the
-    # same session stay in dispatch order, harvests of different cohorts
-    # (tunnel round trips) overlap each other and the device
-    from concurrent.futures import ThreadPoolExecutor
-
-    executors = [
-        ThreadPoolExecutor(1, f"harvest-{j}") for j in range(n_cohorts)
-    ]
-    futures = []  # (due, t_dispatch, Future -> completion time)
-
-    def _harvest(j, pending):
-        sessions[j].push_finish_rttm(pending)
-        return time.perf_counter()
-
-    t0 = time.perf_counter() + 0.05
-    n_hops = 0
-    for p in range(args.periods):
-        if p == churn_at and not churned:
-            churned = True
+    def before_period(p):
+        if p == churn_at:
             # admission storm: recycle args.churn lanes of cohort 0 in one
             # compiled churn-batch reset (the server does this per tick)
             idxs = list(range(min(args.churn, b)))
-            sessions[0].reset_slots(idxs, uris=[f"new{i}" for i in idxs])
-        for j in range(n_cohorts):
-            due = t0 + p * step + j * phase
-            while True:
-                dt = due - time.perf_counter()
-                if dt <= 0:
-                    break
-                time.sleep(min(dt, 0.02))
-            t_disp = time.perf_counter()
-            lateness.append(t_disp - due)
-            block = pool[n_hops % len(pool)]
-            n_hops += 1
-            if mode == "sync":
-                sessions[j].push_rttm(block, present)
-                now = time.perf_counter()
-                reply.append(now - due)
-                hop_wall.append(now - t_disp)
-            else:
-                pending = sessions[j].push_begin(block, present)
-                if pending is not None:
-                    futures.append(
-                        (due, t_disp, executors[j].submit(_harvest, j, pending))
-                    )
-    for due, t_disp, fut in futures:
-        t_done = fut.result()
-        reply.append(t_done - due)
-        hop_wall.append(t_done - t_disp)
-    for ex in executors:
-        ex.shutdown(wait=True)
+            scheduler.sessions[0].reset_slots(
+                idxs, uris=[f"new{i}" for i in idxs]
+            )
 
+    counter = {"n": 0}
+
+    def get_blocks(j, p):
+        block = pool[counter["n"] % len(pool)]
+        counter["n"] += 1
+        return block, present
+
+    t0 = time.perf_counter()
+    timings = scheduler.run(
+        get_blocks,
+        args.periods,
+        pipelined=(mode != "sync"),
+        before_period=before_period,
+    )
     elapsed = time.perf_counter() - t0
+    n_hops = counter["n"]
+    lateness = [t.dispatched - t.due for t in timings]
+    reply = [t.done - t.due for t in timings]
+    hop_wall = [t.done - t.dispatched for t in timings]
     # sustained = the schedule never fell behind: late starts bounded by
     # one phase slot all run long (no backlog growth), and replies land
     # within one step period
@@ -239,7 +202,7 @@ def run_config(engine, n_cohorts, mode, args):
         f"sustained={sustained}",
         flush=True,
     )
-    del sessions
+    del scheduler
     return {
         "cohorts": n_cohorts,
         "mode": mode,

@@ -877,6 +877,72 @@ class TestMultiStreamTuning:
         assert engine._step._cache_size() == 1
 
 
+class TestCohortScheduler:
+    def test_staggered_schedule_serves_all_cohorts(self):
+        """The in-process cohort scheduler (the capacity artifacts'
+        substrate and the library form of StreamingServer(cohorts=K)):
+        K sessions sharing one engine, hops at staggered phases, every
+        steady-state hop emitting RTTM for every stream — in both harvest
+        modes, with identical RTTM output."""
+        from diart_tpu.parallel import CohortScheduler
+
+        engine = MultiStreamEngine(
+            segmentation=fake_segmentation(),
+            embedding=fake_embedding(),
+            batch_size=2,
+            **PIPELINE_PARAMS,
+        )
+
+        def run(pipelined):
+            scheduler = CohortScheduler(engine, cohorts=2, tau_active=0.6)
+            assert scheduler.capacity == 4
+            present = np.ones(2, bool)
+            audio = {
+                j: synth_audio(turns, TOTAL, seed=j)
+                for j, turns in enumerate(FILES.values())
+            }
+            n = engine.step_samples
+
+            def get_blocks(j, k):
+                lo = (k % 10) * n
+                return (
+                    np.repeat(audio[j][:, lo : lo + n], 2, axis=0),
+                    present,
+                )
+
+            scheduler.warm()
+            scheduler.prime(get_blocks)
+            outputs = {}
+
+            def on_outputs(j, p, outs):
+                outputs.setdefault(j, []).append(outs)
+
+            warm = scheduler.sessions[0].warmup_blocks
+            timings = scheduler.run(
+                lambda j, p: get_blocks(j, p + warm),
+                periods=3,
+                pipelined=pipelined,
+                on_outputs=on_outputs,
+            )
+            assert len(timings) == 6  # 2 cohorts x 3 periods, all steady
+            # phases: cohort 1 due a half-step after cohort 0 each period
+            for t in timings:
+                assert t.dispatched >= t.due
+                assert t.done >= t.dispatched
+            per_period = sorted(timings, key=lambda t: t.due)
+            assert [t.cohort for t in per_period] == [0, 1, 0, 1, 0, 1]
+            # every steady hop emitted RTTM text for both streams
+            for j in (0, 1):
+                assert len(outputs[j]) == 3
+                for outs in outputs[j]:
+                    assert all(isinstance(o, str) for o in outs)
+            return outputs
+
+        sync_out = run(pipelined=False)
+        pipe_out = run(pipelined=True)
+        assert sync_out == pipe_out  # harvest mode changes timing only
+
+
 class TestMeshServing:
     def test_server_with_sharded_engine(self):
         """StreamingServer over a mesh-sharded engine (virtual 8-device CPU
