@@ -155,12 +155,22 @@ class StreamingServer:
         self._pending_resets: list = [set() for _ in range(self.cohorts)]
         self._stop = None
         self._loop = None
-        # pipelined serving (see _tick): single-thread pools keep
-        # push_begin calls serial and push_finish in dispatch order
+        # pipelined serving (see _tick): a single-thread dispatch pool
+        # keeps push_begin calls serial (state threading), and ONE
+        # single-thread harvest pool PER COHORT keeps each session's
+        # push_finish calls in dispatch order while letting different
+        # cohorts' harvests (each a device->host round trip) overlap —
+        # the scheduling property the cohort capacity measurements rely
+        # on (parallel/cohort.py; a single shared harvest thread
+        # serialized all cohorts' round trips and capped the pipelined
+        # schedule at ~step/harvest_time cohorts)
         from concurrent.futures import ThreadPoolExecutor
 
         self._dispatch_pool = ThreadPoolExecutor(1, "diart-dispatch")
-        self._harvest_pool = ThreadPoolExecutor(1, "diart-harvest")
+        self._harvest_pools = [
+            ThreadPoolExecutor(1, f"diart-harvest-{j}")
+            for j in range(self.cohorts)
+        ]
         self._outbox: Optional[asyncio.Queue] = None
         self._in_flight = 0  # dispatched hops whose replies haven't gone out
         # first-ready time of each cohort's current wave, _tick
@@ -326,7 +336,7 @@ class StreamingServer:
         if pending is None:
             return
         fut = loop.run_in_executor(
-            self._harvest_pool, session.push_finish_rttm, pending
+            self._harvest_pools[cohort], session.push_finish_rttm, pending
         )
         self._in_flight += 1
         if self._outbox is None:
@@ -438,16 +448,21 @@ class StreamingServer:
         from concurrent.futures import ThreadPoolExecutor
 
         self._dispatch_pool.shutdown(wait=False)
-        self._harvest_pool.shutdown(wait=False)
+        for pool in self._harvest_pools:
+            pool.shutdown(wait=False)
         self._dispatch_pool = ThreadPoolExecutor(1, "diart-dispatch")
-        self._harvest_pool = ThreadPoolExecutor(1, "diart-harvest")
+        self._harvest_pools = [
+            ThreadPoolExecutor(1, f"diart-harvest-{j}")
+            for j in range(self.cohorts)
+        ]
         # Bounded in-flight hops (each pins its device arrays until
         # harvested); the put() in _tick backpressures past this depth.
-        # Depth 1 = exactly one hop harvesting while the next dispatches:
-        # the measured sweet spot — at depth 4 harvests queued behind
-        # dispatches and every queued hop added ~120 ms wire latency at 128
-        # clients (docs/campaigns/r4/r4_serve6_ab.txt ramp128_pipe).
-        self._outbox = asyncio.Queue(maxsize=1)
+        # Depth 1 PER COHORT = exactly one hop of each cohort harvesting
+        # while its next dispatches: the measured sweet spot for one
+        # cohort — at depth 4 harvests queued behind dispatches and every
+        # queued hop added ~120 ms wire latency at 128 clients
+        # (docs/campaigns/r4/r4_serve6_ab.txt ramp128_pipe).
+        self._outbox = asyncio.Queue(maxsize=self.cohorts)
         deliverer = asyncio.create_task(self._deliverer())
         async with websockets.serve(self._handler, self.host, self.port):
             logger.info("serving on %s:%d", self.host, self.port)
@@ -468,10 +483,11 @@ class StreamingServer:
             finally:
                 deliverer.cancel()
                 # don't leak the worker threads across server lifetimes
-                # (each instance would otherwise pin two threads until
+                # (each instance would otherwise pin threads until
                 # interpreter exit)
                 self._dispatch_pool.shutdown(wait=False)
-                self._harvest_pool.shutdown(wait=False)
+                for pool in self._harvest_pools:
+                    pool.shutdown(wait=False)
 
     def run(self):
         """Blocking entry point."""
