@@ -18,7 +18,14 @@ import numpy as np
 from ..core.annotation import Annotation
 from ..core.segment import Segment, SlidingWindowFeature
 
-__all__ = ["binarize", "binarize_rttm", "batch_binarize_rttm"]
+__all__ = [
+    "binarize",
+    "binarize_rttm",
+    "batch_binarize_rttm",
+    "batch_bits_rttm",
+    "pack_binarized_bits",
+    "packed_stride",
+]
 
 
 def _transitions(data: np.ndarray, threshold: float):
@@ -134,9 +141,69 @@ def batch_binarize_rttm(
     uris[i]) for i in range(B)]`` but the thresholding/edge detection runs
     once over the batch: per-stream numpy fixed costs (~30 us x 6 calls)
     dominated the per-stream route at serving batch sizes."""
-    b, num_frames, num_speakers = data.shape
+    return _batch_rttm_from_active(
+        np.asarray(data) > threshold, window_starts, resolution, uris
+    )
+
+
+def packed_stride(frames: int, speakers: int) -> int:
+    """Bytes per stream of the packed (frames, speakers) binarized map."""
+    return (frames * speakers + 7) // 8
+
+
+def pack_binarized_bits(scores, threshold):
+    """Jittable: (B, frames, speakers) scores -> (B, packed_stride) uint8.
+
+    The serving fetch path's device half: thresholding runs on DEVICE with
+    the exact comparison the host route performs (numpy 2 / NEP 50 casts a
+    Python-float threshold to the array dtype, so an f32 ``>`` on device is
+    bit-identical to ``fetched_f32 > python_float`` on the host), and the
+    per-hop device->host fetch shrinks ~30x: 8 bits of "active" per
+    (frame, speaker) cell instead of an f32 score. Bit order matches
+    ``np.unpackbits`` (MSB first) over the frame-major flattened map."""
+    import jax.numpy as jnp
+
+    b, frames, speakers = scores.shape
+    nbits = frames * speakers
+    stride = packed_stride(frames, speakers)
+    bits = (scores > threshold).reshape(b, nbits)
+    pad = stride * 8 - nbits
+    if pad:
+        bits = jnp.pad(bits, ((0, 0), (0, pad)))
+    weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    b8 = bits.reshape(b, stride, 8).astype(jnp.int32)
+    return (b8 * weights).sum(-1).astype(jnp.uint8)
+
+
+def batch_bits_rttm(
+    bits: np.ndarray,
+    frames: int,
+    speakers: int,
+    window_starts: np.ndarray,
+    resolution: float,
+    uris,
+) -> list:
+    """``batch_binarize_rttm`` over a device-binarized packed bitmap
+    (``pack_binarized_bits`` output fetched to host). Pure-numpy fallback
+    for the native assembler (``native.rttm_from_bits``)."""
+    flat = np.unpackbits(np.ascontiguousarray(bits), axis=1, count=frames * speakers)
+    return _batch_rttm_from_active(
+        flat.reshape(bits.shape[0], frames, speakers), window_starts,
+        resolution, uris,
+    )
+
+
+def _batch_rttm_from_active(
+    active: np.ndarray,
+    window_starts: np.ndarray,
+    resolution: float,
+    uris,
+) -> list:
+    """Shared tail of both batch routes: (B, frames, speakers) boolean
+    activity -> per-stream RTTM text."""
+    b, num_frames, num_speakers = active.shape
     ext = np.zeros((b, num_frames + 2, num_speakers), np.int8)
-    ext[:, 1:-1] = data > threshold
+    ext[:, 1:-1] = active
     # speaker-major WITHIN each stream (transpose frames<->speakers) so the
     # nonzero enumeration order matches binarize's per-stream track ids
     d = np.diff(ext.transpose(0, 2, 1), axis=2)

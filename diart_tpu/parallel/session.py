@@ -21,7 +21,13 @@ import numpy as np
 
 from ..core.annotation import Annotation
 from ..core.segment import SlidingWindow, SlidingWindowFeature
-from ..ops.binarize import batch_binarize_rttm, binarize, binarize_rttm
+from ..ops.binarize import (
+    batch_binarize_rttm,
+    batch_bits_rttm,
+    binarize,
+    binarize_rttm,
+)
+from .. import native
 from .engine import MultiStreamEngine, StreamState
 
 __all__ = ["MultiStreamSession"]
@@ -39,6 +45,11 @@ class _PendingHop:
     first_rows: np.ndarray
     uris: List[str]
     shifts: List[float]
+    # fetch[0] is packed device-binarized bits (binarize_on_device mode)
+    # instead of the raw aggregated scores; device_aggregated keeps the
+    # on-device scores reachable for the annotation route either way.
+    bits: bool = False
+    device_aggregated: object = None
     t0: float = field(default_factory=time.monotonic)
 
 
@@ -63,6 +74,7 @@ class MultiStreamSession:
         timestamp_shifts: Optional[Sequence[float]] = None,
         collect_audio: bool = True,
         quantize_transfer: bool = False,
+        binarize_on_device: bool = True,
     ):
         self.engine = engine
         b = engine.batch_size
@@ -74,6 +86,17 @@ class MultiStreamSession:
         # ship int16 PCM to the device (half the host->device bytes per hop;
         # ~96 dB quantization floor is far below speech SNR)
         self.quantize_transfer = quantize_transfer
+        # Serving fetch path: threshold the aggregated scores ON DEVICE
+        # (bit-identical f32 compare, ops/binarize.pack_binarized_bits) and
+        # fetch ~30x fewer bytes per hop — 8 binarized cells per byte vs an
+        # f32 score each. At cohort scale the raw-score fetch saturates the
+        # device->host link (PERF.md round 5: 32 cohorts x 614 KB/hop ~=
+        # 39 MB/s collapsed the dev tunnel); the RTTM routes never need the
+        # scores themselves. The annotation route (push/push_finish) still
+        # fetches full scores on demand, so this is safe to leave on; turn
+        # it off to make push_finish's fetch part of the hop again.
+        self.binarize_on_device = binarize_on_device
+        self._pack_fn = None
 
         self.state: StreamState = engine.init_state()
         self.blocks_seen = np.zeros(b, np.int64)
@@ -152,10 +175,15 @@ class MultiStreamSession:
         for k in range(self.warmup_blocks + 1):
             run = present & (k + 1 >= self.warmup_blocks)
             state, out = eng.step(state, blocks, present, run)
+        packed = [self._pack(out.aggregated)] if self.binarize_on_device else []
         width = 1
         while True:
             w = min(width, b)
-            jax.device_get([out.aggregated, out.newest[np.zeros(w, int)]])
+            fetch = [out.aggregated, out.newest[np.zeros(w, int)]] + packed
+            if self.binarize_on_device:
+                # bits-mode first-chunk buckets also gather aggregated rows
+                fetch.append(out.aggregated[np.zeros(w, int)])
+            jax.device_get(fetch)
             if w >= b:
                 break
             width *= 2
@@ -220,7 +248,7 @@ class MultiStreamSession:
         Returns a list with one entry per stream: ``None`` while warming up
         or absent, else ``(annotation, audio_region)``.
         """
-        pending = self.push_begin(blocks, present)
+        pending = self.push_begin(blocks, present, rttm=False)
         if pending is None:
             return [None] * self.batch_size
         return self.push_finish(pending)
@@ -229,6 +257,7 @@ class MultiStreamSession:
         self,
         blocks: np.ndarray,
         present: Optional[np.ndarray] = None,
+        rttm: bool = True,
     ) -> Optional["_PendingHop"]:
         """Dispatch one hop WITHOUT blocking on the device: advances the
         session state, enqueues the step (and the first-chunk gather when
@@ -244,6 +273,11 @@ class MultiStreamSession:
         snapshots uris/shifts/chunk indices, so slot resets may proceed
         while a hop is in flight — but ``collect_audio=True`` sessions must
         use the synchronous :meth:`push` (resets zero audio rows in place).
+
+        rttm: the finish route this hop is destined for. True (serving
+        loops -> ``push_finish_rttm``) lets ``binarize_on_device`` replace
+        the raw score fetch with the packed-bits fetch; False
+        (``push`` -> ``push_finish``) always fetches raw scores.
         """
         b = self.batch_size
         if present is None:
@@ -304,7 +338,11 @@ class MultiStreamSession:
         # fetched. Measured against the serving loop: the full-tensor
         # fetch dominated the per-hop device<->host traffic.
         first_rows = np.flatnonzero(run_mask & (chunk_index == 0))
-        fetch = [out.aggregated]
+        # rttm=False (the annotation route, session.push) keeps the raw
+        # aggregated fetch — push_finish needs the scores themselves, so
+        # the packed-bits fetch would only add a second round trip
+        bits = self.binarize_on_device and rttm
+        fetch = [self._pack(out.aggregated) if bits else out.aggregated]
         if first_rows.size:
             # pad the index vector to the next power of two so the gather
             # executable is reused across hops (at most log2(B)+1 variants
@@ -314,6 +352,10 @@ class MultiStreamSession:
                 first_rows, (0, width - first_rows.size), mode="edge"
             )
             fetch.append(out.newest[idx])
+            if bits:
+                # the first-chunk prepend needs those streams' raw
+                # aggregated rows too (the packed fetch replaced them)
+                fetch.append(out.aggregated[idx])
         with self._inflight_lock:
             self._inflight_hops += 1
         return _PendingHop(
@@ -323,27 +365,46 @@ class MultiStreamSession:
             first_rows=first_rows,
             uris=list(self.uris),
             shifts=list(self.shifts),
+            bits=bits,
+            device_aggregated=out.aggregated,
             t0=t0,
         )
+
+    def _pack(self, aggregated):
+        """Dispatch the device-side binarize+packbits of this hop's
+        aggregated scores (``ops.binarize.pack_binarized_bits``)."""
+        if self._pack_fn is None:
+            from ..ops.binarize import pack_binarized_bits
+
+            self._pack_fn = jax.jit(pack_binarized_bits)
+        return self._pack_fn(aggregated, np.float32(self.tau_active))
 
     def _harvest(self, pending: "_PendingHop"):
         """Block on a pending hop's transfers: ONE ``device_get`` on the
         fetch list (sequential ``np.asarray`` calls each paid a full
         host<->device round trip, ~50 ms through the dev tunnel — the
         serve_bench ramp phases showed 2-3 sequential fetches dominating
-        the served step wall). Returns ``(aggregated, newest_rows)`` for
-        the two finish routes."""
+        the served step wall). Returns ``(main, newest_rows, agg_rows)``:
+        ``main`` is the aggregated scores, or the packed binarized bits in
+        ``binarize_on_device`` mode (where ``agg_rows`` carries the raw
+        aggregated rows of first-chunk streams)."""
         fetch = jax.device_get(pending.fetch)
-        aggregated = fetch[0]
+        main = fetch[0]
         newest_rows = {}
+        agg_rows = {}
         if pending.first_rows.size:
             newest_rows = {
                 int(r): fetch[1][k] for k, r in enumerate(pending.first_rows)
             }
+            if pending.bits:
+                agg_rows = {
+                    int(r): fetch[2][k]
+                    for k, r in enumerate(pending.first_rows)
+                }
         self.chronometer.history.append(time.monotonic() - pending.t0)
         with self._inflight_lock:
             self._inflight_hops = max(0, self._inflight_hops - 1)
-        return aggregated, newest_rows
+        return main, newest_rows, agg_rows
 
     def push_finish(
         self, pending: "_PendingHop"
@@ -352,7 +413,13 @@ class MultiStreamSession:
         b = self.batch_size
         run_mask = pending.run_mask
         chunk_index = pending.chunk_index
-        aggregated, newest_rows = self._harvest(pending)
+        aggregated, newest_rows, _ = self._harvest(pending)
+        if pending.bits:
+            # the annotation route needs the raw scores; in
+            # binarize_on_device mode the hop only fetched the packed bits,
+            # so fetch the full tensor now (serving loops use the RTTM
+            # routes and never pay this)
+            aggregated = jax.device_get(pending.device_aggregated)
 
         geometry = self.engine.geometry
         eng = self.engine
@@ -430,38 +497,71 @@ class MultiStreamSession:
         b = self.batch_size
         run_mask = pending.run_mask
         chunk_index = pending.chunk_index
-        aggregated, newest_rows = self._harvest(pending)
+        main, newest_rows, agg_rows = self._harvest(pending)
 
         geometry = self.engine.geometry
         eng = self.engine
         outputs: List[Optional[str]] = [None] * b
 
-        steady = [
-            i for i in range(b) if run_mask[i] and int(chunk_index[i]) > 0
-        ]
-        if steady:
+        steady_mask = run_mask & (chunk_index > 0)
+        if steady_mask.any():
             res = geometry.out_resolution
-            starts = np.array(
-                [
+            # per-stream window starts (don't-care for non-emitting rows)
+            starts = np.zeros(b)
+            for i in np.flatnonzero(steady_mask):
+                starts[i] = (
                     eng.output_start(int(chunk_index[i])) + pending.shifts[i]
-                    for i in steady
-                ]
-            )
-            texts = batch_binarize_rttm(
-                np.asarray(aggregated[steady]),
-                starts,
-                res,
-                self.tau_active,
-                [pending.uris[i] for i in steady],
-            )
-            for k, i in enumerate(steady):
-                outputs[i] = texts[k]
+                )
+            speakers = int(pending.device_aggregated.shape[-1])
+            if pending.bits:
+                texts = native.rttm_from_bits(
+                    main,
+                    geometry.num_out,
+                    speakers,
+                    starts,
+                    res,
+                    pending.uris,
+                    emit=steady_mask,
+                )
+                if texts is None:  # no native toolchain: numpy fallback
+                    rows = np.flatnonzero(steady_mask)
+                    sub = batch_bits_rttm(
+                        main[rows],
+                        geometry.num_out,
+                        speakers,
+                        starts[rows],
+                        res,
+                        [pending.uris[i] for i in rows],
+                    )
+                    texts = [None] * b
+                    for k, i in enumerate(rows):
+                        texts[i] = sub[k]
+            else:
+                texts = native.rttm_from_scores(
+                    main, starts, res, self.tau_active, pending.uris,
+                    emit=steady_mask,
+                )
+                if texts is None:
+                    rows = np.flatnonzero(steady_mask)
+                    sub = batch_binarize_rttm(
+                        np.asarray(main[rows]),
+                        starts[rows],
+                        res,
+                        self.tau_active,
+                        [pending.uris[i] for i in rows],
+                    )
+                    texts = [None] * b
+                    for k, i in enumerate(rows):
+                        texts[i] = sub[k]
+            for i in np.flatnonzero(steady_mask):
+                outputs[i] = texts[i]
 
         for i in range(b):
             if not run_mask[i] or int(chunk_index[i]) != 0:
                 continue
+            agg_row = agg_rows[i] if pending.bits else main[i]
             first = newest_rows[i][geometry.first_indices].copy()
-            first[-geometry.num_out :] = aggregated[i]
+            first[-geometry.num_out :] = agg_row
             res0 = geometry.first_resolution
             window = SlidingWindow(
                 start=pending.shifts[i], duration=res0, step=res0
