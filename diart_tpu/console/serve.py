@@ -66,6 +66,15 @@ def run():
         "single-core hosts (PERF.md round-4 serving)",
     )
     parser.add_argument(
+        "--no-binarize-on-device",
+        action="store_true",
+        help="Fetch raw aggregated scores per hop instead of the "
+        "device-binarized packed bitmap (32x the device->host bytes; the "
+        "bitmap is exact-parity and is what lifts the cohort serving "
+        "ceiling to the device-duty wall — PERF.md round-5 serving). "
+        "Only useful for A/Bs and debugging",
+    )
+    parser.add_argument(
         "--realtime",
         action="store_true",
         help="Tick once per step of wall clock instead of polling for "
@@ -142,6 +151,7 @@ def run():
         pipelined=args.pipelined,
         coalesce=args.coalesce_ms / 1000.0,
         cohorts=args.cohorts,
+        binarize_on_device=not args.no_binarize_on_device,
     )
     try:
         server.run()

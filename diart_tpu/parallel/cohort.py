@@ -68,7 +68,10 @@ class CohortScheduler:
     ----------
     engine: the compiled multi-stream engine (shared by every cohort).
     cohorts: number of sessions to time-multiplex.
-    tau_active / quantize_transfer: forwarded to each session.
+    tau_active / quantize_transfer / binarize_on_device: forwarded to each
+        session (the last is the 32x-smaller device-binarized fetch; ON is
+        what lifts the serving ceiling to the device-duty wall, PERF.md
+        round 5).
     """
 
     def __init__(
@@ -77,6 +80,7 @@ class CohortScheduler:
         cohorts: int,
         tau_active: float = 0.6,
         quantize_transfer: bool = False,
+        binarize_on_device: bool = True,
     ):
         assert cohorts >= 1
         self.engine = engine
@@ -89,6 +93,7 @@ class CohortScheduler:
                 tau_active=tau_active,
                 collect_audio=False,
                 quantize_transfer=quantize_transfer,
+                binarize_on_device=binarize_on_device,
             )
             for j in range(cohorts)
         ]

@@ -506,12 +506,16 @@ class MultiStreamSession:
         steady_mask = run_mask & (chunk_index > 0)
         if steady_mask.any():
             res = geometry.out_resolution
-            # per-stream window starts (don't-care for non-emitting rows)
-            starts = np.zeros(b)
-            for i in np.flatnonzero(steady_mask):
-                starts[i] = (
-                    eng.output_start(int(chunk_index[i])) + pending.shifts[i]
-                )
+            # per-stream window starts (don't-care for non-emitting rows),
+            # in engine.output_start's exact float operation order
+            # (((c * step) + duration) - latency) + shift so the %.3f
+            # renderings stay bit-identical to the per-stream route
+            starts = (
+                chunk_index * eng.step_duration
+                + eng.duration
+                - eng.latency
+                + np.asarray(pending.shifts)
+            )
             speakers = int(pending.device_aggregated.shape[-1])
             if pending.bits:
                 texts = native.rttm_from_bits(

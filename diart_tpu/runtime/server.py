@@ -114,6 +114,7 @@ class StreamingServer:
         pipelined: bool = False,
         coalesce: float = 0.0,
         cohorts: int = 1,
+        binarize_on_device: bool = True,
     ):
         self.engine = engine
         self.host = host
@@ -129,6 +130,7 @@ class StreamingServer:
                 tau_active=tau_active,
                 collect_audio=False,
                 quantize_transfer=quantize_transfer,
+                binarize_on_device=binarize_on_device,
             )
             for _ in range(self.cohorts)
         ]

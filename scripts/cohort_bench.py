@@ -106,7 +106,10 @@ def run_config(engine, n_cohorts, mode, args):
     b = engine.batch_size
     step = engine.step_duration
     scheduler = CohortScheduler(
-        engine, n_cohorts, quantize_transfer=args.int16
+        engine,
+        n_cohorts,
+        quantize_transfer=args.int16,
+        binarize_on_device=not args.no_bits,
     )
     phase = scheduler.phase
     per_session = _state_bytes(scheduler.sessions[0].state)
@@ -192,7 +195,7 @@ def run_config(engine, n_cohorts, mode, args):
     print(
         f"# cohorts={n_cohorts} batch={b} streams={streams} mode={mode} "
         f"periods={args.periods} hops={n_hops} int16={args.int16} "
-        f"staged={args.staged} "
+        f"staged={args.staged} bits={not args.no_bits} "
         f"churn={args.churn if churn_at >= 0 else 0} "
         f"hop_wall p50={wall_p50*1e3:.1f}ms p99={wall_p99*1e3:.1f}ms "
         f"lateness p50={late_p50*1e3:.1f}ms p99={late_p99*1e3:.1f}ms "
@@ -224,6 +227,9 @@ def main():
     p.add_argument("--churn", type=int, default=0,
                    help="reset this many cohort-0 lanes mid-run")
     p.add_argument("--int16", action="store_true")
+    p.add_argument("--no-bits", action="store_true",
+                   help="disable the device-binarized packed fetch "
+                   "(binarize_on_device) for A/B runs")
     p.add_argument("--staged", action="store_true",
                    help="pre-stage audio pools on device (production-PCIe "
                    "proxy: measures the device-side serving claim without "

@@ -640,6 +640,46 @@ class TestRttmFastPath:
         assert any(any(t for t in stream) for stream in ann_route)
         assert ann_route == fast_route
 
+    def test_fetch_modes_and_fallbacks_agree(self, monkeypatch):
+        """The three serving fetch/assembly configurations — raw-score
+        fetch (binarize_on_device=False), device-binarized packed-bits
+        fetch (default), and the bits fetch with NO native assembler
+        (numpy fallback) — must emit identical RTTM strings."""
+        from diart_tpu import native
+
+        batch = 3
+        audios = [
+            synth_audio(t, TOTAL, seed=i)
+            for i, t in enumerate(STREAM_TURNS[:batch])
+        ]
+
+        def feed(session):
+            step_s = session.engine.step_samples
+            num_blocks = int(TOTAL * SAMPLE_RATE) // step_s
+            texts = [[] for _ in range(batch)]
+            for blk in range(num_blocks):
+                blocks = np.stack(
+                    [a[0, blk * step_s : (blk + 1) * step_s] for a in audios]
+                )
+                for i, out in enumerate(session.push_rttm(blocks)):
+                    if out is not None:
+                        texts[i].append(out)
+            return texts
+
+        def make_session(**kw):
+            return MultiStreamSession(
+                make_engine(batch), tau_active=PARAMS["tau_active"],
+                collect_audio=False, **kw,
+            )
+
+        scores_route = feed(make_session(binarize_on_device=False))
+        bits_route = feed(make_session())
+        monkeypatch.setattr(native, "rttm_from_bits", lambda *a, **k: None)
+        monkeypatch.setattr(native, "rttm_from_scores", lambda *a, **k: None)
+        fallback_route = feed(make_session())
+        assert any(any(t for t in stream) for stream in scores_route)
+        assert scores_route == bits_route == fallback_route
+
 
 class TestPipelinedPush:
     def test_begin_finish_overlap_matches_push(self):
