@@ -64,6 +64,14 @@ class MultiStreamSession:
     timestamp_shifts: per-stream shift applied to output timestamps
         (negative left padding, as in ``inference.py:339``).
     collect_audio: also return the aggregated audio region per output.
+    quantize_transfer: ship int16 PCM blocks to the device (half the
+        host->device bytes; dequantized on device, exact to 1/32768).
+    binarize_on_device: RTTM-route hops fetch a device-binarized packed
+        bitmap (one bit per (frame, speaker) cell, 32x fewer device->host
+        bytes) instead of raw f32 scores — bit-exact by construction (see
+        ``ops.binarize.pack_binarized_bits``) and the lever behind the
+        cohort serving ceiling (PERF.md round 5). The annotation route
+        (:meth:`push`) always fetches raw scores.
     """
 
     def __init__(

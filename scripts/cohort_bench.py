@@ -48,7 +48,10 @@ Churn leg: ``--churn N`` resets N lanes of cohort 0 a third of the way in
 schedule) to show admission storms don't break the real-time schedule.
 
 Usage: ``python scripts/cohort_bench.py [--batch 256] [--cohorts 4,8]
-[--periods 40] [--mode sync,pipelined] [--staged] [--churn 32] [--int16]``
+[--periods 40] [--mode sync,pipelined] [--staged] [--churn 32] [--int16]
+[--no-bits] [--vad]`` — ``--no-bits`` A/Bs the device-binarized packed
+fetch off; ``--vad`` serves the segmentation-only pipeline (~6.7 ms
+device hop, ~2x the flagship's cohort ceiling).
 """
 
 import argparse
@@ -63,16 +66,19 @@ _ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(_ROOT))
 
 
-def _build_engine(batch, int16):
+def _build_engine(batch, int16, vad=False):
     """Flagship serving config (bench.py): PyanNet f32 + x-vector bf16,
-    distinct SincNet filterbanks."""
+    distinct SincNet filterbanks — or the VAD engine (segmentation only,
+    ``blocks/vad.py`` semantics) with ``vad=True``."""
     from bench import EMB_REGISTRY, SEG_REGISTRY, _distinct_filterbanks
     from diart_tpu.models import EmbeddingModel, SegmentationModel
     from diart_tpu.parallel import MultiStreamEngine
 
     seg = SegmentationModel.from_registry(SEG_REGISTRY["pyannet"], dtype="f32")
-    emb = EmbeddingModel.from_registry(EMB_REGISTRY["xvector"], dtype="bf16")
-    _distinct_filterbanks(emb)
+    emb = None
+    if not vad:
+        emb = EmbeddingModel.from_registry(EMB_REGISTRY["xvector"], dtype="bf16")
+        _distinct_filterbanks(emb)
     return MultiStreamEngine(
         segmentation=seg,
         embedding=emb,
@@ -195,7 +201,7 @@ def run_config(engine, n_cohorts, mode, args):
     print(
         f"# cohorts={n_cohorts} batch={b} streams={streams} mode={mode} "
         f"periods={args.periods} hops={n_hops} int16={args.int16} "
-        f"staged={args.staged} bits={not args.no_bits} "
+        f"staged={args.staged} bits={not args.no_bits} vad={args.vad} "
         f"churn={args.churn if churn_at >= 0 else 0} "
         f"hop_wall p50={wall_p50*1e3:.1f}ms p99={wall_p99*1e3:.1f}ms "
         f"lateness p50={late_p50*1e3:.1f}ms p99={late_p99*1e3:.1f}ms "
@@ -230,6 +236,9 @@ def main():
     p.add_argument("--no-bits", action="store_true",
                    help="disable the device-binarized packed fetch "
                    "(binarize_on_device) for A/B runs")
+    p.add_argument("--vad", action="store_true",
+                   help="serve the VAD pipeline (segmentation only, "
+                   "~6.7 ms device hop) instead of the flagship")
     p.add_argument("--staged", action="store_true",
                    help="pre-stage audio pools on device (production-PCIe "
                    "proxy: measures the device-side serving claim without "
@@ -244,7 +253,7 @@ def main():
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
-    engine = _build_engine(args.batch, args.int16)
+    engine = _build_engine(args.batch, args.int16, vad=args.vad)
     results = []
     for mode in args.mode.split(","):
         for k in (int(x) for x in args.cohorts.split(",")):
