@@ -180,7 +180,10 @@ def rttm_available() -> bool:
 
 def _rttm_common(b, window_starts, uris, emit):
     starts = np.ascontiguousarray(window_starts, np.float64)
-    assert starts.shape == (b,)
+    if starts.shape != (b,):
+        # explicit check (not assert): these values guard raw-memory reads
+        # in C and must survive `python -O`
+        raise ValueError(f"window_starts shape {starts.shape} != ({b},)")
     uri_bytes = [
         (u.encode() if isinstance(u, str) else u) if u else None for u in uris
     ]
@@ -189,6 +192,8 @@ def _rttm_common(b, window_starts, uris, emit):
         emit_arr = np.ones(b, np.uint8)
     else:
         emit_arr = np.ascontiguousarray(np.asarray(emit, bool)).view(np.uint8)
+        if emit_arr.shape != (b,):
+            raise ValueError(f"emit shape {emit_arr.shape} != ({b},)")
     out = (ctypes.c_void_p * b)()
     out_len = (ctypes.c_long * b)()
     return starts, uri_bytes, uri_arr, emit_arr, out, out_len
@@ -227,7 +232,10 @@ def rttm_from_bits(
         return None
     bits = np.ascontiguousarray(bits, np.uint8)
     b, stride = bits.shape
-    assert stride >= (frames * speakers + 7) // 8
+    if stride < (frames * speakers + 7) // 8:
+        raise ValueError(
+            f"packed stride {stride} too small for {frames}x{speakers} bits"
+        )
     starts, _keep, uri_arr, emit_arr, out, out_len = _rttm_common(
         b, window_starts, uris, emit
     )

@@ -44,6 +44,10 @@ namespace {
 
 inline int utoa(char* buf, long v);
 
+// Every fmt3 output buffer must hold the longest possible %.3f rendering
+// of a double: ~309 integer digits + sign + '.' + 3 decimals + NUL.
+constexpr int kFmt3Cap = 336;
+
 // %.3f formatting, bit-exact with snprintf/CPython (both produce the
 // correctly-rounded decimal, ties to even) but ~20x cheaper for the
 // common case. Fast path: scale by 1000 and round; this is provably
@@ -52,18 +56,20 @@ inline int utoa(char* buf, long v);
 // or huge values fall back to snprintf — including EXACT binary ties,
 // where the computed product landing on k+0.5 does not prove the true
 // decimal expansion is a tie. Dense hops spend most of their time here
-// (two doubles per RTTM line).
+// (two doubles per RTTM line). buf must have room for kFmt3Cap bytes;
+// the returned length is the number of bytes actually written.
 inline int fmt3(char* buf, double v) {
     double a = std::fabs(v);
     if (!(a < 1e12)) {  // huge or NaN
-        return snprintf(buf, 24, "%.3f", v);
+        int n = snprintf(buf, kFmt3Cap, "%.3f", v);
+        return n < kFmt3Cap ? n : kFmt3Cap - 1;
     }
     double scaled = a * 1000.0;
     double fl = std::floor(scaled);
     double frac = scaled - fl;
     double err = scaled * 2.3e-16 + 1e-12;
     if (std::fabs(frac - 0.5) <= err) {
-        return snprintf(buf, 24, "%.3f", v);
+        return snprintf(buf, kFmt3Cap, "%.3f", v);  // < 1e12: always fits
     }
     long k = (long)fl + (frac > 0.5 ? 1 : 0);
     char* p = buf;
@@ -140,7 +146,7 @@ char* assemble(std::vector<Turn>& turns, const char* uri, long* out_len) {
     size_t ulen = strlen(u);
     std::string text;
     text.reserve(kept.size() * (48 + ulen));
-    char nbuf[26];
+    char nbuf[kFmt3Cap];
     for (const Turn& t : kept) {
         text.append("SPEAKER ", 8);
         text.append(u, ulen);

@@ -172,6 +172,11 @@ class MultiStreamSession:
         up past real time). Runs on a SCRATCH state — session state and
         bookkeeping are untouched, so this is safe at any point in a
         server's life, not just at start."""
+        # The native RTTM assembler is compiled lazily on first use — a
+        # ~2 s (bounded 120 s) subprocess compile that would otherwise
+        # land inside the first serving hop's harvest, the exact
+        # first-tick stall class this method exists to eliminate.
+        native.rttm_available()
         eng = self.engine
         b = self.batch_size
         blocks = np.zeros((b, eng.step_samples), np.float32)
@@ -535,36 +540,25 @@ class MultiStreamSession:
                     pending.uris,
                     emit=steady_mask,
                 )
-                if texts is None:  # no native toolchain: numpy fallback
-                    rows = np.flatnonzero(steady_mask)
-                    sub = batch_bits_rttm(
-                        main[rows],
-                        geometry.num_out,
-                        speakers,
-                        starts[rows],
-                        res,
-                        [pending.uris[i] for i in rows],
-                    )
-                    texts = [None] * b
-                    for k, i in enumerate(rows):
-                        texts[i] = sub[k]
+                fallback = lambda rows, uris: batch_bits_rttm(
+                    main[rows], geometry.num_out, speakers,
+                    starts[rows], res, uris,
+                )
             else:
                 texts = native.rttm_from_scores(
                     main, starts, res, self.tau_active, pending.uris,
                     emit=steady_mask,
                 )
-                if texts is None:
-                    rows = np.flatnonzero(steady_mask)
-                    sub = batch_binarize_rttm(
-                        np.asarray(main[rows]),
-                        starts[rows],
-                        res,
-                        self.tau_active,
-                        [pending.uris[i] for i in rows],
-                    )
-                    texts = [None] * b
-                    for k, i in enumerate(rows):
-                        texts[i] = sub[k]
+                fallback = lambda rows, uris: batch_binarize_rttm(
+                    np.asarray(main[rows]), starts[rows], res,
+                    self.tau_active, uris,
+                )
+            if texts is None:  # no native toolchain: numpy fallback
+                rows = np.flatnonzero(steady_mask)
+                sub = fallback(rows, [pending.uris[i] for i in rows])
+                texts = [None] * b
+                for k, i in enumerate(rows):
+                    texts[i] = sub[k]
             for i in np.flatnonzero(steady_mask):
                 outputs[i] = texts[i]
 

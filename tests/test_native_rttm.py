@@ -87,6 +87,25 @@ class TestNativeScores:
         assert native.rttm_from_scores(silent, np.zeros(1), RES, TAU, ["u"]) == [""]
 
     @needs_native
+    def test_huge_values_render_like_python(self):
+        # > 1e12 takes fmt3's snprintf fallback; a double's %.3f can run
+        # to ~313 chars. Regression: the fallback used to truncate at 24
+        # bytes while reporting the untruncated length, emitting
+        # NUL-corrupted text (and reading past the line buffer) for
+        # values >= ~1e19.
+        rng = np.random.default_rng(13)
+        scores = (rng.uniform(0, 1, (4, 6, 3)) > 0.5).astype(np.float32)
+        for mag in (1e12, 1e19, 1e30, 1e300):
+            starts = np.array([0.0, mag, -mag, mag * 1.7])
+            py = batch_binarize_rttm(scores, starts, RES, TAU, ["u"] * 4)
+            nat = native.rttm_from_scores(scores, starts, RES, TAU, ["u"] * 4)
+            assert nat == py
+        # huge resolution too (both operands of the rendered subtraction)
+        py = batch_binarize_rttm(scores, np.zeros(4), 1e22, TAU, ["u"] * 4)
+        nat = native.rttm_from_scores(scores, np.zeros(4), 1e22, TAU, ["u"] * 4)
+        assert nat == py
+
+    @needs_native
     def test_sort_tie_uses_track_string_order(self):
         # catastrophic absorption: a huge window start collapses all turn
         # times to the same float, so the sort falls through to
