@@ -40,6 +40,7 @@ process (``/root/reference/src/diart/sources.py:204-271``).
 from __future__ import annotations
 
 import time
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, List, NamedTuple, Optional
 
@@ -130,6 +131,7 @@ class CohortScheduler:
         on_outputs: Optional[Callable] = None,
         before_period: Optional[Callable] = None,
         start_delay: float = 0.05,
+        max_inflight: int = 4,
     ) -> List[HopTiming]:
         """Run the staggered wall-clock schedule for ``periods`` step
         periods and return one :class:`HopTiming` per completed hop.
@@ -141,6 +143,14 @@ class CohortScheduler:
             pipelined mode).
         before_period(period): optional host-side hook at each period
             boundary (e.g. churn-batch ``reset_slots`` on a session).
+        max_inflight: pipelined-mode backpressure — a cohort may have at
+            most this many dispatched-but-unharvested hops (each pins its
+            device fetch buffers); past it the scheduler BLOCKS on the
+            cohort's oldest harvest, which shows up as dispatch lateness
+            in the timings instead of unbounded memory growth. A
+            sustained run never touches the bound (steady-state in-flight
+            is ~1); it exists so a long overload degrades visibly rather
+            than OOMing.
         """
         step = self.engine.step_duration
         phase = self.phase
@@ -150,6 +160,7 @@ class CohortScheduler:
             for j in range(self.cohorts)
         ]
         futures = []  # (cohort, period, due, dispatched, Future -> done)
+        inflight = [deque() for _ in range(self.cohorts)]
 
         def _harvest(j, p, pending):
             outputs = self.sessions[j].push_finish_rttm(pending)
@@ -170,18 +181,28 @@ class CohortScheduler:
                         if dt <= 0:
                             break
                         time.sleep(min(dt, 0.02))
+                    if pipelined:
+                        while inflight[j] and inflight[j][0].done():
+                            inflight[j].popleft()
+                        while len(inflight[j]) >= max_inflight:
+                            inflight[j].popleft().result()
                     dispatched = time.perf_counter()
                     blocks, present = get_blocks(j, p)
                     if pipelined:
                         pending = self.sessions[j].push_begin(blocks, present)
                         if pending is not None:
-                            futures.append(
-                                (j, p, due, dispatched,
-                                 executors[j].submit(_harvest, j, p, pending))
-                            )
+                            fut = executors[j].submit(_harvest, j, p, pending)
+                            futures.append((j, p, due, dispatched, fut))
+                            inflight[j].append(fut)
                     else:
                         outputs = self.sessions[j].push_rttm(blocks, present)
                         done = time.perf_counter()
+                        if all(o is None for o in outputs):
+                            # warm-up hop (no stream emitted): pipelined
+                            # mode skips these (push_begin returns None),
+                            # so skip here too — both modes' timing lists
+                            # then cover the same hop population
+                            continue
                         if on_outputs is not None:
                             on_outputs(j, p, outputs)
                         timings.append(

@@ -32,6 +32,29 @@ from .engine import MultiStreamEngine, StreamState
 
 __all__ = ["MultiStreamSession"]
 
+# ONE jitted pack function for the whole process (not per-session): jit
+# caches compiled executables per wrapper, so a per-session wrapper would
+# re-trace/re-compile for every cohort — and since warm() runs on cohort
+# 0's session only, cohorts 1..K-1 would pay that compile inside their
+# FIRST serving hop (the first-tick stall class warm() exists to
+# eliminate). pack_binarized_bits is a pure function of (shape, dtype),
+# so one wrapper serves every engine geometry.
+import threading as _threading
+
+_pack_jit = None
+_pack_jit_lock = _threading.Lock()
+
+
+def _shared_pack_fn():
+    global _pack_jit
+    if _pack_jit is None:
+        with _pack_jit_lock:
+            if _pack_jit is None:
+                from ..ops.binarize import pack_binarized_bits
+
+                _pack_jit = jax.jit(pack_binarized_bits)
+    return _pack_jit
+
 
 @dataclass
 class _PendingHop:
@@ -104,7 +127,6 @@ class MultiStreamSession:
         # fetches full scores on demand, so this is safe to leave on; turn
         # it off to make push_finish's fetch part of the hop again.
         self.binarize_on_device = binarize_on_device
-        self._pack_fn = None
 
         self.state: StreamState = engine.init_state()
         self.blocks_seen = np.zeros(b, np.int64)
@@ -385,12 +407,10 @@ class MultiStreamSession:
 
     def _pack(self, aggregated):
         """Dispatch the device-side binarize+packbits of this hop's
-        aggregated scores (``ops.binarize.pack_binarized_bits``)."""
-        if self._pack_fn is None:
-            from ..ops.binarize import pack_binarized_bits
-
-            self._pack_fn = jax.jit(pack_binarized_bits)
-        return self._pack_fn(aggregated, np.float32(self.tau_active))
+        aggregated scores (``ops.binarize.pack_binarized_bits``). The
+        jitted wrapper is process-global so every cohort's session shares
+        the executables warm() compiled."""
+        return _shared_pack_fn()(aggregated, np.float32(self.tau_active))
 
     def _harvest(self, pending: "_PendingHop"):
         """Block on a pending hop's transfers: ONE ``device_get`` on the

@@ -177,6 +177,9 @@ class StreamingServer:
         self._in_flight = 0  # dispatched hops whose replies haven't gone out
         # first-ready time of each cohort's current wave, _tick
         self._wave_t0: list = [None] * self.cohorts
+        # ingest cap per client (4 chunk windows = 20 s at the default
+        # geometry): past this the client is evicted, see _handler
+        self._max_buffer_samples = 4 * engine.chunk_samples
 
     # ------------------------------------------------------------------ #
     def _claim_slot(self, websocket) -> Optional[_ClientSlot]:
@@ -200,6 +203,16 @@ class StreamingServer:
         logger.info("client connected on slot %d", client.index)
         try:
             async for message in websocket:
+                if isinstance(message, (bytes, bytearray)):
+                    # the wire protocol is text frames (base64 audio /
+                    # JSON handshake, docs/SERVING.md); a binary frame
+                    # would be mis-parsed, so reject it explicitly
+                    # instead of letting startswith raise into the
+                    # catch-all below
+                    await websocket.close(
+                        code=1003, reason="binary frames unsupported"
+                    )
+                    return
                 if message.startswith("{"):
                     # Optional wire-config handshake before any audio,
                     # e.g. {"format": "int16"} (half the wire bytes of the
@@ -226,6 +239,22 @@ class StreamingServer:
                 samples = self._ingest(message, client.wire_format)
                 client.audio_seen = True
                 client.buffer = np.concatenate([client.buffer, samples])
+                if client.buffer.shape[0] > self._max_buffer_samples:
+                    # ingest is otherwise unbounded: a client streaming
+                    # faster than real time (or through a long stall)
+                    # would grow its buffer — and the per-message
+                    # concatenate cost — without limit. Mirror of the
+                    # send-side slow-consumer eviction.
+                    logger.warning(
+                        "slot %d ingest buffer overflow (%d samples); "
+                        "evicting",
+                        client.index,
+                        client.buffer.shape[0],
+                    )
+                    await websocket.close(
+                        code=1008, reason="ingest buffer overflow"
+                    )
+                    return
         except Exception as e:  # connection errors end the stream
             logger.info("client %d disconnected: %s", client.index, e)
         finally:
@@ -402,25 +431,45 @@ class StreamingServer:
         # Realtime: each cohort ticks once per step period, staggered at
         # phase j * step / cohorts — the chip time-multiplexes K hops of
         # ~13 ms across the 500 ms period instead of idling ~97% of it.
+        # The schedule is ABSOLUTE deadlines (t0 + p*step + j*phase, the
+        # same schedule CohortScheduler runs and the capacity artifacts
+        # measure) — a relative sleep-after-work loop would accumulate
+        # every tick's work time as permanent drift, and since each tick
+        # consumes at most one block per stream, drifted time could never
+        # be caught up. With deadlines, a late tick is followed by
+        # back-to-back ticks until the schedule is current again.
         # Fast poll: round-robin every cohort per 5 ms poll (a cohort with
         # no ready slot returns immediately).
-        interval = (
-            self.engine.step_duration / self.cohorts
-            if self.realtime
-            else 0.005
-        )
-        cohort = 0
-        while not self._stop.is_set():
-            if self.realtime:
-                await self._tick(cohort)
-                cohort = (cohort + 1) % self.cohorts
-            else:
+        if self.realtime:
+            step = self.engine.step_duration
+            phase = step / self.cohorts
+            t0 = time.monotonic()
+            k = 0  # global tick index: period k // cohorts, cohort k % cohorts
+            while not self._stop.is_set():
+                due = (
+                    t0
+                    + (k // self.cohorts) * step
+                    + (k % self.cohorts) * phase
+                )
+                delay = due - time.monotonic()
+                if delay > 0:
+                    try:
+                        await asyncio.wait_for(
+                            self._stop.wait(), timeout=delay
+                        )
+                        break  # stop requested during the wait
+                    except asyncio.TimeoutError:
+                        pass
+                await self._tick(k % self.cohorts)
+                k += 1
+        else:
+            while not self._stop.is_set():
                 for j in range(self.cohorts):
                     await self._tick(j)
-            try:
-                await asyncio.wait_for(self._stop.wait(), timeout=interval)
-            except asyncio.TimeoutError:
-                pass
+                try:
+                    await asyncio.wait_for(self._stop.wait(), timeout=0.005)
+                except asyncio.TimeoutError:
+                    pass
         # drain in-flight hops so the last replies still go out (counter,
         # not queue emptiness: the deliverer pops an item BEFORE awaiting
         # its harvest, so an empty queue can still have a hop in flight).
@@ -465,6 +514,10 @@ class StreamingServer:
         # queued hop added ~120 ms wire latency at 128 clients
         # (docs/campaigns/r4/r4_serve6_ab.txt ramp128_pipe).
         self._outbox = asyncio.Queue(maxsize=self.cohorts)
+        # a previous serve() run may have abandoned its drain (wedged
+        # tunnel); a stale count would make THIS run's shutdown drain
+        # always burn its full deadline
+        self._in_flight = 0
         deliverer = asyncio.create_task(self._deliverer())
         async with websockets.serve(self._handler, self.host, self.port):
             logger.info("serving on %s:%d", self.host, self.port)
