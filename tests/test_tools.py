@@ -383,6 +383,24 @@ class TestStreamingServer:
         asyncio.run(server._handler(early))
         assert early.close_code is None
 
+        # binary frames are not part of the wire protocol (text base64 /
+        # JSON only): explicit 1003 close, not a TypeError swallowed as a
+        # disconnect
+        binary = FakeSocket([b"\x00\x01\x02\x03"])
+        asyncio.run(server._handler(binary))
+        assert binary.close_code == 1003
+        # a client streaming far past real time is evicted once its
+        # ingest buffer passes the cap (4 chunk windows), instead of
+        # growing host memory without bound
+        n_cap = 4 * engine.chunk_samples
+        flood = FakeSocket(
+            [encode_audio(np.zeros((1, n_cap // 2), np.float32))] * 3
+        )
+        asyncio.run(server._handler(flood))
+        assert flood.close_code == 1008
+        # every rejected client's slot is released for reuse
+        assert all(slot is None for slot in server.slots.values())
+
     def test_pipelined_tick_without_serve(self):
         """Driving a pipelined server's _tick directly (as unit tests do
         for the sync path) must not crash on the outbox that serve()
