@@ -135,22 +135,40 @@ def _cells(
         if b - a <= 0:
             continue
         mid = 0.5 * (a + b)
-        r = [lbl for seg, _, lbl in ref_tracks if seg.start <= mid < seg.end]
-        h = [lbl for seg, _, lbl in hyp_tracks if seg.start <= mid < seg.end]
+        # unique labels per cell (dict.fromkeys keeps first-seen order): an
+        # annotation may carry the same speaker in several overlapping
+        # tracks, but "r active reference speakers" counts each speaker
+        # once — duplicate tracks would otherwise inflate total/miss/fa
+        r = list(
+            dict.fromkeys(
+                lbl
+                for seg, _, lbl in ref_tracks
+                if seg.start <= mid < seg.end
+            )
+        )
+        h = list(
+            dict.fromkeys(
+                lbl
+                for seg, _, lbl in hyp_tracks
+                if seg.start <= mid < seg.end
+            )
+        )
         if r or h:
             cells.append((b - a, r, h))
     return cells
 
 
 def _cooccurrence(
-    reference: Annotation, hypothesis: Annotation
+    reference: Annotation, hypothesis: Annotation, cells=None
 ) -> Tuple[np.ndarray, List[str], List[str]]:
     ref_labels = reference.labels()
     hyp_labels = hypothesis.labels()
     matrix = np.zeros((len(ref_labels), len(hyp_labels)))
     r_idx = {l: i for i, l in enumerate(ref_labels)}
     h_idx = {l: i for i, l in enumerate(hyp_labels)}
-    for dur, r, h in _cells(reference, hypothesis):
+    if cells is None:
+        cells = _cells(reference, hypothesis)
+    for dur, r, h in cells:
         for rl in r:
             for hl in h:
                 matrix[r_idx[rl], h_idx[hl]] += dur
@@ -274,14 +292,17 @@ class DiarizationErrorRate(BaseMetric):
         ref = _crop_to_regions(reference, regions)
         hyp = _crop_to_regions(hypothesis, regions)
 
-        matrix, ref_labels, hyp_labels = _cooccurrence(ref, hyp)
+        # ONE boundary scan feeds both the mapping matrix and the scoring
+        # loop (the scan is the dominant cost on long files)
+        cells = _cells(ref, hyp)
+        matrix, ref_labels, hyp_labels = _cooccurrence(ref, hyp, cells=cells)
         mapping: Dict[str, str] = {}
         if matrix.size > 0:
             rows, cols = linear_sum_assignment(-matrix)
             mapping = {hyp_labels[c]: ref_labels[r] for r, c in zip(rows, cols)}
 
         total = miss = fa = conf = correct = 0.0
-        for dur, r, h in _cells(ref, hyp):
+        for dur, r, h in cells:
             nr, nh = len(r), len(h)
             mapped = [mapping.get(hl) for hl in h]
             ncorrect = 0
@@ -358,21 +379,4 @@ class DetectionErrorRate(BaseMetric):
 
 def _timeline_minus_duration(a: Timeline, b: Timeline) -> float:
     """Duration of ``a`` not covered by ``b`` (both must be supports)."""
-    remaining = 0.0
-    for seg in a:
-        pieces = [seg]
-        for cov in b:
-            next_pieces = []
-            for p in pieces:
-                if not p.intersects(cov):
-                    next_pieces.append(p)
-                    continue
-                left = Segment(p.start, min(p.end, cov.start))
-                right = Segment(max(p.start, cov.end), p.end)
-                if left:
-                    next_pieces.append(left)
-                if right:
-                    next_pieces.append(right)
-            pieces = next_pieces
-        remaining += sum(p.duration for p in pieces)
-    return remaining
+    return sum(seg.duration for seg in _subtract(a, b))

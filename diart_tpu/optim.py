@@ -291,20 +291,16 @@ class Optimizer:
         return self._evaluate(trial_params)
 
     def __call__(self, num_iter: int, show_progress: bool = True):
-        if self._is_optuna_study(self.study):
-            if self.do_kickstart_hparams:
-                self.study.enqueue_trial(
-                    {hp.name: getattr(self.base_config, hp.name) for hp in self.hparams},
-                    skip_if_exists=True,
-                )
-            self.study.optimize(self.objective, num_iter)
-            return
-
         if self.do_kickstart_hparams:
+            # both study kinds expose the same enqueue_trial surface
             self.study.enqueue_trial(
                 {hp.name: getattr(self.base_config, hp.name) for hp in self.hparams},
                 skip_if_exists=True,
             )
+        if self._is_optuna_study(self.study):
+            self.study.optimize(self.objective, num_iter)
+            return
+
         for i in range(num_iter):
             params = self.study.ask(self.hparams)
             value = self._evaluate(params)

@@ -159,12 +159,14 @@ class StreamingInference:
         self._observers.extend(observers)
 
     def _shutdown(self, error: Optional[BaseException] = None):
-        """Tear down after completion or error: fan the error out to the
-        attached observers (the reactive core doesn't always reach them),
-        close the source, and settle progress/profiling reporting."""
+        """Tear down after completion or error: close the source and settle
+        progress/profiling reporting. Observers are NOT re-notified here —
+        every attached observer sits in the chain via ``ops.do``, whose
+        on_error tees the error into the sink before passing it down to
+        this terminal callback, so a second delivery would violate the
+        once-only observer contract (e.g. RTTMWriter would patch its file
+        twice)."""
         if error is not None:
-            for sink in self._observers:
-                sink.on_error(error)
             self.source.close()
             expected = (WindowClosedException, KeyboardInterrupt)
             if not isinstance(error, expected):
@@ -349,6 +351,10 @@ class Benchmark:
             "VoiceActivityDetection"
         )
         paths = self.get_file_paths()
+        if not paths:
+            # match the per-file path's graceful empty result instead of
+            # building a batch_size=0 engine and crashing downstream
+            return []
         b = len(paths)
         # The engine's tunable hyper-parameters (tau/rho/delta/gamma/beta)
         # are dynamic inputs of its compiled step, so repeated calls with
@@ -407,13 +413,11 @@ class Benchmark:
         sr = config.sample_rate
         n = engine.step_samples
         loader = AudioLoader(sr, mono=True)
-        streams, shifts, blocks_left = [], [], []
+        streams, shifts = [], []
         for path in paths:
             left, right = config.get_file_padding(path)
-            total = left + loader.get_duration(path) + right
             streams.append(self._padded_block_stream(path, sr, left, right, n))
             shifts.append(-left)
-            blocks_left.append(int(np.ceil(total * sr / n)))
 
         session = MultiStreamSession(
             engine,
@@ -423,7 +427,11 @@ class Benchmark:
             collect_audio=False,
         )
         accumulators = [PredictionAccumulator(p.stem) for p in paths]
-        for _ in range(max(blocks_left)):
+        # run until EVERY stream is exhausted (a duration-derived block
+        # estimate can undercount by one when fractional paddings round
+        # up, and the dropped final block is the right padding that
+        # flushes the last latency window)
+        while True:
             present = np.zeros(b, bool)
             batch = np.zeros((b, n), np.float32)
             for i, stream in enumerate(streams):
@@ -431,6 +439,8 @@ class Benchmark:
                 if block is not None:
                     batch[i] = block
                     present[i] = True
+            if not present.any():
+                break
             outputs = session.push(batch, present)
             for i, out in enumerate(outputs):
                 if out is not None:

@@ -20,6 +20,21 @@ class TestDER:
         der = DiarizationErrorRate()
         assert der(ref, hyp) == pytest.approx(0.0)
 
+    def test_duplicate_same_label_tracks_count_once(self):
+        """A speaker annotated in several overlapping tracks is ONE active
+        speaker: a perfect hypothesis scores 0, not an inflated
+        total/miss (regression: duplicate tracks used to count as
+        multiple active reference speakers)."""
+        ref = make("u", [(0, 10, "a"), (5, 10, "a")])
+        hyp = make("u", [(0, 10, "x")])
+        der = DiarizationErrorRate()
+        assert der(ref, hyp, detailed=True)["total"] == pytest.approx(10.0)
+        assert abs(der) == pytest.approx(0.0)
+        # and overlapping same-label hypothesis tracks add no false alarm
+        ref2 = make("u", [(0, 10, "a")])
+        hyp2 = make("u", [(0, 10, "x"), (5, 10, "x")])
+        assert DiarizationErrorRate()(ref2, hyp2) == pytest.approx(0.0)
+
     def test_miss_only(self):
         ref = make("u", [(0, 10, "a")])
         hyp = make("u", [(0, 5, "x")])
