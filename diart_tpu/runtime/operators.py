@@ -47,13 +47,24 @@ class SlidingChunker:
         self._fifo = np.zeros((0,), np.float32)
         self._fifo_start = 0  # absolute sample index of fifo[0]
         self._next_window = 0  # index of the next window to emit
+        self._skip = 0  # future samples no window needs (hop > window gaps)
 
     def push(self, block: np.ndarray) -> List[SlidingWindowFeature]:
         if block.ndim != 2 or block.shape[0] != 1:
             raise ValueError(
                 f"waveform must have shape (1, samples) but {block.shape} was found"
             )
-        self._fifo = np.concatenate([self._fifo, block[0].astype(np.float32)])
+        data = block[0].astype(np.float32)
+        if self._skip:
+            # hop > window: the gap between consecutive windows is
+            # discarded as it arrives (advancing _fifo_start past samples
+            # that had not arrived yet would silently misalign every
+            # later window)
+            k = min(self._skip, data.shape[0])
+            data = data[k:]
+            self._fifo_start += k
+            self._skip -= k
+        self._fifo = np.concatenate([self._fifo, data])
         out: List[SlidingWindowFeature] = []
         while True:
             start_abs = self._next_window * self.hop_samples
@@ -69,12 +80,15 @@ class SlidingChunker:
             )
             out.append(SlidingWindowFeature(window[:, None].copy(), resolution))
             self._next_window += 1
-        # drop samples that no future window needs
+        # drop samples that no future window needs (clamped to what has
+        # actually arrived; the remainder is skipped on arrival above)
         keep_from = self._next_window * self.hop_samples
         drop = keep_from - self._fifo_start
         if drop > 0:
-            self._fifo = self._fifo[drop:]
-            self._fifo_start = keep_from
+            avail = min(drop, self._fifo.shape[0])
+            self._fifo = self._fifo[avail:]
+            self._fifo_start += avail
+            self._skip = drop - avail
         return out
 
 

@@ -157,8 +157,6 @@ class StreamingPlot(Observer):
         self.figure, self.axs = self._plt.subplots(
             self.num_axs, 1, figsize=(10, 2 * self.num_axs)
         )
-        if self.num_axs == 1:
-            self.axs = [self.axs]
         self.figure.canvas.mpl_connect("close_event", self._on_window_closed)
 
     def get_plot_bounds(self, real_time: float) -> Segment:

@@ -53,6 +53,19 @@ class AudioSource(ABC):
     def close(self):
         """Stop reading and close open handles."""
 
+    def _emit(self, block: np.ndarray) -> bool:
+        """Push one block, routing downstream (pipeline) exceptions to
+        ``stream.on_error``. Returns False when the read loop must stop.
+        Every source's read loop uses this so the error contract cannot
+        silently diverge between sources (the websocket source once
+        omitted it and hung ``read()`` forever on a decode error)."""
+        try:
+            self.stream.on_next(block)
+            return True
+        except BaseException as e:
+            self.stream.on_error(e)
+            return False
+
 
 class FileAudioSource(AudioSource):
     """Streams a file in fixed-size blocks with optional zero padding
@@ -106,10 +119,7 @@ class FileAudioSource(AudioSource):
                     ],
                     axis=1,
                 )
-            try:
-                self.stream.on_next(block)
-            except BaseException as e:
-                self.stream.on_error(e)
+            if not self._emit(block):
                 break
         self.stream.on_completed()
         self.close()
@@ -143,10 +153,7 @@ class IteratorAudioSource(AudioSource):
         for block in self._blocks:
             if self.is_closed:
                 break
-            try:
-                self.stream.on_next(np.atleast_2d(block))
-            except BaseException as e:
-                self.stream.on_error(e)
+            if not self._emit(np.atleast_2d(block)):
                 break
         self.stream.on_completed()
         self.close()
@@ -200,11 +207,19 @@ class FFmpegAudioSource(AudioSource):
         self.block_size = int(np.rint(block_duration * sample_rate))
         self._process = None
         self.is_closed = False
+        self._duration_cache: Union[bool, None, float] = False  # False=unprobed
 
     @property
     def duration(self) -> Optional[float]:
         """Container duration via ffprobe when available (None for live
-        streams/devices or when ffprobe is missing)."""
+        streams/devices or when ffprobe is missing). Probed once — the
+        ffprobe subprocess costs up to its 30 s timeout, and callers may
+        touch the property repeatedly."""
+        if self._duration_cache is False:
+            self._duration_cache = self._probe_duration()
+        return self._duration_cache
+
+    def _probe_duration(self) -> Optional[float]:
         import shutil
         import subprocess
 
@@ -237,11 +252,26 @@ class FFmpegAudioSource(AudioSource):
 
     def read(self):
         import subprocess
+        import threading
+        from collections import deque
 
         bytes_per_block = 4 * self.block_size
         self._process = subprocess.Popen(
             self._command(), stdout=subprocess.PIPE, stderr=subprocess.PIPE
         )
+        # Drain stderr continuously on a thread, keeping a bounded tail
+        # for the error message: a chatty ffmpeg (repeated decode errors
+        # on a corrupt container) otherwise fills the ~64 KB OS pipe
+        # buffer, blocks writing stderr, and stops producing stdout —
+        # deadlocking the read loop below forever.
+        stderr_tail: deque = deque(maxlen=64)
+
+        def _drain():
+            for line in self._process.stderr:
+                stderr_tail.append(line)
+
+        drainer = threading.Thread(target=_drain, daemon=True)
+        drainer.start()
         try:
             while not self.is_closed:
                 data = self._process.stdout.read(bytes_per_block)
@@ -253,17 +283,13 @@ class FFmpegAudioSource(AudioSource):
                 )
                 if samples.size == 0:
                     break
-                try:
-                    self.stream.on_next(samples[None, :])
-                except BaseException as e:
-                    self.stream.on_error(e)
+                if not self._emit(samples[None, :]):
                     break
         finally:
             code = self._terminate()
+            drainer.join(timeout=2.0)
             if code not in (None, 0) and not self.is_closed:
-                err = b""
-                if self._process.stderr is not None:
-                    err = self._process.stderr.read() or b""
+                err = b"".join(stderr_tail)
                 self.stream.on_error(
                     RuntimeError(
                         f"ffmpeg exited with {code}: "
@@ -317,6 +343,21 @@ class MicrophoneAudioSource(AudioSource):
                 continue
             best_sample_rate = sr
             break
+        if best_sample_rate is None:
+            # fall back to the device's own default rate before giving a
+            # descriptive error (8 kHz telephony hardware etc. rejects
+            # every probed rate)
+            try:
+                info = sd.query_devices(device, "input")
+                candidate = int(round(info["default_samplerate"]))
+                sd.check_input_settings(device=device, samplerate=candidate)
+                best_sample_rate = candidate
+            except Exception as e:
+                raise RuntimeError(
+                    f"input device {device!r} accepts none of the probed "
+                    "sample rates (16000/32000/44100/48000) nor its own "
+                    "default rate"
+                ) from e
         super().__init__(f"input_device:{device}", best_sample_rate)
         self.block_size = int(np.rint(block_duration * self.sample_rate))
         self._queue = SimpleQueue()
@@ -335,13 +376,10 @@ class MicrophoneAudioSource(AudioSource):
     def read(self):
         self._mic_stream.start()
         while not self._mic_stream.closed:
-            try:
-                block = self._queue.get()  # blocks until the callback posts
-                if block is None:  # close() sentinel
-                    break
-                self.stream.on_next(block)
-            except BaseException as e:
-                self.stream.on_error(e)
+            block = self._queue.get()  # blocks until the callback posts
+            if block is None:  # close() sentinel
+                break
+            if not self._emit(block):
                 break
         self.stream.on_completed()
         self.close()
@@ -377,21 +415,49 @@ class WebSocketAudioSource(AudioSource):
         self._loop = None
         self._server = None
         self._stop_event = None
+        self._worker = None
 
     def _handle(self, websocket):
         import asyncio
 
+        import websockets
+
         async def handler():
             self._client = websocket
-            async for message in websocket:
-                self.stream.on_next(utils.decode_audio(message))
+            loop = asyncio.get_running_loop()
+            try:
+                async for message in websocket:
+                    # decode + the full synchronous pipeline run on the
+                    # worker thread: the first hop may compile for
+                    # minutes, and blocking the event loop that long
+                    # would fail the client's keepalive pings (dropping
+                    # the connection mid-stream)
+                    await loop.run_in_executor(
+                        self._worker, self._push_message, message
+                    )
+            except websockets.exceptions.ConnectionClosed:
+                # client went away: keep serving subsequent clients, as
+                # the reference source does (sources.py:246-254)
+                return
+            except Exception as e:
+                # decode or pipeline failure: the stream errors and the
+                # source shuts down — the same contract every other
+                # source's read loop implements via _emit
+                self.stream.on_error(e)
+                self.close()
 
         return handler()
 
+    def _push_message(self, message):
+        self.stream.on_next(utils.decode_audio(message))
+
     def read(self):
         import asyncio
+        from concurrent.futures import ThreadPoolExecutor
 
         import websockets
+
+        self._worker = ThreadPoolExecutor(1, "diart-ws-source")
 
         async def main():
             self._loop = asyncio.get_running_loop()
@@ -411,6 +477,7 @@ class WebSocketAudioSource(AudioSource):
         try:
             asyncio.run(main())
         finally:
+            self._worker.shutdown(wait=False)
             self.stream.on_completed()
 
     def close(self):
@@ -448,6 +515,12 @@ class TorchStreamAudioSource(AudioSource):
                 "TorchStreamAudioSource requires `torchaudio`; for generic "
                 "streams use IteratorAudioSource"
             ) from e
+        if streamer is None:
+            raise ValueError(
+                "TorchStreamAudioSource needs a torchaudio StreamReader as "
+                "`streamer` (e.g. StreamReader(src=uri)); for generic "
+                "inputs use FFmpegAudioSource or IteratorAudioSource"
+            )
         super().__init__(uri, sample_rate)
         self.block_size = int(np.rint(block_duration * self.sample_rate))
         self._streamer = streamer
@@ -463,11 +536,8 @@ class TorchStreamAudioSource(AudioSource):
         for item in self._streamer.stream():
             if self.is_closed:
                 break
-            try:
-                chunk = np.mean(item[0].numpy(), axis=1, keepdims=True).T
-                self.stream.on_next(chunk)
-            except BaseException as e:
-                self.stream.on_error(e)
+            chunk = np.mean(item[0].numpy(), axis=1, keepdims=True).T
+            if not self._emit(chunk):
                 break
         self.stream.on_completed()
         self.close()

@@ -96,6 +96,31 @@ class TestRearrangeOperator:
         source.read()
         assert len(chunks) == 3  # 2s -> chunks at 1.0, 1.5, 2.0
 
+    def test_hop_larger_than_window(self):
+        """hop > window: the inter-window gap is discarded as it arrives.
+        Regression: the drop step used to advance the fifo origin past
+        samples that had not arrived yet, silently filling later windows
+        with audio from the wrong absolute position."""
+        from diart_tpu.runtime.operators import SlidingChunker
+
+        sr = SAMPLE_RATE
+        chunker = SlidingChunker(
+            window_samples=sr, hop_samples=2 * sr, sample_rate=sr
+        )
+        # absolute ramp so window content encodes sample indices
+        audio = np.arange(5 * sr, dtype=np.float32)
+        out = []
+        for start in range(0, 5 * sr, 1250):  # irregular-ish block size
+            out.extend(chunker.push(audio[None, start : start + 1250]))
+        assert [w.extent.start for w in out] == [0.0, 2.0, 4.0]
+        np.testing.assert_array_equal(out[0].data[:, 0], audio[:sr])
+        np.testing.assert_array_equal(
+            out[1].data[:, 0], audio[2 * sr : 3 * sr]
+        )
+        np.testing.assert_array_equal(
+            out[2].data[:, 0], audio[4 * sr : 5 * sr]
+        )
+
 
 class TestFileSource:
     def test_blocks_and_padding(self, wav_file):
