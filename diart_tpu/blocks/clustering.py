@@ -77,8 +77,13 @@ class OnlineSpeakerClustering:
         self.active_centers = set()
         self.blocked_centers = set()
 
-    def add_center(self, embedding: np.ndarray) -> int:
+    def add_center(self, embedding: np.ndarray) -> Optional[int]:
         center = self.get_next_center_position()
+        if center is None:
+            # no free slot: refuse instead of the reference's latent
+            # corruption (``self.centers[None] = embedding`` broadcasts the
+            # embedding over EVERY centroid row and poisons the active set)
+            return None
         self.centers[center] = embedding
         self.active_centers.add(center)
         return center
@@ -108,7 +113,11 @@ class OnlineSpeakerClustering:
         # First chunk: adopt every active speaker (regardless of rho).
         if self.centers is None:
             self.init_centers(embeddings.shape[1])
-            assignments = [(int(s), self.add_center(embeddings[s])) for s in active]
+            assignments = [
+                (int(s), g)
+                for s in active
+                if (g := self.add_center(embeddings[s])) is not None
+            ]
             return SpeakerMapBuilder.hard_map(
                 (num_local, self.max_speakers), assignments, maximize=False
             )

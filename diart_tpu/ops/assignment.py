@@ -72,6 +72,14 @@ def assign_rows(cost: jnp.ndarray) -> jnp.ndarray:
     num_rows, num_cols = cost.shape
     if num_rows > num_cols:
         raise ValueError(f"need rows <= cols, got {cost.shape}")
+    if num_rows > 6:
+        # the exhaustive combination ranking below is R^R: fine for the
+        # <=4 local speakers this serves, but 8 rows would silently build
+        # a ~17M-combination selection tensor at trace time
+        raise ValueError(
+            f"assign_rows ranks R^R candidate assignments and is meant for "
+            f"R <= 6 rows; got R = {num_rows}"
+        )
     if num_rows == 1:
         return jnp.argmin(cost, axis=1).astype(jnp.int32)
 

@@ -18,11 +18,24 @@ can be ``vmap``-ed over hundreds of concurrent streams:
 Semantics parity notes (vs the reference, verified by simulation tests):
 
 * The reference re-runs the Hungarian solver lazily every time a
-  ``SpeakerMap`` is modified (``mapping.py:194-199``); we solve once and
-  update bookkeeping explicitly. Both resolve to cost-equivalent assignments;
-  tie-breaking can differ on degenerate inputs.
+  ``SpeakerMap`` is modified (``mapping.py:194-199``). Two of those
+  re-solves can CHANGE assignments and are mirrored here exactly: (1)
+  after ``unmap_threshold`` invalidates over-delta rows, the surviving
+  rows re-solve without them and may move to cheaper columns (the second
+  ``assign_rows`` call below); (2) each fallback pin occupies a
+  previously-unassigned column, which cannot improve any surviving row's
+  assignment (if a free column had beaten a row's assigned column, the
+  joint optimum would already have used it), so no further re-solve is
+  needed — matching the oracle's final ``valid_assignments``.
+  Tie-breaking can still differ on degenerate (exactly-equal-cost)
+  inputs.
 * ``blocked_centers`` exists in the reference but nothing ever populates it,
   so it is omitted here.
+* First-chunk capacity: when a first chunk has more active speakers than
+  centroid slots, the extra speakers are left unmapped here. (The
+  reference corrupts its centroid matrix in that configuration —
+  ``add_center`` broadcast-assigns on a ``None`` slot; the host oracle
+  guards it the same way this op does.)
 """
 
 from __future__ import annotations
@@ -127,7 +140,12 @@ def cluster_step(
     # regardless of rho)
     def init_branch():
         order = jnp.cumsum(active) - 1  # position among active speakers
-        tgt = jnp.where(active, order, -1).astype(jnp.int32)
+        # capacity clamp: a first chunk with more active speakers than
+        # centroid slots leaves the overflow unmapped (-1) instead of
+        # emitting out-of-range targets
+        tgt = jnp.where(active & (order < max_speakers), order, -1).astype(
+            jnp.int32
+        )
         onehot = (tgt[:, None] == jnp.arange(max_speakers)[None, :]) & active[:, None]
         centers = jnp.dot(
             onehot.astype(emb.dtype).T,
@@ -156,9 +174,21 @@ def cluster_step(
 
         # loose "mapped" check: row has at least one valid entry
         mapped = row_ok & jnp.any(col_ok)
-        # unmap_threshold(delta_new) (clustering.py:168, mapping.py:260-273)
+        # unmap_threshold(delta_new) (clustering.py:168, mapping.py:260-273):
+        # the threshold is evaluated ONCE, on the joint solve's costs
         valid = mapped & (assigned_cost < params.delta_new)
         missed = active & ~valid
+
+        # The reference's SpeakerMap re-solves lazily after the over-delta
+        # rows are invalidated (mapping.py:123-127, 190-200): surviving
+        # rows may move to columns the joint solve had traded away to a
+        # row that then failed the threshold (e.g. rows [[.5,.6],[.75,1.3]]
+        # at delta .7: the joint solve pairs row0->col1/row1->col0, row1
+        # fails, and the re-solve returns row0 to col0). Solve again with
+        # only the surviving rows; their (un-re-thresholded) assignments
+        # are the oracle's final ones.
+        cost2 = jnp.where(valid[:, None], cost, _BIG)
+        assigned_col = assign_rows(cost2)
 
         free_slots = max_speakers - jnp.sum(state.active)
 
@@ -172,7 +202,6 @@ def cluster_step(
 
         new_center_flag = jnp.zeros((num_local,), dtype=bool)
         new_count = jnp.zeros((), dtype=jnp.int32)
-        fallback = jnp.zeros((num_local,), dtype=bool)
         for k in range(num_local):
             is_missed = missed[k]
             has_space = new_count < free_slots
@@ -186,11 +215,12 @@ def cluster_step(
             best = jnp.argmin(pref)
             can_fallback = is_missed & ~make_new & (pref[best] < _BIG)
             tgt = tgt.at[k].set(jnp.where(can_fallback, best.astype(jnp.int32), tgt[k]))
-            fallback = fallback.at[k].set(can_fallback)
             taken = taken.at[best].set(taken[best] | can_fallback)
 
-        # Centroid updates: valid, long, and not missed (clustering.py:197-202)
-        update_mask = valid & long & ~missed
+        # Centroid updates (clustering.py:197-202): the oracle filters its
+        # final assignments by "not missed and long"; valid rows are never
+        # missed, so the mask reduces to valid & long
+        update_mask = valid & long
         onehot_upd = (
             (tgt[:, None] == jnp.arange(max_speakers)[None, :]) & update_mask[:, None]
         )
