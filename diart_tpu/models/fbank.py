@@ -524,6 +524,14 @@ def fbank_ring_spec(
     # instead of crashing at trace time with a slice/concat shape mismatch.
     if head_len > step_samples or tail_len > step_samples:
         return None
+    # The preemph kinds reflect real samples into the padding:
+    # fbank_edge_right's slice (xp[:, -2:-2-pad:-1]) needs xp width
+    # >= pad + 1, and fbank_edge_left's (xp[:, 1:pad+1]) needs head_len
+    # >= pad + 1. A geometry with edge frames but insufficient context
+    # would silently truncate the reflection and surface as an opaque
+    # trace-time shape mismatch — fall back to the direct path instead.
+    if edge and preemph and (right_need < pad + 1 or head_len < pad + 1):
+        return None
     return FbankRingSpec(
         kind=kind,
         num_mels=num_mels,
@@ -555,6 +563,13 @@ def _fbank_raw_frames(spec: FbankRingSpec, x: jnp.ndarray) -> jnp.ndarray:
 
     x: (B, samples) — already pre-emphasized for nemo (true neighbors).
     Returns (B, (len - win)//hop + 1, num_mels).
+
+    NOTE: the per-kind constants below (kaldi preemphasis 0.97 +
+    remove_dc, nemo n_fft 512, each kind's log guard) mirror the DEFAULTS
+    of the direct frontends (``kaldi_log_mel``/``speechbrain_log_mel``/
+    ``nemo_log_mel``), which is exactly how the model modules call them.
+    Any drift between the two paths fails the ring-vs-direct parity suite
+    (tests/test_fbank_ring.py) loudly.
     """
     if spec.kind == "kaldi":
         padded = 1 << (spec.win - 1).bit_length()

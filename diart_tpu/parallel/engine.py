@@ -22,7 +22,6 @@ State is donated to the jitted step, so rings update in place in HBM.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -280,12 +279,10 @@ class MultiStreamEngine:
         self._fring: Optional[FbankRingSpec] = None
         with precision_policy.use(self.precision):
             fring_on = precision_policy.enabled("fbank_ring")
-        if (
-            fring_on
-            and not self._stacked
-            and not self.is_vad
-            and self.chunk_samples % self.step_samples == 0
-        ):
+        if fring_on and not self._stacked and not self.is_vad:
+            # (geometry admission — hop grid, step divisibility, edge
+            # context — lives in fbank_ring_spec, which returns None for
+            # anything the decomposition doesn't cover)
             mod = embedding.module
             if getattr(mod, "fbank_ring_kind", None) is not None and hasattr(
                 mod, "trunk_from_raw_fbank"
@@ -346,7 +343,7 @@ class MultiStreamEngine:
         self._score_dims = score_dims
 
         donate = (1,)  # state buffers update in place
-        step_fn = partial(self._step_impl)
+        step_fn = self._step_impl
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -744,6 +741,11 @@ class MultiStreamEngine:
         )
         seg, emb = self._frame_scores(window, gamma, beta, emb_raw=emb_raw)
 
+        # streams not running this step keep their state
+        keep = lambda new, old: jnp.where(
+            run_mask.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+        )
+
         if self.is_vad:
             # (blocks/vad.py:146-148): speech score = max over speakers
             permuted = jnp.max(seg, axis=-1, keepdims=True)
@@ -759,10 +761,6 @@ class MultiStreamEngine:
             new_cstate, permuted, _ = jax.vmap(
                 lambda cs, s, e: cluster_step(cs, s, e, cluster_params)
             )(cstate, seg, emb)
-            # streams not running this step keep their clustering state
-            keep = lambda new, old: jnp.where(
-                run_mask.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
-            )
             new_centers = keep(new_cstate.centers, state.centers)
             new_active = keep(new_cstate.active, state.center_active)
             new_init = keep(new_cstate.initialized, state.initialized)
@@ -771,9 +769,6 @@ class MultiStreamEngine:
         count = state.chunk_count + run_mask.astype(jnp.int32)
         agg = jax.vmap(lambda r, c: aggregate(self.geometry, r, c))(ring, count)
 
-        keep = lambda new, old: jnp.where(
-            run_mask.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
-        )
         new_state = StreamState(
             audio=audio,
             ring=keep(ring, state.ring),
