@@ -171,6 +171,15 @@ class SpeakerDiarization(base.Pipeline):
 
     def reset(self):
         self.set_timestamp_shift(0.0)
+        # rebuilt from the config, like the reference's reset() which
+        # reconstructs OnlineSpeakerClustering from self.config
+        # (diarization.py:146-155) — callers that mutate config
+        # hyper-parameters between files expect reset to pick them up
+        self._cluster_params = ClusteringParams(
+            self._config.tau_active,
+            self._config.rho_update,
+            self._config.delta_new,
+        )
         self.clustering_state = init_state(
             self._config.max_speakers, self._config.embedding.embedding_dim
         )

@@ -18,8 +18,8 @@ from .aggregation import DelayedAggregation
 from .utils import Binarize
 from .. import utils
 from .. import models as m
-from ..core.annotation import Annotation, Timeline
-from ..core.segment import Segment, SlidingWindow, SlidingWindowFeature
+from ..core.annotation import Annotation
+from ..core.segment import SlidingWindow, SlidingWindowFeature
 from ..metrics import BaseMetric, DetectionErrorRate
 
 __all__ = ["VoiceActivityDetectionConfig", "VoiceActivityDetection"]
@@ -156,18 +156,11 @@ class VoiceActivityDetection(base.Pipeline):
             agg_prediction = self.pred_aggregation(self.pred_buffer)
             timeline = self.binarize(agg_prediction).get_timeline(copy=False)
 
-            if self.timestamp_shift != 0:
-                shifted = Timeline(uri=timeline.uri)
-                for segment in timeline:
-                    shifted.add(
-                        Segment(
-                            segment.start + self.timestamp_shift,
-                            segment.end + self.timestamp_shift,
-                        )
-                    )
-                timeline = shifted
-
             annotation = timeline.to_annotation(utils.repeat_label("speech"))
+            if self.timestamp_shift != 0:
+                # one shift implementation for both pipelines
+                # (diarization.py uses the same Annotation.shift)
+                annotation = annotation.shift(self.timestamp_shift)
             outputs.append((annotation, agg_waveform))
 
             if len(self.chunk_buffer) == self.pred_aggregation.num_overlapping_windows:

@@ -65,15 +65,21 @@ def _init_params(module, seed: int, samples: int):
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
-    dummy = jnp.zeros((1, 1, samples))
     # Pallas kernels can't lower for the CPU backend; the init computation
     # only produces shapes/weights, so force the portable paths here —
     # force=True also beats env overrides that pin a fast path on.
     with precision.use(precision.Precision.portable(), force=True):
         if cpu is None:
-            return module.init(jax.random.PRNGKey(seed), dummy)
+            return module.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, 1, samples))
+            )
         with jax.default_device(cpu):
-            return module.init(jax.random.PRNGKey(seed), dummy)
+            # the dummy input is created INSIDE the CPU scope — eagerly
+            # allocating it on the default (accelerator) backend is
+            # exactly the remote round trip this function exists to avoid
+            return module.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, 1, samples))
+            )
 
 
 
@@ -86,8 +92,17 @@ class _SegRegistryLoader:
         self.name = name
         self.kwargs = kwargs
 
+    KNOWN = ("tpu/pyannet", "tpu/pyannet-powerset")
+
     def __call__(self):
         name, kwargs = self.name, self.kwargs
+        if name not in self.KNOWN:
+            # a typo'd registry name must not silently build the default
+            # architecture with different random weights
+            raise ValueError(
+                f"unknown segmentation registry name {name!r}; known: "
+                f"{list(self.KNOWN)}"
+            )
         powerset_classes = 0
         num_speakers = kwargs.get("num_speakers", 4)
         if name == "tpu/pyannet-powerset":
@@ -155,16 +170,91 @@ class _EmbRegistryLoader:
                 ),
                 compute_dtype=_dtype_kwarg(kwargs),
             )
-        else:
+        elif name == "tpu/xvector":
             module = XVectorSincNet(
                 embedding_dim=kwargs.get("embedding_dim", 512),
                 compute_dtype=_dtype_kwarg(kwargs),
+            )
+        else:
+            raise ValueError(
+                f"unknown embedding registry name {name!r}; known: "
+                "['tpu/ecapa', 'tpu/resnet34', 'tpu/titanet', "
+                "'tpu/xvect-sb', 'tpu/xvector']"
             )
         samples = kwargs.get("init_samples", 80000)
         params = _init_params(
             module, kwargs.get("seed", _seed_from_name(name)), samples
         )
         return module, params, {"sample_rate": 16000, "name": name}
+
+
+class _OnnxLoader:
+    """Picklable ONNX loader (Parallelize pickles configs across spawn
+    workers, reference inference.py:456-493 — a local closure here would
+    fail that pickling with an opaque AttributeError)."""
+
+    def __init__(self, model_path, input_names, output_name):
+        self.model_path = model_path
+        self.input_names = list(input_names)
+        self.output_name = output_name
+
+    def __call__(self):
+        from .onnx import ONNXModel
+
+        return (
+            ONNXModel(self.model_path, self.input_names, self.output_name),
+            None,
+            {},
+        )
+
+
+class _SegFnModule:
+    """Module shim for ``SegmentationModel.from_apply`` (module-level so
+    the wrapping model pickles whenever the user's function does)."""
+
+    def __init__(self, apply_fn, num_speakers):
+        self._apply_fn = apply_fn
+        self.num_speakers = num_speakers
+
+    def apply(self, p, waveform, *a, **k):
+        return self._apply_fn(p, waveform)
+
+
+class _EmbFnModule:
+    """Module shim for ``EmbeddingModel.from_apply``."""
+
+    def __init__(self, trunk_fn, head_fn, embedding_dim):
+        self._trunk_fn = trunk_fn
+        self._head_fn = head_fn
+        self.embedding_dim = embedding_dim
+
+    def apply(self, p, *args, method=None, **k):
+        if method == "trunk":
+            return self._trunk_fn(p, *args)
+        if method == "head":
+            return self._head_fn(p, *args)
+        waveform, weights = args[0], args[1] if len(args) > 1 else None
+        frames = self._trunk_fn(p, waveform)
+        if weights is None:
+            ones = jnp.ones((frames.shape[0], 1, frames.shape[1]), frames.dtype)
+            return self._head_fn(p, frames, ones)[:, 0]
+        return self._head_fn(p, frames, weights)
+
+
+class _ApplyLoader:
+    """Picklable loader for the ``from_apply`` constructors."""
+
+    def __init__(self, module, params, sample_rate):
+        self.module = module
+        self.params = params
+        self.sample_rate = sample_rate
+
+    def __call__(self):
+        return (
+            self.module,
+            {} if self.params is None else self.params,
+            {"sample_rate": self.sample_rate},
+        )
 
 
 class _FileLoader:
@@ -265,6 +355,14 @@ def _module_config(module) -> Dict[str, Any]:
     strings), so serialized models reconstruct with their exact shape."""
     import dataclasses
 
+    if not dataclasses.is_dataclass(module):
+        # from_apply shims and ONNX sessions have no flax config to
+        # serialize; fail with intent instead of an internal TypeError
+        raise TypeError(
+            f"save() supports native flax modules only; "
+            f"{type(module).__name__} (from_apply/ONNX-backed) cannot be "
+            "serialized"
+        )
     out = {}
     for field in dataclasses.fields(module):
         if field.name in ("parent", "name"):
@@ -379,16 +477,10 @@ class SegmentationModel(LazyModel):
         """Wrap an arbitrary pure function ``(params, waveform (B, C, S)) ->
         (B, frames, K)`` — the native analogue of the reference's support for
         user-supplied model callables (``models.py:112-133``)."""
-
-        class _FnModule:
-            def __init__(self):
-                self.num_speakers = num_speakers
-
-            def apply(self, p, waveform, *a, **k):
-                return apply_fn(p, waveform)
-
         return SegmentationModel(
-            lambda: (_FnModule(), {} if params is None else params, {"sample_rate": sample_rate})
+            _ApplyLoader(
+                _SegFnModule(apply_fn, num_speakers), params, sample_rate
+            )
         )
 
     @staticmethod
@@ -422,12 +514,9 @@ class SegmentationModel(LazyModel):
         input_name: str = "waveform",
         output_name: str = "segmentation",
     ) -> "SegmentationModel":
-        def loader():
-            from .onnx import ONNXModel
-
-            return ONNXModel(model_path, [input_name], output_name), None, {}
-
-        return SegmentationModel(loader)
+        return SegmentationModel(
+            _OnnxLoader(model_path, [input_name], output_name)
+        )
 
     # ------------------------------------------------------------------ #
     @property
@@ -528,25 +617,12 @@ class EmbeddingModel(LazyModel):
         """Wrap arbitrary pure trunk/head functions:
         ``trunk(params, waveform (B, C, S)) -> (B, T, C)`` and
         ``head(params, frames, weights (B, K, Tw)) -> (B, K, E)``."""
-
-        class _FnModule:
-            def __init__(self):
-                self.embedding_dim = embedding_dim
-
-            def apply(self, p, *args, method=None, **k):
-                if method == "trunk":
-                    return trunk_fn(p, *args)
-                if method == "head":
-                    return head_fn(p, *args)
-                waveform, weights = args[0], args[1] if len(args) > 1 else None
-                frames = trunk_fn(p, waveform)
-                if weights is None:
-                    ones = jnp.ones((frames.shape[0], 1, frames.shape[1]), frames.dtype)
-                    return head_fn(p, frames, ones)[:, 0]
-                return head_fn(p, frames, weights)
-
         return EmbeddingModel(
-            lambda: (_FnModule(), {} if params is None else params, {"sample_rate": sample_rate})
+            _ApplyLoader(
+                _EmbFnModule(trunk_fn, head_fn, embedding_dim),
+                params,
+                sample_rate,
+            )
         )
 
     @staticmethod
@@ -570,16 +646,11 @@ class EmbeddingModel(LazyModel):
         input_names=None,
         output_name: str = "embedding",
     ) -> "EmbeddingModel":
-        def loader():
-            from .onnx import ONNXModel
-
-            return (
-                ONNXModel(model_path, input_names or ["waveform", "weights"], output_name),
-                None,
-                {},
+        return EmbeddingModel(
+            _OnnxLoader(
+                model_path, input_names or ["waveform", "weights"], output_name
             )
-
-        return EmbeddingModel(loader)
+        )
 
     # ------------------------------------------------------------------ #
     @property

@@ -21,12 +21,13 @@ policy an explicit, serializable value:
   traces in ``use(self.precision)`` so an engine's policy is explicit
   construction state rather than ambient process state.
 
-Env var mapping (set to ``0`` to disable, anything else to enable):
-``DIART_TPU_PALLAS_LSTM``, ``DIART_TPU_PALLAS_HEAD``,
+Env var mapping (``0``/``false``/``off``/empty disables, anything else
+enables): ``DIART_TPU_PALLAS_LSTM``, ``DIART_TPU_PALLAS_HEAD``,
 ``DIART_TPU_PALLAS_ATTN``, ``DIART_TPU_PALLAS_RES2``,
 ``DIART_TPU_BF16_LSTM``, ``DIART_TPU_BF16_FRONTEND``,
 ``DIART_TPU_STACK_FRONTEND``, ``DIART_TPU_INT8_TRUNK``,
-``DIART_TPU_FAST_FBANK``, ``DIART_TPU_PHASED_RING``.
+``DIART_TPU_FAST_FBANK``, ``DIART_TPU_PHASED_RING``,
+``DIART_TPU_FBANK_RING``, ``DIART_TPU_LSTM_BLOCK``.
 """
 
 from __future__ import annotations
@@ -205,7 +206,9 @@ class Precision:
                     f"unknown precision switch {key!r}; known: {sorted(known)}"
                 )
             overrides[key] = (
-                value.strip() not in ("0", "false", "False", "") if sep else True
+                value.strip().lower() not in ("0", "false", "off", "")
+                if sep
+                else True
             )
         return dataclasses.replace(Precision(), **overrides)
 
@@ -238,7 +241,9 @@ def _resolve(policy: Precision, field: str) -> bool:
     if not getattr(_STATE, "force", False):
         env = os.environ.get(_ENV_VARS[field])
         if env is not None:
-            return env != "0"
+            # same falsy spellings as Precision.parse — "false"/"off"/""
+            # must not silently ENABLE a quality-affecting switch
+            return env.strip().lower() not in ("0", "false", "off", "")
     return bool(getattr(policy, field))
 
 
