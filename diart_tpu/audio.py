@@ -21,9 +21,25 @@ FilePath = Union[str, Path]
 __all__ = ["AudioLoader", "FilePath", "read_wav", "write_wav", "WavBlockReader"]
 
 
-def _decode_pcm(raw: bytes, audio_format: int, bits: int) -> np.ndarray:
+def _decode_pcm(
+    raw: bytes, audio_format: int, bits: int, sub_format: "int | None" = None
+) -> np.ndarray:
     """Raw WAV sample bytes -> interleaved float32 in [-1, 1]."""
-    if audio_format == 3 or (audio_format == 0xFFFE and bits == 32):
+    # a truncated final sample (interrupted download, data size > file
+    # size) decodes the whole frames instead of raising in frombuffer
+    bytes_per = max(1, bits // 8)
+    if len(raw) % bytes_per:
+        raw = raw[: len(raw) - (len(raw) % bytes_per)]
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the SubFormat GUID carries the real
+        # format code (1 = PCM, 3 = float). Without it (short fmt chunk),
+        # fall back to the 32-bit-means-float heuristic.
+        audio_format = (
+            sub_format if sub_format is not None else (3 if bits == 32 else 1)
+        )
+    if audio_format == 3:
+        if bits == 64:
+            return np.frombuffer(raw, dtype="<f8").astype(np.float32)
         return np.frombuffer(raw, dtype="<f4").astype(np.float32)
     if audio_format in (1, 0xFFFE):
         if bits == 16:
@@ -47,10 +63,30 @@ def _decode_pcm(raw: bytes, audio_format: int, bits: int) -> np.ndarray:
 
 def _parse_fmt_chunk(buf: bytes, filepath) -> tuple:
     """Unpack a fmt chunk payload, raising ValueError (never struct.error)
-    on truncated chunks so callers' streamable-WAV probes can fall back."""
+    on truncated chunks so callers' streamable-WAV probes can fall back.
+    Returns the 6 standard fields plus the extensible SubFormat code
+    (None when the chunk has no extension)."""
     if len(buf) < 16:
         raise ValueError(f"{filepath}: truncated fmt chunk ({len(buf)} bytes)")
-    return struct.unpack("<HHIIHH", buf[:16])
+    fields = struct.unpack("<HHIIHH", buf[:16])
+    sub_format = None
+    if fields[0] == 0xFFFE and len(buf) >= 26:
+        # extension: cbSize(2) validBits(2) channelMask(4) GUID(16);
+        # the GUID's leading two bytes are the true format code
+        sub_format = struct.unpack("<H", buf[24:26])[0]
+    return fields + (sub_format,)
+
+
+def _read_fmt_chunk(f, size: int, filepath) -> tuple:
+    """Read a fmt chunk of declared ``size`` without over-reading (legacy
+    14-byte chunks would otherwise desynchronize the chunk walk) and skip
+    any remainder plus the RIFF pad byte."""
+    take = min(size, 40)
+    fmt = _parse_fmt_chunk(f.read(take), filepath)
+    rest = size - take + (size & 1)
+    if rest > 0:
+        f.read(rest)
+    return fmt
 
 
 def read_wav(filepath: FilePath) -> Tuple[np.ndarray, int]:
@@ -69,9 +105,7 @@ def read_wav(filepath: FilePath) -> Tuple[np.ndarray, int]:
                 raise ValueError(f"{filepath}: no data chunk found")
             chunk_id, size = struct.unpack("<4sI", header)
             if chunk_id == b"fmt ":
-                fmt = _parse_fmt_chunk(f.read(16), filepath)
-                if size > 16:
-                    f.read(size - 16)
+                fmt = _read_fmt_chunk(f, size, filepath)
             elif chunk_id == b"data":
                 raw = f.read(size)
                 break
@@ -79,12 +113,12 @@ def read_wav(filepath: FilePath) -> Tuple[np.ndarray, int]:
                 f.read(size + (size & 1))
         if fmt is None:
             raise ValueError(f"{filepath}: missing fmt chunk")
-        audio_format, channels, rate, _, _, bits = fmt
+        audio_format, channels, rate, _, _, bits, sub_format = fmt
         if channels == 0:
             raise ValueError(f"{filepath}: zero channels in fmt chunk")
-        if audio_format == 3 and bits != 32:
+        if audio_format == 3 and bits not in (32, 64):
             raise ValueError(f"{filepath}: IEEE-float WAV must be 32-bit, got {bits}")
-        data = _decode_pcm(raw, audio_format, bits)
+        data = _decode_pcm(raw, audio_format, bits, sub_format)
     usable = (len(data) // channels) * channels
     return data[:usable].reshape(-1, channels).T, rate
 
@@ -127,17 +161,31 @@ class WavBlockReader:
                 raise ValueError(f"{path}: no data chunk found")
             chunk_id, size = struct.unpack("<4sI", header)
             if chunk_id == b"fmt ":
-                fmt = _parse_fmt_chunk(self._file.read(16), path)
-                if size > 16:
-                    self._file.read(size - 16)
+                fmt = _read_fmt_chunk(self._file, size, path)
             elif chunk_id == b"data":
-                self._data_bytes = size
+                # streamed/piped WAVs carry placeholder sizes (0 or
+                # 0xFFFFFFFF); clamp to the bytes actually present so
+                # num_frames plans real audio, not a ~37 h fiction
+                import os
+
+                avail = max(
+                    0, os.fstat(self._file.fileno()).st_size - self._file.tell()
+                )
+                self._data_bytes = avail if size in (0, 0xFFFFFFFF) else min(size, avail)
                 break
             else:
                 self._file.read(size + (size & 1))
         if fmt is None:
             raise ValueError(f"{path}: missing fmt chunk")
-        self.format, self.channels, self.sample_rate, _, _, self.bits = fmt
+        (
+            self.format,
+            self.channels,
+            self.sample_rate,
+            _,
+            _,
+            self.bits,
+            self.sub_format,
+        ) = fmt
         if (
             self.channels == 0
             or self.bits not in (8, 16, 24, 32)
@@ -155,7 +203,7 @@ class WavBlockReader:
             return np.zeros((0,), np.float32)
         raw = self._file.read(todo * self._frame_bytes)
         self._read_frames += todo
-        data = _decode_pcm(raw, self.format, self.bits)
+        data = _decode_pcm(raw, self.format, self.bits, self.sub_format)
         usable = (len(data) // self.channels) * self.channels
         frames = data[:usable].reshape(-1, self.channels)
         return frames.mean(axis=1) if self.channels > 1 else frames[:, 0]
@@ -277,11 +325,9 @@ class AudioLoader:
                     break
                 chunk_id, size = struct.unpack("<4sI", header)
                 if chunk_id == b"fmt ":
-                    fmt = _parse_fmt_chunk(f.read(16), path)
+                    fmt = _read_fmt_chunk(f, size, path)
                     rate = fmt[2]
                     bits, channels = fmt[5], fmt[1]
-                    if size > 16:
-                        f.read(size - 16)
                 elif chunk_id == b"data":
                     if (
                         rate is None
@@ -290,7 +336,11 @@ class AudioLoader:
                         or bits not in (8, 16, 24, 32)
                     ):
                         break
-                    return size / (rate * channels * (bits // 8))
+                    import os
+
+                    avail = max(0, os.fstat(f.fileno()).st_size - f.tell())
+                    n = avail if size in (0, 0xFFFFFFFF) else min(size, avail)
+                    return n / (rate * channels * (bits // 8))
                 else:
                     f.read(size + (size & 1))
         raise ValueError(f"cannot probe duration of {path}")

@@ -38,7 +38,7 @@ def send_audio(
         if realtime and source != "microphone":
             time.sleep(step)
 
-    audio_source.stream.pipe(ops.map(lambda b: b)).subscribe(on_next=emit)
+    audio_source.stream.subscribe(on_next=emit)
     audio_source.read()
 
 

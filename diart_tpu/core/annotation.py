@@ -58,14 +58,19 @@ class Timeline:
         return total
 
     def support(self, collar: float = 0.0) -> "Timeline":
-        """Merge segments separated by a gap smaller than ``collar``."""
+        """Merge overlapping/touching segments, and segments separated by a
+        gap STRICTLY smaller than ``collar`` — pyannote.core's support_iter
+        semantics (an exactly-collar gap stays split there, so ``<=`` here
+        would diverge from the parity target at boundary-coincident gaps)."""
         merged: List[Segment] = []
         for seg in self._segments:
-            if merged and seg.start - merged[-1].end <= collar:
-                last = merged[-1]
-                merged[-1] = Segment(last.start, max(last.end, seg.end))
-            else:
-                merged.append(seg)
+            if merged:
+                gap = seg.start - merged[-1].end
+                if gap <= 0 or gap < collar:
+                    last = merged[-1]
+                    merged[-1] = Segment(last.start, max(last.end, seg.end))
+                    continue
+            merged.append(seg)
         out = Timeline(uri=self.uri)
         out._segments = merged
         return out
@@ -82,7 +87,9 @@ class Timeline:
         return out
 
     def gaps(self, support: Optional[Segment] = None) -> "Timeline":
-        support = support or self.extent()
+        # `is None`, not truthiness: an explicitly passed empty segment
+        # must yield no gaps, not the gaps of the whole extent
+        support = self.extent() if support is None else support
         out = Timeline(uri=self.uri)
         t = support.start
         for seg in self.support():

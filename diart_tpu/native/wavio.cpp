@@ -21,6 +21,9 @@ struct FmtChunk {
   uint16_t channels = 0;
   uint32_t sample_rate = 0;
   uint16_t bits = 0;
+  // WAVE_FORMAT_EXTENSIBLE SubFormat code (first 2 bytes of the GUID:
+  // 1 = PCM, 3 = float); 0 when the chunk carries no extension
+  uint16_t sub_format = 0;
 };
 
 // Reads chunks until "data"; fills fmt and positions the file at the start
@@ -37,14 +40,30 @@ long find_data(FILE* f, FmtChunk* fmt) {
     uint32_t chunk_size = 0;
     if (fread(id, 1, 4, f) != 4 || fread(&chunk_size, 4, 1, f) != 1) return -1;
     if (memcmp(id, "fmt ", 4) == 0) {
-      uint8_t buf[16];
-      if (chunk_size < 16 || fread(buf, 1, 16, f) != 16) return -1;
+      uint8_t buf[40] = {0};
+      uint32_t take = chunk_size < 40 ? chunk_size : 40;
+      if (chunk_size < 16 || fread(buf, 1, take, f) != take) return -1;
       memcpy(&fmt->format, buf + 0, 2);
       memcpy(&fmt->channels, buf + 2, 2);
       memcpy(&fmt->sample_rate, buf + 4, 4);
       memcpy(&fmt->bits, buf + 14, 2);
-      if (chunk_size > 16) fseek(f, chunk_size - 16, SEEK_CUR);
+      if (fmt->format == 0xFFFE && take >= 26) {
+        memcpy(&fmt->sub_format, buf + 24, 2);
+      }
+      long rest = (long)chunk_size - (long)take + (long)(chunk_size & 1);
+      if (rest > 0) fseek(f, rest, SEEK_CUR);
     } else if (memcmp(id, "data", 4) == 0) {
+      // clamp placeholder/oversized data sizes (streamed WAVs write 0 or
+      // 0xFFFFFFFF) to the bytes actually present in the file
+      long pos = ftell(f);
+      fseek(f, 0, SEEK_END);
+      long avail = ftell(f) - pos;
+      fseek(f, pos, SEEK_SET);
+      if (avail < 0) avail = 0;
+      if (chunk_size == 0 || chunk_size == 0xFFFFFFFFu ||
+          (long)chunk_size > avail) {
+        return avail;
+      }
       return (long)chunk_size;
     } else {
       fseek(f, chunk_size + (chunk_size & 1), SEEK_CUR);
@@ -53,7 +72,13 @@ long find_data(FILE* f, FmtChunk* fmt) {
 }
 
 bool is_float_fmt(const FmtChunk& fmt) {
-  return fmt.format == 3 || (fmt.format == 0xFFFE && fmt.bits == 32);
+  if (fmt.format == 0xFFFE) {
+    // the SubFormat GUID disambiguates 32-bit int PCM from float; fall
+    // back to the 32-bit-means-float heuristic only when absent
+    if (fmt.sub_format != 0) return fmt.sub_format == 3;
+    return fmt.bits == 32;
+  }
+  return fmt.format == 3;
 }
 
 // Guards against malformed headers: bits must be a whole number of bytes we

@@ -17,6 +17,10 @@ __all__ = [
     "Chronometer",
     "encode_audio",
     "decode_audio",
+    "encode_audio_int16",
+    "decode_audio_int16",
+    "visualize_feature",
+    "visualize_annotation",
     "get_padding_left",
     "get_padding_right",
     "get_pipeline_class",
