@@ -30,7 +30,7 @@ error message when unavailable.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, Union
+from typing import Any, Dict, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -101,6 +101,13 @@ def _sincnet_params(sd: Dict[str, Any], prefix: str = "sincnet.") -> Dict[str, A
 
 
 def _lstm_params(sd: Dict[str, Any], num_layers: int, prefix: str = "lstm.") -> Dict[str, Any]:
+    if f"{prefix}weight_ih_l0_reverse" not in sd:
+        # a supported pyannote config we do not model — fail with intent
+        # rather than a raw KeyError deep in _get
+        raise ValueError(
+            "checkpoint's LSTM is unidirectional; this converter supports "
+            "the bidirectional PyanNet recipes only"
+        )
     out = {}
     for layer in range(num_layers):
         w_ih = np.stack(
@@ -211,10 +218,32 @@ def _sb_tdnn(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
     }
 
 
-def ecapa_params_from_state_dict(sd: Dict[str, Any], res2_scale: int = 8) -> Dict[str, Any]:
+def _ecapa_res2_scale(sd: Dict[str, Any]) -> int:
+    """Res2Net scale implied by the state dict (scale - 1 conv blocks)."""
+    n = 0
+    while f"blocks.1.res2net_block.blocks.{n}.conv.conv.weight" in sd:
+        n += 1
+    return n + 1
+
+
+def ecapa_params_from_state_dict(
+    sd: Dict[str, Any], res2_scale: Optional[int] = None
+) -> Dict[str, Any]:
     """Map a speechbrain ``ECAPA_TDNN`` state dict (the ``embedding_model``
     of ``speechbrain/spkrec-ecapa-voxceleb``) onto our
-    :class:`diart_tpu.models.ecapa.EcapaTDNN` parameter tree."""
+    :class:`diart_tpu.models.ecapa.EcapaTDNN` parameter tree.
+
+    res2_scale is inferred from the state dict when not given — a
+    checkpoint trained at a different scale must not silently convert
+    only the first 7 res2net blocks."""
+    found = _ecapa_res2_scale(sd)
+    if res2_scale is None:
+        res2_scale = found
+    elif res2_scale != found:
+        raise ValueError(
+            f"checkpoint has res2net scale {found}, caller declared "
+            f"{res2_scale}"
+        )
     params: Dict[str, Any] = {"stem": _sb_tdnn(sd, "blocks.0")}
     for i in (1, 2, 3):
         block = {
@@ -249,15 +278,23 @@ def ecapa_params_from_state_dict(sd: Dict[str, Any], res2_scale: int = 8) -> Dic
 
 def load_ecapa_checkpoint(path: Union[str, Path]):
     """speechbrain ECAPA-TDNN checkpoint -> (module, params, meta)."""
+    return _load_ecapa_from_sd(_load_torch_state_dict(path), source=str(path))
+
+
+def _load_ecapa_from_sd(sd: Dict[str, Any], source: str = ""):
     from .ecapa import EcapaTDNN
 
-    sd = _load_torch_state_dict(path)
     dim = int(_np(sd["fc.conv.weight"]).shape[0])
     channels = int(_np(sd["blocks.0.conv.conv.weight"]).shape[0])
     num_mels = int(_np(sd["blocks.0.conv.conv.weight"]).shape[1])
-    module = EcapaTDNN(embedding_dim=dim, channels=channels, num_mels=num_mels)
+    module = EcapaTDNN(
+        embedding_dim=dim,
+        channels=channels,
+        num_mels=num_mels,
+        res2_scale=_ecapa_res2_scale(sd),
+    )
     params = _to_jax(ecapa_params_from_state_dict(sd))
-    return module, params, {"sample_rate": 16000, "source": str(path)}
+    return module, params, {"sample_rate": 16000, "source": source}
 
 
 def xvect_sb_params_from_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
@@ -356,6 +393,26 @@ def resnet_params_from_state_dict(
     :class:`diart_tpu.models.resnet.ResNet34` parameter tree."""
     if any(k.startswith("resnet.") for k in sd):
         sd = {k[len("resnet."):]: v for k, v in sd.items() if k.startswith("resnet.")}
+    # validate the checkpoint really is the basic-block ResNet34 layout:
+    # a deeper wespeaker variant (ResNet152/221/...) or a bottleneck one
+    # (conv3 keys) would otherwise convert silently with its extra blocks
+    # dropped — plausible-looking but wrong embeddings
+    if any(".conv3.weight" in k for k in sd):
+        raise ValueError(
+            "bottleneck ResNet checkpoint (conv3 blocks) is not the "
+            "basic-block ResNet34 layout this converter supports"
+        )
+    found = []
+    for stage in range(1, len(depths) + 1):
+        n = 0
+        while f"layer{stage}.{n}.conv1.weight" in sd:
+            n += 1
+        found.append(n)
+    if tuple(found) != tuple(depths):
+        raise ValueError(
+            f"checkpoint has ResNet stage depths {tuple(found)}; this "
+            f"converter supports ResNet34's {tuple(depths)}"
+        )
     params: Dict[str, Any] = {
         "conv1": _conv2d(sd, "conv1", transpose_hw=True),
         "bn1": _plain_bn(sd, "bn1"),
@@ -381,8 +438,6 @@ def resnet_params_from_state_dict(
 
 def load_resnet_checkpoint(path: Union[str, Path]):
     """WeSpeaker ResNet34 checkpoint -> (module, params, meta)."""
-    from .resnet import ResNet34
-
     sd = _load_torch_state_dict(path)
     return _load_resnet_from_sd(sd, source=str(path))
 
@@ -419,17 +474,7 @@ def load_embedding_checkpoint(path: Union[str, Path]):
     ) and "blocks.0.conv.weight" in sd:
         return _load_xvect_sb_from_sd(sd, source=str(path))
     if "fc.conv.weight" in sd or "blocks.0.conv.conv.weight" in sd:
-        from .ecapa import EcapaTDNN
-
-        dim = int(_np(sd["fc.conv.weight"]).shape[0])
-        channels = int(_np(sd["blocks.0.conv.conv.weight"]).shape[0])
-        num_mels = int(_np(sd["blocks.0.conv.conv.weight"]).shape[1])
-        module = EcapaTDNN(embedding_dim=dim, channels=channels, num_mels=num_mels)
-        return (
-            module,
-            _to_jax(ecapa_params_from_state_dict(sd)),
-            {"sample_rate": 16000, "source": str(path)},
-        )
+        return _load_ecapa_from_sd(sd, source=str(path))
     return load_xvector_checkpoint_from_sd(sd, source=str(path))
 
 
@@ -569,13 +614,23 @@ def load_pyannote_segmentation(model, use_hf_token=True):
     sd = net.state_dict()
     specs = getattr(net, "specifications", None)
     module = _pyannet_module_from_state_dict(sd)
-    module, params, meta = (
-        module,
-        _to_jax(pyannet_params_from_state_dict(sd, module.lstm_layers)),
-        {"sample_rate": 16000, "source": str(model)},
-    )
+    params = _to_jax(pyannet_params_from_state_dict(sd, module.lstm_layers))
+    meta = {"sample_rate": 16000, "source": str(model)}
     if specs is not None and getattr(specs, "powerset", False):
-        meta["powerset"] = (len(specs.classes), specs.powerset_max_classes)
+        # rebuild with the powerset head (as load_pyannet_checkpoint does
+        # when powerset is declared): the module then emits log-softmax
+        # powerset scores instead of sigmoid-ing powerset logits, and
+        # num_speakers means speakers, not classes
+        num_speakers = len(specs.classes)
+        max_simultaneous = specs.powerset_max_classes
+        meta["powerset"] = (num_speakers, max_simultaneous)
+        module = PyanNet(
+            num_speakers=num_speakers,
+            powerset_classes=module.num_speakers,
+            lstm_hidden=module.lstm_hidden,
+            lstm_layers=module.lstm_layers,
+            linear_dims=module.linear_dims,
+        )
     return module, params, meta
 
 
@@ -674,8 +729,6 @@ def titanet_params_from_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
 
 def load_titanet_checkpoint(path: Union[str, Path]):
     """NeMo TitaNet checkpoint -> (module, params, meta)."""
-    from .titanet import TitaNet
-
     sd = _load_torch_state_dict(path)
     return _load_titanet_from_sd(sd, source=str(path))
 

@@ -115,6 +115,10 @@ class SincConv(nn.Module):
                 samples = x.shape[1] * x.shape[2]
                 xp = x
             else:
+                assert x.shape[1] == 1, (
+                    f"SincConv expects mono (B, 1, samples) input; got "
+                    f"{x.shape[1]} channels (downmix before the frontend)"
+                )
                 samples = x.shape[-1]
                 pad_s = (-samples) % self.stride
                 xp = jnp.pad(x[:, 0, :], ((0, 0), (0, pad_s)))
@@ -171,10 +175,19 @@ def sinc_filters(
     )
     band = (high - low)[:, None]  # (cutoff, 1)
 
-    # Left half of the filters (kernel_size odd). ParamSincFB conventions:
-    # the Hamming window is sampled at linspace(0, k/2 - 1, k//2) — NOT
-    # the first half of hamming(k) — and the sinc denominator n_/2
-    # carries the 2*pi factor.
+    # Left half of the filters (kernel_size odd). Original-SincNet
+    # conventions (Ravanelli & Bengio): the Hamming window is sampled at
+    # linspace(0, k/2 - 1, k//2) — NOT the first half of hamming(k) — and
+    # the sinc denominator n_/2 carries the 2*pi factor. PARITY RISK
+    # (unverifiable in this zero-egress environment): if
+    # asteroid-filterbanks' ParamSincFB — the implementation pyannote
+    # loads — samples its window differently (e.g. integer-n hamming with
+    # a k-1 denominator), converted-checkpoint filters differ by ~1e-5
+    # relative; the in-repo torch replica
+    # (tests/torch_replicas.py) encodes THIS convention, so the
+    # full-forward equivalence tests cannot arbitrate. Validate DER
+    # against /root/reference/expected_outputs on first real-checkpoint
+    # access (PARITY.md).
     half = kernel_size // 2
     n_lin = jnp.linspace(0.0, kernel_size / 2 - 1, half)
     window = (0.54 - 0.46 * jnp.cos(2 * jnp.pi * n_lin / kernel_size))[None, :]
