@@ -177,8 +177,10 @@ class StreamingServer:
         self._in_flight = 0  # dispatched hops whose replies haven't gone out
         # first-ready time of each cohort's current wave, _tick
         self._wave_t0: list = [None] * self.cohorts
-        # ingest cap per client (4 chunk windows = 20 s at the default
-        # geometry): past this the client is evicted, see _handler
+        # ingest high-water mark per client (4 chunk windows = 20 s at
+        # the default geometry): past this the handler pauses reading
+        # (websocket/TCP backpressure) until the ticker drains the slot,
+        # see _handler
         self._max_buffer_samples = 4 * engine.chunk_samples
 
     # ------------------------------------------------------------------ #
@@ -239,22 +241,19 @@ class StreamingServer:
                 samples = self._ingest(message, client.wire_format)
                 client.audio_seen = True
                 client.buffer = np.concatenate([client.buffer, samples])
-                if client.buffer.shape[0] > self._max_buffer_samples:
-                    # ingest is otherwise unbounded: a client streaming
-                    # faster than real time (or through a long stall)
-                    # would grow its buffer — and the per-message
-                    # concatenate cost — without limit. Mirror of the
-                    # send-side slow-consumer eviction.
-                    logger.warning(
-                        "slot %d ingest buffer overflow (%d samples); "
-                        "evicting",
-                        client.index,
-                        client.buffer.shape[0],
-                    )
-                    await websocket.close(
-                        code=1008, reason="ingest buffer overflow"
-                    )
-                    return
+                while (
+                    client.buffer.shape[0] > self._max_buffer_samples
+                    and self.slots.get(client.index) is client
+                ):
+                    # Backpressure, not eviction: a client streaming
+                    # faster than real time (the file-streaming CLI
+                    # client is one) is legitimate — pause reading until
+                    # the ticker drains the slot, and TCP flow control
+                    # throttles the sender. This bounds both host memory
+                    # and the per-message concatenate cost without
+                    # breaking fast senders; per-message size is bounded
+                    # separately by the websocket max frame size.
+                    await asyncio.sleep(0.01)
         except Exception as e:  # connection errors end the stream
             logger.info("client %d disconnected: %s", client.index, e)
         finally:

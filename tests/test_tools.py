@@ -389,16 +389,31 @@ class TestStreamingServer:
         binary = FakeSocket([b"\x00\x01\x02\x03"])
         asyncio.run(server._handler(binary))
         assert binary.close_code == 1003
-        # a client streaming far past real time is evicted once its
-        # ingest buffer passes the cap (4 chunk windows), instead of
-        # growing host memory without bound
+        # a client streaming far past real time hits ingest BACKPRESSURE:
+        # reading pauses above the high-water mark (bounding host memory)
+        # and resumes once the ticker drains the slot — NOT an eviction
+        # (fast file-streaming clients are legitimate; a cap-then-close
+        # broke the serve+client CLI smoke)
         n_cap = 4 * engine.chunk_samples
         flood = FakeSocket(
-            [encode_audio(np.zeros((1, n_cap // 2), np.float32))] * 3
+            [encode_audio(np.zeros((1, n_cap // 2), np.float32))] * 4
         )
-        asyncio.run(server._handler(flood))
-        assert flood.close_code == 1008
-        # every rejected client's slot is released for reuse
+
+        async def run_with_drain():
+            task = asyncio.create_task(server._handler(flood))
+            for _ in range(400):
+                await asyncio.sleep(0.005)
+                for slot in server.slots.values():
+                    if slot is not None and slot.buffer.shape[0] > n_cap:
+                        slot.buffer = slot.buffer[-1:]  # ticker stand-in
+                if task.done():
+                    break
+            assert task.done(), "handler still paused after drains"
+            await task
+
+        asyncio.run(run_with_drain())
+        assert flood.close_code is None  # all messages ingested, no close
+        # every disconnected client's slot is released for reuse
         assert all(slot is None for slot in server.slots.values())
 
     def test_pipelined_tick_without_serve(self):
