@@ -52,8 +52,26 @@ class SpeakerEmbedding:
         self, waveform: TemporalFeatures, weights: Optional[TemporalFeatures] = None
     ) -> jnp.ndarray:
         """waveform (batch, samples, ch); weights (batch, frames, speakers)
-        -> (batch, speakers, dim); without weights -> (batch, dim)."""
+        -> (batch, speakers, dim); without weights -> (batch, dim). Unit
+        dims are squeezed away like the reference's ``output.squeeze()``
+        (embedding.py:68) — single-chunk callers get (speakers, dim)."""
         wave = jnp.swapaxes(self.waveform_formatter.cast(waveform), 1, 2)
+        if self.model.params is None:
+            # host-only (ONNX) model: the reference's repeat-per-speaker
+            # formulation through the wrapper __call__ (models.py:248-265)
+            # — there is no jittable trunk/head to split
+            import numpy as np
+
+            wave_np = np.asarray(wave)
+            if weights is None:
+                out = np.asarray(self.model(wave_np))
+            else:
+                w = np.asarray(self.weights_formatter.cast(weights))
+                b, _, k = w.shape
+                rep = np.repeat(wave_np, k, axis=0)
+                w_flat = np.swapaxes(w, 1, 2).reshape(b * k, -1)
+                out = np.asarray(self.model(rep, w_flat)).reshape(b, k, -1)
+            return jnp.asarray(out).squeeze()
         if self._jitted is None:
             trunk, head = self.model.trunk_fn(), self.model.head_fn()
 
@@ -70,7 +88,7 @@ class SpeakerEmbedding:
         w = None
         if weights is not None:
             w = jnp.swapaxes(self.weights_formatter.cast(weights), 1, 2)  # (B, S, T)
-        return self._jitted(self.model.params, wave, w)
+        return self._jitted(self.model.params, wave, w).squeeze()
 
 
 class OverlappedSpeechPenalty:

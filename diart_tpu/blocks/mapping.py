@@ -80,8 +80,13 @@ class MaximizationObjective(MappingMatrixObjective):
 
 
 def _cosine_cdist(x: np.ndarray, y: np.ndarray) -> np.ndarray:
-    xn = x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-30)
-    yn = y / np.maximum(np.linalg.norm(y, axis=-1, keepdims=True), 1e-30)
+    # deliberately NOT clamped: a zero-norm vector yields NaN distances,
+    # matching both scipy's cdist (the reference's engine, mapping.py:170)
+    # and the device path (ops/functional.cosine_cdist) — this file is the
+    # device paths' correctness oracle, so the degenerate case must agree
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xn = x / np.linalg.norm(x, axis=-1, keepdims=True)
+        yn = y / np.linalg.norm(y, axis=-1, keepdims=True)
     return 1.0 - xn @ yn.T
 
 
@@ -96,11 +101,21 @@ class SpeakerMap:
     assignments.
     """
 
-    def __init__(self, matrix: np.ndarray, maximize: bool = False, best_value: float = 0.0):
+    def __init__(
+        self,
+        matrix: np.ndarray,
+        maximize: bool = False,
+        best_value: Optional[float] = None,
+    ):
         self.matrix = np.asarray(matrix, dtype=float)
         self.maximize = maximize
-        # value written by set_source_speaker to force an assignment
-        self.best_value = 1.0 if maximize and best_value == 0.0 else best_value
+        # value written by set_source_speaker to force an assignment;
+        # None defaults by objective direction — an EXPLICIT 0.0 from a
+        # MaximizationObjective(max_value=0.0) must be respected, not
+        # coerced to 1.0
+        self.best_value = (
+            (1.0 if maximize else 0.0) if best_value is None else best_value
+        )
         self._assignments: Optional[List[int]] = None
 
     # ------------------------------------------------------------------ #
@@ -181,9 +196,12 @@ class SpeakerMap:
         targets: Optional[Union[Sequence[int], np.ndarray]] = None,
     ) -> "SpeakerMap":
         matrix = self.matrix.copy()
-        for s in list(sources or []):
+        # `is None`, not truthiness: numpy arrays (which the reference
+        # passes, clustering.py:163-166) are ambiguous or, for a single
+        # falsy element, silently skipped under `or []`
+        for s in list(sources) if sources is not None else []:
             matrix[int(s), :] = self.invalid_value
-        for t in list(targets or []):
+        for t in list(targets) if targets is not None else []:
             matrix[:, int(t)] = self.invalid_value
         return SpeakerMap(matrix, self.maximize, self.best_value)
 

@@ -66,6 +66,10 @@ class AdjustVolume:
         wav = self.formatter.cast(waveform)
         current = self.get_volumes(wav)
         gains = 10 ** ((self.target_db - current) / 20)
+        # digitally silent input: current = -inf dB -> gain = inf ->
+        # inf * 0 = NaN poisoning everything downstream (a latent flaw in
+        # the reference too); pass silence through unchanged instead
+        gains = jnp.where(jnp.isfinite(gains), gains, 1.0)
         wav = gains * wav
         maxima = jnp.clip(jnp.amax(jnp.abs(wav), axis=1, keepdims=True), 1.0, None)
         return self.formatter.restore_type(wav / maxima)

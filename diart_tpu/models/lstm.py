@@ -124,7 +124,11 @@ class BiLSTM(nn.Module):
             in_dim = x.shape[-1]
             w_ih = self.param(
                 f"l{layer}_w_ih",
-                nn.initializers.lecun_normal(),
+                # the weight is applied as x @ W^T, so fan-in is the LAST
+                # axis (in_dim) — lecun_normal's default in_axis=-2 would
+                # take 4h as fan-in and mis-scale from-scratch init by
+                # sqrt(in_dim/4h) (converted checkpoints are unaffected)
+                nn.initializers.lecun_normal(in_axis=-1, out_axis=-2),
                 (2, 4 * h, in_dim),  # [forward, backward]
             )
             w_hh = self.param(

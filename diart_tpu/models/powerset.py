@@ -56,7 +56,11 @@ def to_multilabel(
     """
     mapping = jnp.asarray(mapping)
     if soft:
-        probs = jnp.exp(powerset_scores)
+        # scores must be LOG-PROBABILITIES (the PyanNet powerset head's
+        # LogSoftmax output) — exp of raw logits would be unnormalized
+        # and the marginals unbounded; normalize defensively so either
+        # input yields true per-class probabilities
+        probs = jax.nn.softmax(powerset_scores, axis=-1)
         return jnp.matmul(probs, mapping)
     # Gather-free hard decode: one-hot of the argmax contracted with the
     # mapping runs on the TPU vector/matrix units inside the jitted engine

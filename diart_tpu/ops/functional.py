@@ -54,6 +54,11 @@ def normalize_embeddings(
     embeddings: (..., speakers, feat)
     norm: scalar or broadcastable array of target norms.
     """
+    if embeddings.ndim == 2:
+        # (speakers, feat) -> (1, speakers, feat), as the reference does
+        # (functional.py:20-21) — its embedding block squeezes the batch
+        # dim away for single chunks and normalization restores it
+        embeddings = embeddings[None]
     emb_norm = jnp.linalg.norm(embeddings, ord=2, axis=-1, keepdims=True)
     return norm * embeddings / emb_norm
 
