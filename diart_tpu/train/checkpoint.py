@@ -36,12 +36,26 @@ def save_train_state(
     (directory / "latest.json").write_text(json.dumps({"step": step}))
     checkpoints = sorted(directory.glob("step_*.msgpack"))
     for old in checkpoints[:-keep]:
-        old.unlink()
+        if old != path:  # never prune the checkpoint just written
+            old.unlink()
     return path
 
 
 def latest_checkpoint(directory: Union[str, Path]) -> Optional[Path]:
+    """The checkpoint to resume from: the one ``latest.json`` names (the
+    most recently WRITTEN — after a rollback the highest step number is an
+    abandoned branch, not the latest state), falling back to the highest
+    step when the marker is missing or stale."""
     directory = Path(directory)
+    marker = directory / "latest.json"
+    if marker.exists():
+        try:
+            step = int(json.loads(marker.read_text())["step"])
+            named = directory / f"step_{step:08d}.msgpack"
+            if named.exists():
+                return named
+        except (ValueError, KeyError, json.JSONDecodeError):
+            pass
     checkpoints = sorted(directory.glob("step_*.msgpack"))
     return checkpoints[-1] if checkpoints else None
 

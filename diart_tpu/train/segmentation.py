@@ -36,13 +36,23 @@ def pit_bce_loss(
     k = predictions.shape[-1]
     perms = np.array(list(permutations(range(k))))  # (P, K)
     p = jnp.clip(predictions, eps, 1.0 - eps)
-    # (P, B, F, K): permuted targets
-    permuted = targets[..., perms.T]  # (B, F, K, P)
-    permuted = jnp.moveaxis(permuted, -1, 0)
-    bce = -(
-        permuted * jnp.log(p)[None] + (1.0 - permuted) * jnp.log1p(-p)[None]
-    )  # (P, B, F, K)
-    per_perm = jnp.mean(bce, axis=(2, 3))  # (P, B)
+    # BCE is a sum of per-(prediction-channel, target-channel) terms, so
+    # score permutations from the frame-summed PAIRWISE matrix instead of
+    # materializing a (P, B, F, K) tensor — the factorial-sized
+    # intermediate OOMs past the default K=4 (K=5 at B=64/F=589 is ~90 GB)
+    # while the pairwise form is O(K^2) memory and exactly equal.
+    # pair[b, i, j] = sum_f BCE(p[b, f, i], t[b, f, j])
+    log_p = jnp.log(p)
+    log_1mp = jnp.log1p(-p)
+    pair = -(
+        jnp.einsum("bfi,bfj->bij", log_p, targets)
+        + jnp.einsum("bfi,bfj->bij", log_1mp, 1.0 - targets)
+    )  # (B, K, K)
+    # permutation score: sum of the K selected pairs
+    onehot = jax.nn.one_hot(perms, k, dtype=pair.dtype)  # (P, K, K)
+    per_perm = jnp.einsum("bij,pij->pb", pair, onehot)
+    frames = predictions.shape[1]
+    per_perm = per_perm / (frames * k)  # mean over (frames, speakers)
     return jnp.mean(jnp.min(per_perm, axis=0))
 
 

@@ -66,10 +66,11 @@ _ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(_ROOT))
 
 
-def _build_engine(batch, int16, vad=False):
+def _build_engine(batch, vad=False):
     """Flagship serving config (bench.py): PyanNet f32 + x-vector bf16,
     distinct SincNet filterbanks — or the VAD engine (segmentation only,
-    ``blocks/vad.py`` semantics) with ``vad=True``."""
+    ``blocks/vad.py`` semantics) with ``vad=True``. (int16 ingestion is a
+    session/scheduler option — ``quantize_transfer`` — not an engine one.)"""
     from bench import EMB_REGISTRY, SEG_REGISTRY, _distinct_filterbanks
     from diart_tpu.models import EmbeddingModel, SegmentationModel
     from diart_tpu.parallel import MultiStreamEngine
@@ -245,15 +246,37 @@ def main():
                    "the dev tunnel's ~100x-slow host->device path)")
     args = p.parse_args()
 
+    import os
+
     import jax
+
+    from diart_tpu.parallel.mesh import _probe_default_backend, effective_platform
+
+    # dead-tunnel fail-fast (bench.py's rule): jax.devices() on a downed
+    # remote-TPU tunnel blocks forever with no error, silently eating an
+    # unattended campaign's budget
+    platform = effective_platform()
+    if (
+        not platform.startswith("cpu")
+        and os.environ.get("DIART_TPU_SKIP_PROBE") != "1"
+    ):
+        if _probe_default_backend(platform, timeout=300.0) is None:
+            sys.exit(
+                f"cohort_bench: JAX platform {platform or '<default>'!r} is "
+                "unreachable (remote tunnel down?) — refusing to hang"
+            )
+
+    # models are built BEFORE the persistent cache turns on: their init
+    # runs on the host CPU backend, and a CPU program compiling >10 s
+    # would land a host-specific AOT executable in the shared repo cache
+    # (bench.py documents the same ordering)
+    engine = _build_engine(args.batch, vad=args.vad)
 
     if jax.default_backend() != "cpu":
         cache_dir = _ROOT / ".jax_cache"
         cache_dir.mkdir(exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-
-    engine = _build_engine(args.batch, args.int16, vad=args.vad)
     results = []
     for mode in args.mode.split(","):
         for k in (int(x) for x in args.cohorts.split(",")):

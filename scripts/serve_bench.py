@@ -54,12 +54,6 @@ def _build_server(args):
     from diart_tpu.parallel import MultiStreamEngine
     from diart_tpu.runtime.server import StreamingServer
 
-    if jax.default_backend() != "cpu":
-        cache_dir = Path(__file__).resolve().parent.parent / ".jax_cache"
-        cache_dir.mkdir(exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-
     if args.quick:
         seg = SegmentationModel.from_registry(
             "tpu/pyannet", lstm_hidden=16, lstm_layers=1, linear_dims=(16,),
@@ -90,6 +84,15 @@ def _build_server(args):
         batch_size=args.batch,
         tau_active=0.05,
     )
+    # the persistent cache turns on AFTER model construction (bench.py's
+    # ordering): model init runs on the host CPU backend, and a CPU init
+    # program compiling >10 s would land a host-specific AOT executable
+    # in the shared repo cache
+    if jax.default_backend() != "cpu":
+        cache_dir = Path(__file__).resolve().parent.parent / ".jax_cache"
+        cache_dir.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     server = StreamingServer(
         engine, tau_active=0.05, host="127.0.0.1", port=args.port,
         realtime=False, quantize_transfer=args.int16,
@@ -182,29 +185,38 @@ def _drive_clients(spec, conn):
     wall-clock deadline ``spec['start_at']``, and pipe the raw per-client
     send/recv timestamp lists back. One event loop cannot pace 256 clients
     at real time (the single-process harness saturated before the server
-    did); workers split the cohort."""
+    did); workers split the cohort. ALWAYS sends (results or an error
+    marker) and closes the pipe — a silent crash would leave the parent's
+    recv hanging forever."""
     import asyncio
     import time
 
     results = []
+    try:
+        async def main():
+            evt = asyncio.Event()
+            tasks = [
+                asyncio.create_task(
+                    _client(i, spec["port"], spec["hops"], spec["step_dur"],
+                            spec["step_samples"], results, evt,
+                            spec["wire_int16"])
+                )
+                for i in spec["indices"]
+            ]
+            await asyncio.sleep(max(0.0, spec["start_at"] - time.time()))
+            evt.set()
+            await asyncio.gather(*tasks)
 
-    async def main():
-        evt = asyncio.Event()
-        tasks = [
-            asyncio.create_task(
-                _client(i, spec["port"], spec["hops"], spec["step_dur"],
-                        spec["step_samples"], results, evt,
-                        spec["wire_int16"])
-            )
-            for i in spec["indices"]
-        ]
-        await asyncio.sleep(max(0.0, spec["start_at"] - time.time()))
-        evt.set()
-        await asyncio.gather(*tasks)
-
-    asyncio.run(main())
-    conn.send(results)
-    conn.close()
+        asyncio.run(main())
+        conn.send(results)
+    except BaseException as e:  # noqa: BLE001 — report, don't hang the parent
+        try:
+            conn.send({"worker_error": repr(e)})
+        except Exception:
+            pass
+        raise
+    finally:
+        conn.close()
 
 
 def _phase_stats(results, warmup):
@@ -289,6 +301,40 @@ async def _run(args):
 
     server.session.push_begin = timed_begin
     server.session.push_finish_rttm = timed_finish
+    # with --cohorts > 1 the ticker drives EVERY session; instrumenting
+    # only sessions[0] would silently report half (or 1/K) of the hops
+    for sess in server.sessions[1:]:
+        def _mk_begin(s=sess, orig=None):
+            orig = s.push_begin
+
+            def timed(blocks, present=None, **kw):
+                t0 = time.perf_counter()
+                pending = orig(blocks, present, **kw)
+                begin_log.append(
+                    (t0, time.perf_counter() - t0,
+                     int(np.sum(present)) if present is not None
+                     else blocks.shape[0])
+                )
+                return pending
+
+            return timed
+
+        def _mk_finish(s=sess):
+            orig = s.push_finish_rttm
+
+            def timed(pending):
+                t0 = time.perf_counter()
+                out = orig(pending)
+                finish_log.append(
+                    (t0, time.perf_counter() - t0,
+                     int(np.sum(pending.run_mask)))
+                )
+                return out
+
+            return timed
+
+        sess.push_begin = _mk_begin()
+        sess.push_finish_rttm = _mk_finish()
 
     print("# compiling (pre-client warm-up)...", file=sys.stderr, flush=True)
     _precompile(engine, server)
@@ -321,13 +367,25 @@ async def _run(args):
                 }
                 p = ctx.Process(target=_drive_clients, args=(spec, child))
                 p.start()
+                # close the parent's duplicate of the child end: otherwise
+                # a worker that dies before sending leaves the pipe open
+                # forever and recv below never raises EOFError
+                child.close()
                 procs.append(p)
                 pipes.append(parent)
             await asyncio.sleep(max(0.0, start_at - time.time()))
             t0 = time.perf_counter()
             results = []
             for parent in pipes:
-                results.extend(await loop.run_in_executor(None, parent.recv))
+                try:
+                    part = await loop.run_in_executor(None, parent.recv)
+                except EOFError:
+                    sys.exit("serve_bench: a client worker died without "
+                             "reporting results")
+                if isinstance(part, dict) and "worker_error" in part:
+                    sys.exit(f"serve_bench: client worker failed: "
+                             f"{part['worker_error']}")
+                results.extend(part)
             for p in procs:
                 p.join()
             t1 = time.perf_counter()
@@ -494,6 +552,26 @@ def main():
                    help="tiny models / CPU smoke")
     args = p.parse_args()
     args.ramp = [int(x) for x in args.ramp.split(",") if x]
+    if not args.quick:
+        # dead-tunnel fail-fast (bench.py's rule): jax.devices() on a
+        # downed remote-TPU tunnel blocks forever with no error
+        import os
+
+        from diart_tpu.parallel.mesh import (
+            _probe_default_backend,
+            effective_platform,
+        )
+
+        platform = effective_platform()
+        if (
+            not platform.startswith("cpu")
+            and os.environ.get("DIART_TPU_SKIP_PROBE") != "1"
+        ):
+            if _probe_default_backend(platform, timeout=300.0) is None:
+                sys.exit(
+                    f"serve_bench: JAX platform {platform or '<default>'!r} "
+                    "is unreachable (remote tunnel down?) — refusing to hang"
+                )
     if args.quick:
         # CPU smoke: select the CPU backend before first backend use (the
         # env pins the remote platform; see .claude/skills/verify)
